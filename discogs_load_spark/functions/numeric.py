@@ -1,0 +1,53 @@
+"""Deterministic numeric aggregation helpers.
+
+Problem: ``SUM`` over DOUBLE is order-dependent (floating-point addition is
+not associative), so two engines — or two runs of the same engine with a
+different partitioning — can produce different last-bits. That breaks
+value-hash comparison against the DuckDB oracle AND is a real reproducibility
+concern for a 100 TB pipeline (shuffle order varies run to run).
+
+Recipe used by every money/quantity aggregate in the declared query surface:
+
+1. per-row arithmetic stays in DOUBLE — IEEE 754 ops on identical inputs are
+   bitwise deterministic in any engine;
+2. the per-row result is cast to a fixed-scale DECIMAL (deterministic
+   round-half-up at a scale where doubles are never on the boundary);
+3. SUM over DECIMAL is exact integer arithmetic — order-insensitive;
+4. the aggregate is cast back to DOUBLE for a stable output schema.
+
+The SQL text below is valid in BOTH Spark SQL and DuckDB, so the Spark side
+uses ``F.expr(...)`` over the same string the oracle embeds — zero drift.
+Overhead is one decimal conversion per row, still whole-stage-codegen'd
+JVM-side (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# 25 digits / scale 6 leaves 19 integer digits — enough for sums over 1e12
+# rows of 1e6-magnitude values. Raise scale for unit-magnitude data.
+PREC = 25
+SCALE = 6
+
+
+def dec_sum_sql(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> str:
+    """Order-insensitive SUM of a double expression, as SQL text."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
+
+
+def dec_avg_sql(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> str:
+    """Order-insensitive AVG: exact decimal sum / count, divided in double."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def dec_sum(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> Column:
+    """Spark Column for :func:`dec_sum_sql` (same text → same semantics)."""
+    return F.expr(dec_sum_sql(expr, alias, scale, prec).rsplit(" AS ", 1)[0]).alias(alias)
+
+
+def dec_avg(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> Column:
+    return F.expr(dec_avg_sql(expr, alias, scale, prec).rsplit(" AS ", 1)[0]).alias(alias)

@@ -1,0 +1,164 @@
+"""Event-stream (batch-mode) query surface over the ``events`` fixture:
+tumbling windows, sessionization, as-of join, JSON extraction.
+
+The reference has no event-time semantics (its FSM is streaming-shaped but
+batch-only, SURVEY §2.C); these are the capabilities a Spark engine adds.
+Streaming duals live in discogs_load_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dec_sum, dec_sum_sql
+from ..operators.relational import asof_join, sessionize
+from ..session import load_tables
+from .registry import register
+
+SESSION_GAP_SECONDS = 6 * 3600  # 6h gap → multi-event sessions on the fixture
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+@register(
+    "q40_tumbling_window",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dec_sum_sql("value", "total_value")}
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+    tags=("events", "window-agg"),
+)
+def q40_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate (batch form of the streaming
+    window() agg; date_trunc keeps the oracle dual exact)."""
+    events = _events(spark, sf_dir)
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value"))
+
+
+@register(
+    "q41_sessionization",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            > CAST({SESSION_GAP_SECONDS} AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INT) AS session_seq
+        FROM seq
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           {dec_sum_sql("value", "session_value")}
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    tags=("events", "session"),
+)
+def q41_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (lag + cumsum, one shuffle) then per-session agg."""
+    events = _events(spark, sf_dir)
+    sessions = sessionize(
+        events, ["user_id"], "ts", SESSION_GAP_SECONDS, order_tiebreak=["event_id"]
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dec_sum("value", "session_value"),
+    )
+
+
+@register(
+    "q42_asof_join",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id, p.ts, p.value,
+           c.click_ts, c.click_event_id,
+           epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    tags=("events", "asof"),
+)
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the latest prior click of the
+    same user. Spark side is the union-sort operator (one shuffle; no range
+    explosion); DuckDB side is its native ASOF JOIN — an independent
+    implementation, which is exactly what an oracle should be."""
+    events = _events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_ts", "click_event_id"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "click_ts",
+        "click_event_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "q43_json_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def q43_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction + typed agg."""
+    events = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

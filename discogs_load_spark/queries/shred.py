@@ -1,0 +1,151 @@
+"""Shred/ETL operator queries (SURVEY §2.A A4-A12) re-expressed on the
+TPC-H-ish fixtures so the DuckDB oracle can check them.
+
+The reference shreds nested XML records into parent + child tables with a
+hand-written FSM (release.rs:153-371, master.rs:135-285). The Spark duals are
+pure column operations: projection+cast+default-fill for parents,
+``explode``/``posexplode`` for child tables, window-ranked first-wins for
+dedup. Structural mapping (FIXTURES.md §4): orders≈release (fact with
+optional FK), lineitem≈release_label/_video (FK child), events carry the
+duplicate-id semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..session import load_tables
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, list(names))
+    return [tables[n] for n in names]
+
+
+@register(
+    "q30_shred_parent_project",
+    oracle="""
+    SELECT CAST(o_orderkey AS INT) AS id,
+           COALESCE(o_orderstatus, '') AS status,
+           COALESCE(o_orderpriority, '') AS priority,
+           CAST(COALESCE(o_custkey, 0) AS INT) AS master_id,
+           COALESCE(o_totalprice, 0.0) AS total
+    FROM orders
+    """,
+    tags=("shred", "A4"),
+    doc="Parent-record extraction: project + int-cast + default-fill "
+    "(reference release.rs:153-323 semantics: absent → 0/''/[]).",
+)
+def q30_shred_parent_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").cast("int").alias("id"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("")).alias("priority"),
+        F.coalesce(F.col("o_custkey"), F.lit(0)).cast("int").alias("master_id"),
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("total"),
+    )
+
+
+@register(
+    "q31_shred_child_posexplode",
+    oracle="""
+    SELECT o_orderkey AS release_id,
+           CAST(UNNEST(generate_series(1, len(string_split(o_orderpriority, '-')))) AS INT) - 1
+               AS pos,
+           UNNEST(string_split(o_orderpriority, '-')) AS token
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    tags=("shred", "A5", "A6"),
+    doc="Child-table shred via posexplode — the Spark dual of the FSM loop "
+    "emitting one ReleaseLabel/ReleaseVideo row per nested element "
+    "(reference release.rs:325-371).",
+)
+def q31_shred_child_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 1000)
+        .select(
+            F.col("o_orderkey").alias("release_id"),
+            F.posexplode(F.split(F.col("o_orderpriority"), "-")).alias("pos", "token"),
+        )
+        .select("release_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+@register(
+    "q32_array_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses,
+           list_contains(list(DISTINCT o_orderstatus), 'F') AS has_finished
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("array", "B7"),
+    doc="Array-column surface (text[] in the reference schema, "
+    "sql/tables/artist.sql:9-12): build, sort, size, membership.",
+)
+def q32_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+        .select(
+            "c_custkey",
+            "statuses",
+            F.size("statuses").cast("int").alias("n_statuses"),
+            F.array_contains("statuses", "F").alias("has_finished"),
+        )
+    )
+
+
+@register(
+    "q33_first_wins_dedup",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    tags=("dedup", "A11"),
+    doc="First-wins dedup: the reference keeps the first row per id within a "
+    "batch (HashMap::entry().or_insert, release.rs:184-187). The engine makes "
+    "'first' explicit — rank by (ts, event_id) — and global, not batch-scoped "
+    "(documented deviation, SURVEY §4.2).",
+)
+def q33_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "q34_bridge_table",
+    oracle="""
+    SELECT l_partkey AS master_id, l_suppkey AS artist_id,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+    """,
+    tags=("shred", "A10"),
+    doc="Many-to-many bridge (master_artist analog, reference "
+    "master.rs:190-261): distinct link pairs with link stats.",
+)
+def q34_bridge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy(
+        F.col("l_partkey").alias("master_id"), F.col("l_suppkey").alias("artist_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

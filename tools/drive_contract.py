@@ -1,0 +1,56 @@
+"""Simulates the driver: imports __spark_entry__ from /root/repo, runs
+entry() smoke, then every queries() entry at sf0.01 vs oracle_sql() in DuckDB
+with order-insensitive value comparison."""
+import math, sys
+from collections import Counter
+from datetime import datetime
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as e
+import duckdb
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions","8")
+         .config("spark.sql.session.timeZone","UTC")
+         .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+df = e.entry(spark)
+n = df.count()
+print(f"entry(): {n} rows, schema: {[f.name for f in df.schema.fields]}")
+assert n > 0
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if isinstance(v, float): return "NaN" if math.isnan(v) else v
+    if isinstance(v, datetime): return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
+    return v
+
+qs, oracles = e.queries(), e.oracle_sql()
+fail = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        print(f"{name}: rows-only, {len(srows)} rows"); continue
+    res = con.execute(oracles[name])
+    dcols = [d[0] for d in res.description]; drows = res.fetchall()
+    ok_names = sorted(scols) == sorted(dcols)
+    sidx = sorted(range(len(scols)), key=lambda i: scols[i])
+    didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sset = Counter(tuple(norm(r[i]) for i in sidx) for r in srows)
+    dset = Counter(tuple(norm(r[i]) for i in didx) for r in drows)
+    ok = ok_names and sset == dset
+    print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(srows)} rows)")
+    if not ok:
+        fail += 1
+        print("  spark-only:", list((sset-dset).items())[:2])
+        print("  duck-only:", list((dset-sset).items())[:2])
+print("FAILURES:", fail)
+sys.exit(1 if fail else 0)
