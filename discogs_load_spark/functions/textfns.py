@@ -1,0 +1,161 @@
+"""Dual-dialect text expression builders (Spark SQL + DuckDB).
+
+Dedup/fingerprint operators must produce IDENTICAL values in the engine and
+in the DuckDB oracle, so every hash-bearing expression is generated here for
+both dialects from one definition. Two deliberate representation choices make
+that possible without any custom UDF:
+
+- **MinHash over md5 hex strings.** A MinHash needs a family of independent
+  hash→total-order functions; ``min`` over the lexicographic order of
+  ``md5(seed || ':' || shingle)`` hex digests is exactly that (md5 is
+  uniform; the hex alphabet gives a total order), and both engines produce
+  byte-identical lowercase hex. No 64-bit integer conversions — DuckDB and
+  Spark disagree on hex→int builtins, but never on strings.
+- **SimHash bits from md5 nibbles.** Bit j of a shingle's 32-bit SimHash
+  contribution is bit (3 - j%4) of hex nibble j/4 — extracted with
+  substring + instr('0123456789abcdef', …), which both engines share.
+
+Normalization is ASCII-level (lower + non-alphanumeric → space + collapse):
+identical under Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Normalization / tokens / shingles
+# ---------------------------------------------------------------------------
+
+
+def norm_sql(col: str, dialect: str) -> str:
+    """Lowercase, strip non-alphanumerics, collapse whitespace."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'[^a-z0-9 ]', ' '{g}), ' +', ' '{g}))"
+    )
+
+
+def tokens_sql(norm: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        return f"(CASE WHEN {norm} = '' THEN [] ELSE string_split({norm}, ' ') END)"
+    return (
+        f"(CASE WHEN {norm} = '' THEN array() ELSE split({norm}, ' ') END)"
+    )
+
+
+def shingles_sql(toks: str, k: int, dialect: str) -> str:
+    """Word k-grams joined by single spaces; [] when fewer than k tokens.
+
+    Guarded: Spark's ``sequence(1, 0)`` counts DOWN ([1,0]) instead of
+    returning [], so both dialects wrap in an explicit size check.
+    """
+    if dialect == "duckdb":
+        gram = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+        return (
+            f"(CASE WHEN len({toks}) < {k} THEN [] ELSE "
+            f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+            f"i -> {gram}) END)"
+        )
+    return (
+        f"(CASE WHEN size({toks}) < {k} THEN array() ELSE "
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))) END)"
+    )
+
+
+def doc_shingles_sql(text_col: str, k: int, dialect: str) -> str:
+    """text column → shingle array, composed end to end."""
+    return shingles_sql(
+        tokens_sql(norm_sql(text_col, dialect), dialect), k, dialect
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH bands
+# ---------------------------------------------------------------------------
+
+
+def minhash_agg_sql(shingle_col: str, n_hashes: int) -> list[str]:
+    """n independent min-hashes over an exploded shingle column; identical
+    text in both dialects. h{i} = min(md5('{i}:' || shingle))."""
+    return [
+        f"min(md5('{i}:' || {shingle_col})) AS h{i}" for i in range(n_hashes)
+    ]
+
+
+def band_key_sql(band: int, rows_per_band: int, dialect: str) -> str:
+    """LSH band key: md5 of the band's concatenated minhashes."""
+    lo = band * rows_per_band
+    cols = [f"h{i}" for i in range(lo, lo + rows_per_band)]
+    if dialect == "duckdb":
+        return f"md5({' || '.join(cols)})"
+    return f"md5(concat({', '.join(cols)}))"
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_bit_sql(shingle_md5: str, j: int, dialect: str) -> str:
+    """±1 contribution of one shingle to SimHash bit j."""
+    nibble = f"(instr('0123456789abcdef', substring({shingle_md5}, {1 + j // 4}, 1)) - 1)"
+    shift = 3 - j % 4
+    if dialect == "duckdb":
+        bit = f"(({nibble} >> {shift}) % 2)"
+    else:
+        bit = f"((shiftright({nibble}, {shift})) % 2)"
+    return f"(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+
+
+def simhash_value_sql(sum_prefix: str = "s") -> str:
+    """Final SimHash from the 32 per-bit signed sums (columns s0..s31):
+    bit j set iff the majority of shingles set it (ties → set)."""
+    terms = [
+        f"(CASE WHEN {sum_prefix}{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Token/quality statistics (shared scalar fragments)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "y", "de"],
+}
+
+
+def stopword_hits_sql(toks: str, words: list[str], dialect: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "duckdb":
+        return f"len(list_filter({toks}, t -> t IN ({lst})))"
+    return f"size(filter({toks}, t -> t IN ({lst})))"
+
+
+def token_count_sql(text_col: str, dialect: str) -> str:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation.
+
+    The pattern avoids backslash classes (Spark SQL string literals treat
+    backslash as an escape; DuckDB's don't) and wraps in a group because
+    Spark's regexp_extract_all demands a group index.
+    """
+    pat = "'([a-z]+|[0-9]+|[^a-z0-9 ])'"
+    if dialect == "duckdb":
+        return f"len(regexp_extract_all(lower({text_col}), {pat}))"
+    return f"size(regexp_extract_all(lower({text_col}), {pat}, 1))"
+
+
+def char_class_count_sql(text_col: str, char_class: str, dialect: str) -> str:
+    """#chars matching a regex class, via length difference after removal."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return (
+        f"(length({text_col}) - "
+        f"length(regexp_replace({text_col}, '{char_class}', ''{g})))"
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
+  One broadcast of the (few) query vectors against the corpus; the corpus is
+  scanned once, never shuffled, and top-k folds through
+  TakeOrderedAndProject per query.
+- :func:`lsh_topk` — the scale path: hyperplane-LSH bucket equi-join prunes
+  the candidate set before exact rerank. At 100 TB the bucket join touches
+  ~corpus/2^planes per query instead of the full corpus; recall is tuned by
+  n_planes (fewer planes → bigger buckets → higher recall, more compute).
+- :func:`embedding_near_dup_pairs` — self-join flavor for corpus-level
+  near-duplicate detection.
+
+Dot products are unrolled fixed-association double chains
+(functions/vectors.py) → bitwise identical in Spark and the DuckDB oracle,
+entirely inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions.vectors import dot_sql, lsh_bucket_sql, norm2_sql
+
+DEFAULT_PLANES = 8
+
+
+def with_norm(df: DataFrame, vec_col: str, dim: int, out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (brute force).
+
+    queries must be small (it is broadcast); corpus is streamed once.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    sim = (
+        F.expr(dot_sql("qvec", "cvec", dim, "spark"))
+        / (
+            F.expr(f"sqrt({norm2_sql('qvec', dim, 'spark')})")
+            * F.expr(f"sqrt({norm2_sql('cvec', dim, 'spark')})")
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = DEFAULT_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket."""
+    bucket = lsh_bucket_sql(vec_col, n_planes, dim, "spark")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(bucket).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(bucket).alias("bucket"),
+    )
+    sim = (
+        F.expr(dot_sql("qvec", "cvec", dim, "spark"))
+        / (
+            F.expr(f"sqrt({norm2_sql('qvec', dim, 'spark')})")
+            * F.expr(f"sqrt({norm2_sql('cvec', dim, 'spark')})")
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = DEFAULT_PLANES,
+) -> DataFrame:
+    """Near-duplicate vector pairs: bucket self-join, then exact cosine.
+
+    The equi-join on the bucket key is what makes this survive scale: with
+    p planes a corpus of N splits into ~2^p buckets, so the pair candidate
+    count is ~N²/2^p instead of N². Output (id_a < id_b, cosine >= threshold).
+    """
+    bucket = lsh_bucket_sql(vec_col, n_planes, dim, "spark")
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.expr(bucket).alias("bucket"),
+    )
+    a = base.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    sim = (
+        F.expr(dot_sql("vec_a", "vec_b", dim, "spark"))
+        / (
+            F.expr(f"sqrt({norm2_sql('vec_a', dim, 'spark')})")
+            * F.expr(f"sqrt({norm2_sql('vec_b', dim, 'spark')})")
+        )
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

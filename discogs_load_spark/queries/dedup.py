@@ -1,1 +1,145 @@
-"""Filled in incrementally."""
+"""Deduplication query surface over the ``documents`` fixture (north-star
+extension ops; BASELINE.json). Oracles are generated from the same dual-
+dialect fragments the operators compile to, so both engines run byte-
+identical hash math (functions/textfns.py docstring explains why md5-string
+MinHash makes this possible).
+
+Fixture note: the synthetic corpus has no exact duplicates but DOES contain
+planted near-duplicate pairs (shingle-Jaccard ≈ 0.98) — the MinHash-LSH →
+Jaccard-verify pipeline recovers exactly those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.textfns import (
+    SIMHASH_BITS,
+    doc_shingles_sql,
+    minhash_agg_sql,
+    norm_sql,
+    simhash_bit_sql,
+    simhash_value_sql,
+)
+from ..operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_N_HASHES,
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ..session import load_tables
+from .registry import register
+
+JACCARD_THRESHOLD = 0.8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+# --- oracle SQL builders (DuckDB dialect) ----------------------------------
+
+_D_SH = doc_shingles_sql("text", 3, "duckdb")
+_D_AGGS = ", ".join(minhash_agg_sql("sh", DEFAULT_N_HASHES))
+_R = DEFAULT_N_HASHES // DEFAULT_BANDS
+
+
+def _bucket_union() -> str:
+    parts = []
+    for band in range(DEFAULT_BANDS):
+        cols = ", ".join(f"h{i}" for i in range(band * _R, band * _R + _R))
+        parts.append(
+            f"SELECT doc_id, {band} AS band, md5(concat({cols})) AS key FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_PAIRS_CTE = f"""
+    WITH s AS (SELECT doc_id, unnest({_D_SH}) AS sh FROM documents),
+    sig AS (SELECT doc_id, {_D_AGGS} FROM s GROUP BY doc_id),
+    buckets AS ({_bucket_union()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "q50_exact_dedup",
+    oracle=f"""
+    SELECT md5({norm_sql('text', 'duckdb')}) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, min-id keeper."""
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "q51_minhash_lsh_pairs",
+    oracle=f"{_PAIRS_CTE} SELECT id_a, id_b FROM pairs",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q51_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3) candidate pairs."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+@register(
+    "q52_jaccard_neardup",
+    oracle=f"""
+    {_PAIRS_CTE},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents)
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+             / (len(sa.shset) + len(sb.shset)
+                - len(list_intersect(sa.shset, sb.shset))) AS jaccard
+    FROM pairs p
+    JOIN sets sa ON p.id_a = sa.doc_id
+    JOIN sets sb ON p.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+             / (len(sa.shset) + len(sb.shset)
+                - len(list_intersect(sa.shset, sb.shset))) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q52_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard ≥ 0.8 —
+    recovers the corpus's planted near-duplicate pairs."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    return jaccard_verify(docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+
+
+def _simhash_oracle() -> str:
+    bits = ", ".join(
+        f"SUM({simhash_bit_sql('shmd5', j, 'duckdb')}) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, md5(unnest({_D_SH})) AS shmd5 FROM documents),
+    sums AS (SELECT doc_id, {bits} FROM s GROUP BY doc_id)
+    SELECT doc_id, CAST({simhash_value_sql('s')} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register(
+    "q53_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "simhash"),
+)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (majority vote over shingle md5 bits)."""
+    return simhash(_docs(spark, sf_dir), "doc_id", "text")

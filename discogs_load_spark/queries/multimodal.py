@@ -1,1 +1,73 @@
-"""Filled in incrementally."""
+"""Multimodal query surface: binary payload metadata (oracle-checked) and
+the mapInPandas feature-extraction pipeline (rows-only: binary decode is not
+SQL-expressible; the driver records the weaker check by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.multimodal import attach_payload, extract_features
+from ..session import load_tables
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+@register(
+    "q70_multimodal_meta",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'text'
+                    WHEN doc_id % 3 = 1 THEN 'image'
+                    ELSE 'audio' END AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS checksum
+        FROM documents
+    )
+    SELECT modality,
+           COUNT(*) AS n,
+           SUM(n_bytes) AS total_bytes,
+           MAX(n_bytes) AS max_bytes,
+           COUNT(DISTINCT checksum) AS n_distinct_payloads
+    FROM m GROUP BY modality
+    """,
+    tags=("multimodal",),
+)
+def q70_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: filters and stats never
+    touch the bytes (the scan prunes to the metadata columns)."""
+    attached = attach_payload(_docs(spark, sf_dir))
+    return attached.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.countDistinct("checksum").alias("n_distinct_payloads"),
+    )
+
+
+@register(
+    "q71_multimodal_features",
+    oracle=None,  # binary decode via mapInPandas — not SQL-expressible
+    tags=("multimodal", "rows-only"),
+)
+def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (deterministic fake decoder, real
+    Spark plumbing): per-modality mean feature norms."""
+    feats = extract_features(attach_payload(_docs(spark, sf_dir)))
+    norm = F.expr(
+        "aggregate(features, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return (
+        feats.withColumn("feat_norm2", norm)
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(feat_norm2 AS DECIMAL(25,9))) AS DOUBLE)"
+            ).alias("total_norm2"),
+        )
+    )

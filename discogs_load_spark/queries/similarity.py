@@ -1,1 +1,114 @@
-"""Filled in incrementally."""
+"""Similarity-search query surface over the ``embeddings`` fixture
+(array<float> column, dim 64): brute-force exact top-k (baseline), LSH-
+bucketed approximate top-k (scale path), and corpus near-dup pairs.
+
+All cosine math is unrolled fixed-association double arithmetic
+(functions/vectors.py) — bitwise identical in Spark and DuckDB, so even
+rank ordering agrees exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import cosine_sql, dot_sql, lsh_bucket_sql, norm2_sql
+from ..operators.similarity import cosine_topk, embedding_near_dup_pairs, lsh_topk
+from ..session import load_tables
+from .registry import register
+
+DIM = 64
+TOPK = 10
+QUERY_IDS = (0, 1, 2)
+NEARDUP_PLANES = 4
+NEARDUP_THRESHOLD = 0.25
+ANN_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+_QIDS = ", ".join(str(i) for i in QUERY_IDS)
+_COS_AB = cosine_sql("q.embedding", "c.embedding", DIM, "duckdb")
+
+
+@register(
+    "q55_ann_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_AB} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_AB} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN ({_QIDS})
+    ) t WHERE rank <= {TOPK}
+    """,
+    tags=("similarity", "ann"),
+)
+def q55_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 3 query vectors — the recall-1.0 baseline."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return cosine_topk(emb, queries, "vec_id", "embedding", DIM, TOPK)
+
+
+def _lsh_oracle() -> str:
+    bucket = lsh_bucket_sql("embedding", ANN_PLANES, DIM, "duckdb")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_AB} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_AB} DESC, c.vec_id
+               ) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id IN ({_QIDS})
+    ) t WHERE rank <= {TOPK}
+    """
+
+
+@register(
+    "q56_ann_lsh_topk",
+    oracle=_lsh_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
+def q56_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k through 8 hyperplane buckets — candidates shrink
+    ~256× at scale; recall traded via n_planes."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return lsh_topk(emb, queries, "vec_id", "embedding", DIM, TOPK, ANN_PLANES)
+
+
+def _neardup_oracle() -> str:
+    bucket = lsh_bucket_sql("embedding", NEARDUP_PLANES, DIM, "duckdb")
+    cos = cosine_sql("x.embedding", "y.embedding", DIM, "duckdb")
+    return f"""
+    WITH buck AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cosine
+    FROM buck x JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {cos} >= {NEARDUP_THRESHOLD}
+    """
+
+
+@register(
+    "q54_embedding_neardup",
+    oracle=_neardup_oracle(),
+    tags=("dedup", "similarity", "embedding"),
+)
+def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via 4-plane bucket self-join +
+    exact rerank (threshold calibrated to the fixture's cosine range)."""
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        DIM,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=NEARDUP_PLANES,
+    )

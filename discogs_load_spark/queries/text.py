@@ -1,1 +1,150 @@
-"""Filled in incrementally."""
+"""Text-analysis query surface over the ``documents`` fixture: token
+counting, quality scoring, language ID, fingerprinting (north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dec_avg, dec_avg_sql
+from ..functions.textfns import (
+    STOPWORDS,
+    char_class_count_sql,
+    doc_shingles_sql,
+    norm_sql,
+    stopword_hits_sql,
+    token_count_sql,
+    tokens_sql,
+)
+from ..operators.text import fingerprint, language_id, quality_signals, token_stats
+from ..session import load_tables
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+_D_TOKS = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+
+
+@register(
+    "q60_token_stats",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               {token_count_sql('text', 'duckdb')} AS n_tokens,
+               len({_D_TOKS}) AS n_words,
+               length(text) AS n_chars_obs
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(n_words) AS total_words,
+           {dec_avg_sql("CAST(n_chars_obs AS DOUBLE)", "avg_chars")},
+           MAX(n_tokens) AS max_tokens
+    FROM per_doc GROUP BY source
+    """,
+    tags=("text", "tokens"),
+)
+def q60_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (BPE-ish regex + whitespace words) rolled up by
+    source — integer sums, so no float-ordering concerns."""
+    stats = token_stats(_docs(spark, sf_dir), "text")
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_words").alias("total_words"),
+        dec_avg("CAST(n_chars_obs AS DOUBLE)", "avg_chars"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+@register(
+    "q61_quality_signals",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_obs,
+           {char_class_count_sql('text', '[a-zA-Z0-9 ]', 'duckdb')}
+               / GREATEST(length(text), 1) AS punct_ratio,
+           {char_class_count_sql('text', '[^0-9]', 'duckdb')}
+               / GREATEST(length(text), 1) AS digit_ratio,
+           len({_D_TOKS}) AS n_words,
+           {stopword_hits_sql(_D_TOKS, STOPWORDS['en'], 'duckdb')}
+               / GREATEST(len({_D_TOKS}), 1) AS stopword_ratio,
+           (len({_D_TOKS}) >= 5
+            AND {char_class_count_sql('text', '[a-zA-Z0-9 ]', 'duckdb')}
+                / GREATEST(length(text), 1) < 0.3
+            AND {char_class_count_sql('text', '[^0-9]', 'duckdb')}
+                / GREATEST(length(text), 1) < 0.3
+            AND {stopword_hits_sql(_D_TOKS, STOPWORDS['en'], 'duckdb')}
+                / GREATEST(len({_D_TOKS}), 1) > 0.0) AS keep
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def q61_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + composite keep flag (the standard
+    pre-training filter shape)."""
+    return quality_signals(_docs(spark, sf_dir), "text").select(
+        "doc_id",
+        "n_chars_obs",
+        "punct_ratio",
+        "digit_ratio",
+        "n_words",
+        "stopword_ratio",
+        "keep",
+    )
+
+
+def _langid_case(dialect: str) -> str:
+    """Nested-CASE argmax with alphabetical first-wins ties — mirrors the
+    fold in operators/text.py::language_id exactly (integer comparisons,
+    so value parity is structural, not floating-point)."""
+    toks = tokens_sql(norm_sql("text", dialect), dialect)
+    guess, score = "'unknown'", "0"
+    for lang in sorted(STOPWORDS):
+        s = stopword_hits_sql(toks, STOPWORDS[lang], dialect)
+        guess = f"(CASE WHEN {s} > {score} THEN '{lang}' ELSE {guess} END)"
+        score = f"(CASE WHEN {s} > {score} THEN {s} ELSE {score} END)"
+    return guess
+
+
+@register(
+    "q62_langid_confusion",
+    oracle=f"""
+    SELECT lang, {_langid_case('duckdb')} AS lang_guess, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("text", "langid"),
+)
+def q62_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, cross-tabbed against the labeled lang
+    (a confusion matrix; the fixture text is synthetic word salad, so this
+    validates the operator, not real-world accuracy)."""
+    guessed = language_id(_docs(spark, sf_dir), "text")
+    return guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_D_SH = doc_shingles_sql("text", 3, "duckdb")
+
+
+@register(
+    "q63_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({norm_sql('text', 'duckdb')}) AS content_md5,
+           md5(array_to_string(
+               list_sort(list_transform(list_distinct({_D_SH}), s -> md5(s)))[1:4],
+               ',')) AS winnow_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q63_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5 + winnowing-style fingerprint (md5 of the 4 smallest
+    shingle hashes): robust to small edits, all per-row array math."""
+    return fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=3, n_min=4)

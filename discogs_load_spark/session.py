@@ -10,8 +10,36 @@ a shuffle partition is ~128-512 MB at the target scale).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Any closure that references module-level code (mapInPandas readers,
+    foreachPartition sinks) is pickled BY REFERENCE to its module, so the
+    worker must be able to import ``discogs_load_spark`` — which is not
+    guaranteed when the driving process imported us by path (e.g. the
+    grading driver, or spark-submit without --py-files). Zipping the package
+    once per application and addPyFile-ing it makes workers self-sufficient.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"discogs_load_spark_{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"discogs_load_spark/{py.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))
+    _SHIPPED_APPS.add(app_id)
 
 
 def get_spark(
@@ -76,8 +104,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "embeddings",
     ]
     # The driver may hand us a session we didn't build; pin UTC so timestamp
-    # semantics (date_trunc, collect) match the DuckDB oracle regardless.
+    # semantics (date_trunc, collect) match the DuckDB oracle regardless,
+    # and make sure executors can unpickle our operator closures.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_package_on_executors(spark)
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -244,6 +244,9 @@ def read_dump_python(
     row_tag = ROW_TAGS[kind]
     record_fn = _RECORD_FN[kind]
 
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
 
     def parse(batches):

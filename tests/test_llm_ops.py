@@ -1,0 +1,117 @@
+"""Behavioral tests for the LLM-pipeline operators (beyond oracle parity):
+do they actually find what they should?"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from discogs_load_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from discogs_load_spark.operators.multimodal import attach_payload, extract_features
+from discogs_load_spark.operators.similarity import cosine_topk, lsh_topk
+from discogs_load_spark.session import load_tables
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark):
+    return load_tables(spark, SF_SMALL, ["documents"])["documents"]
+
+
+def _emb(spark):
+    return load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+
+
+def test_exact_dedup_synthetic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox!"),
+            (2, "the QUICK  brown fox"),  # same after normalization
+            (3, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup_groups(df, "doc_id", "text").collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in groups}
+    assert by_keeper == {1: 2, 3: 1}
+
+
+def test_minhash_recovers_planted_neardups(spark):
+    """The fixture corpus plants near-duplicate pairs (jaccard ~0.98); the
+    LSH pipeline must surface them and the verify step must confirm."""
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_verify(docs, pairs, "doc_id", "text", threshold=0.8)
+    rows = verified.collect()
+    assert len(rows) > 0
+    assert all(r.jaccard >= 0.8 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_simhash_hamming_separates_neardups(spark):
+    """Near-duplicate docs must be closer in SimHash-Hamming space than the
+    average unrelated pair."""
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    near = (
+        jaccard_verify(
+            docs, lsh_candidate_pairs(sigs, "doc_id"), "doc_id", "text", 3, 0.9
+        )
+        .limit(5)
+        .collect()
+    )
+    assert near, "fixture should contain jaccard>=0.9 pairs"
+    sh = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    near_d = [hamming(sh[r.id_a], sh[r.id_b]) for r in near]
+    ids = sorted(sh)
+    far_d = [hamming(sh[ids[i]], sh[ids[i + 7]]) for i in range(0, 40, 8)]
+    assert max(near_d) < 8, f"near-dup hamming too big: {near_d}"
+    assert sum(far_d) / len(far_d) > 8, f"unrelated docs too close: {far_d}"
+
+
+def test_bruteforce_topk_properties(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    top = cosine_topk(emb, queries, "vec_id", "embedding", 64, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        sims = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.001 <= s <= 1.001 for s in sims)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    """LSH is approximate but never invents similarity: every (query,
+    neighbor, cosine) it returns must equal the brute-force cosine."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", 64, k=10000).collect()
+    }
+    approx = lsh_topk(emb, queries, "vec_id", "embedding", 64, k=5).collect()
+    for r in approx:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_extract_features_shape_and_determinism(spark):
+    feats = extract_features(attach_payload(_docs(spark).limit(20)))
+    rows1 = {r.doc_id: list(r.features) for r in feats.collect()}
+    rows2 = {r.doc_id: list(r.features) for r in feats.collect()}
+    assert rows1 == rows2  # deterministic
+    assert all(len(v) == 8 for v in rows1.values())
+    assert all(0.0 <= x < 1.0 for v in rows1.values() for x in v)
