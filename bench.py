@@ -1,0 +1,121 @@
+"""Benchmark harness: runs the declared query suite (and an XML-ingest
+microbench) at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]; prints ONE
+JSON line.
+
+Each query is forced through a noop sink (full materialization — a bare
+count() would let Catalyst prune the computed columns and flatter the
+numbers). The XML-ingest bench generates a synthetic releases dump once,
+then measures parse→shred→materialize rows/sec, the figure comparable to the
+reference's ~16.6k releases/s single-thread baseline (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+XML_BENCH_RELEASES = int(os.environ.get("SPARK_GRAFT_XML_ROWS", "30000"))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+XML_BENCH_SHARDS = int(os.environ.get("SPARK_GRAFT_XML_SHARDS", "8"))
+
+
+def _gen_releases_xml(shard_dir: Path, n: int, shards: int) -> None:
+    """Synthetic releases dump, reference-shaped (~0.5 KB/record), written
+    as N shards — the layout a real 10 GB dump should use so parse tasks
+    parallelize (one gzip file = one task; see ARCHITECTURE.md)."""
+    genres = ["Electronic", "House", "Rock", "Jazz", "Ambient"]
+    shard_dir.mkdir(parents=True, exist_ok=True)
+    per = n // shards
+    for s in range(shards):
+        with open(shard_dir / f"part-{s}.xml", "w") as f:
+            f.write('<?xml version="1.0" encoding="UTF-8"?>\n<releases>\n')
+            for i in range(s * per + 1, (s + 1) * per + 1):
+                g = genres[i % 5]
+                f.write(
+                    f'<release id="{i}" status="Accepted"><title>Title {i} &amp; co</title>'
+                    f"<country>US</country><released>19{90 + i % 10}-01-0{1 + i % 9}</released>"
+                    f"<notes>Synthetic record {i} for ingest benchmarking.</notes>"
+                    f"<master_id>{i // 3}</master_id><data_quality>Correct</data_quality>"
+                    f"<genres><genre>{g}</genre></genres><styles><style>Deep</style></styles>"
+                    f'<labels><label name="Label {i % 997}" catno="C-{i}" id="{i % 997}"/></labels>'
+                    f'<videos><video src="https://example.test/v/{i}" duration="{60 + i % 300}">'
+                    f"<title>Video {i}</title></video></videos></release>\n"
+                )
+            f.write("</releases>\n")
+
+
+def bench_xml_ingest(spark) -> dict:
+    from discogs_load_spark.operators.shred import shred
+    from discogs_load_spark.sources.xml_source import read_dump
+
+    shard_dir = Path("/tmp") / f"bench_releases_{XML_BENCH_RELEASES}_{XML_BENCH_SHARDS}"
+    if not shard_dir.exists():
+        _gen_releases_xml(shard_dir, XML_BENCH_RELEASES, XML_BENCH_SHARDS)
+    t0 = time.monotonic()
+    raw = read_dump(spark, str(shard_dir), "releases").persist()
+    tables = shred(raw, "releases")
+    for df in tables.values():
+        _materialize(df)
+    raw.unpersist()
+    dt = time.monotonic() - t0
+    n = XML_BENCH_RELEASES // XML_BENCH_SHARDS * XML_BENCH_SHARDS
+    return {
+        "seconds": round(dt, 3),
+        "rows": n,
+        "rows_per_sec": round(n / dt, 1),
+        "shards": XML_BENCH_SHARDS,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from discogs_load_spark.queries import REGISTRY
+    from discogs_load_spark.session import get_spark
+
+    spark = get_spark(app_name="discogs_load_spark_bench")
+    # warm the JVM/codegen/noop-sink paths so query timings measure the
+    # engine, not startup
+    spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        fn = REGISTRY[name].fn
+        t0 = time.monotonic()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    ingest = bench_xml_ingest(spark)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "xml_ingest": ingest,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,35 @@ def dec_avg_sql(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> 
     )
 
 
+def dec_var_sql(expr: str, alias: str, scale: int = 2) -> str:
+    """Order-insensitive sample variance, bitwise-stable across engines.
+
+    The textbook one-pass form ``(sum_sq - sum*sum/n)/(n-1)`` over DOUBLE
+    sums is order-dependent, and even over decimal sums the final
+    DECIMAL(p, s>0)→DOUBLE cast rounds differently across engines (scale
+    division vs exact round-to-nearest — observed one-ulp drift between
+    Spark and DuckDB, amplified ~300x by the cancellation). Recipe here:
+
+    1. quantize each value to an integer at ``scale`` (BIGINT, exact);
+    2. SUM the values and their squares in DECIMAL(38,0) — exact int128,
+       order-insensitive, and the scale-0 → DOUBLE cast is a plain
+       integer conversion with one unambiguous round-to-nearest;
+    3. finish with the identical sequence of IEEE double ops in both
+       engines (same text → same bits).
+
+    Valid in both Spark SQL and DuckDB.
+    """
+    m = 10 ** scale
+    c = f"CAST(ROUND(({expr}) * {m}) AS BIGINT)"
+    n = f"COUNT({expr})"
+    sc = f"CAST(SUM(CAST({c} AS DECIMAL(38,0))) AS DOUBLE)"
+    sc2 = f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,0))) AS DOUBLE)"
+    return (
+        f"(({n} * {sc2} - {sc} * {sc})"
+        f" / ({n} * ({n} - 1))) / {m * m}.0 AS {alias}"
+    )
+
+
 def dec_sum(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> Column:
     """Spark Column for :func:`dec_sum_sql` (same text → same semantics)."""
     return F.expr(dec_sum_sql(expr, alias, scale, prec).rsplit(" AS ", 1)[0]).alias(alias)

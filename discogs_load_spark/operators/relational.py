@@ -85,6 +85,42 @@ def asof_join(
     return out.drop("__match")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for skewed keys.
+
+    A hot key (one value holding a large share of rows) funnels into a
+    single shuffle partition and stalls the stage. Salting splits the hot
+    side: the large ``left`` gets a random salt in [0, n_salts); the small-
+    per-key ``right`` is replicated n_salts times (explode of a literal
+    range, not a shuffle); the join key becomes (key, salt), spreading each
+    hot key over n_salts partitions.
+
+    AQE's skew-join handles most cases automatically (enabled in
+    session.py); this operator is for the residual ones — skew inside a
+    single shuffle *block* or non-AQE deployments. Cost: right side × n_salts.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(
+        salted_right,
+        (salted_left[left_key] == salted_right[right_key])
+        & (salted_left["__salt"] == salted_right["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],

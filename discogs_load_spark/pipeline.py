@@ -44,10 +44,17 @@ def load_dumps(
         if use_python_reader:
             raw = read_dump_python(spark, paths, kind)
         else:
-            raw = read_dump(spark, ",".join(paths) if len(paths) == 1 else paths[0], kind)
+            raw = read_dump(spark, paths[0], kind)
             for extra in paths[1:]:
                 raw = raw.unionByName(read_dump(spark, extra, kind))
-        for name, df in shred(raw, kind).items():
+        shredded = shred(raw, kind)
+        if len(shredded) > 1:
+            # releases/masters fan out into 2-3 tables: persist the parsed
+            # records so the XML is parsed once, not once per output table
+            # (the reference's single pass, kept — at lake scale prefer
+            # landing the raw parse as parquet and shredding from there)
+            raw.persist()
+        for name, df in shredded.items():
             tables[name] = (
                 df if name not in tables else tables[name].unionByName(df)
             )

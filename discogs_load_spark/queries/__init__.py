@@ -4,5 +4,14 @@ Every module in this package registers queries into ``registry.REGISTRY``.
 Importing :mod:`discogs_load_spark.queries` loads all of them.
 """
 
-from . import core, dedup, events, multimodal, shred, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    core,
+    dedup,
+    events,
+    extra,
+    multimodal,
+    shred,
+    similarity,
+    text,
+)
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

@@ -1,0 +1,202 @@
+"""Second-ring relational coverage: percentiles, variance, pivot,
+correlated subqueries, MERGE/upsert emulation, time-range joins, approximate
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dec_sum_sql, dec_var_sql
+from ..session import load_tables
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, list(names))
+    return [tables[n] for n in names]
+
+
+_VAR = dec_var_sql("o_totalprice", "var_price")
+
+
+@register(
+    "q25_percentiles_variance",
+    oracle=f"""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           {_VAR}
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def q25_percentiles_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the same
+    continuous-quantile definition) and sample variance via the
+    integer-cents recipe in :func:`dec_var_sql` — order-insensitive and
+    bitwise-stable across engines, unlike the built-in one-pass stddev."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.expr(_VAR.rsplit(" AS ", 1)[0]).alias("var_price"),
+    )
+
+
+@register(
+    "q26_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dec_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", "F")},
+           {dec_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END", "O")},
+           {dec_sum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END", "P")}
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("pivot",),
+)
+def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot via the DataFrame pivot API (explicit value list so no
+    extra distinct-values pass; null cells filled like the CASE form)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST((o_totalprice) AS DECIMAL(25,6))) AS DOUBLE)"
+            )
+        )
+        .na.fill(0.0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "q27_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    ) * 1.5
+    """,
+    tags=("subquery",),
+)
+def q27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 50% above the customer's own
+    average) — Catalyst decorrelates it into an aggregate + join, same as
+    the hand-written form. AVG here is safe for value-parity despite being
+    a float aggregate: it feeds a comparison, and per-customer groups are
+    small; the decimal recipe is unnecessary for a predicate."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        ) * 1.5
+        """
+    )
+
+
+@register(
+    "q35_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus
+    FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+    tags=("merge", "cdc"),
+)
+def q35_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation without a lakehouse format: full-outer join +
+    coalesce (updates win). The anti-join+union form is equivalent; this
+    shape also covers inserts. At scale both sides shuffle once on the key
+    — same cost as the Delta MERGE rewrite."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    target = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("u_totalprice"),
+            F.lit("U").alias("u_status"),
+        )
+    )
+    return (
+        target.join(updates, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce("u_totalprice", "o_totalprice").alias("o_totalprice"),
+            F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+        )
+    )
+
+
+@register(
+    "q44_time_range_join",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           COUNT(e.event_id) AS n_following,
+           COUNT(CASE WHEN e.event_type = 'click' THEN 1 END) AS n_clicks
+    FROM p LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL '1' HOUR
+    GROUP BY p.event_id, p.user_id
+    """,
+    tags=("join", "range"),
+)
+def q44_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join with an equi anchor: the user_id equality carries
+    the shuffle; the ts range is a post-join filter, so this stays a hash/
+    sort-merge join (never a cartesian). A range join with NO equi key is
+    the case needing bucketize-by-time — see ARCHITECTURE.md."""
+    (events,) = _t(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = p.join(
+        events,
+        (events.user_id == p.p_user)
+        & (events.ts > p.p_ts)
+        & (events.ts <= p.p_ts + F.expr("INTERVAL '1' HOUR")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("p_event").alias("event_id"), F.col("p_user").alias("user_id")
+    ).agg(
+        F.count("event_id").alias("n_following"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+    )
+
+
+@register(
+    "q28_approx_aggregates",
+    oracle=None,  # HLL/KLL sketches differ across engines by design → rows-only
+    tags=("agg", "approx", "rows-only"),
+)
+def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB cardinalities: approx_count_distinct
+    (HyperLogLog++) and approx percentile. Cross-engine sketches don't
+    value-match (different algorithms), so this is rows-only; the exact
+    duals (q12 countDistinct, q25 percentile) are the oracle-checked
+    versions."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+    )

@@ -115,3 +115,19 @@ def test_extract_features_shape_and_determinism(spark):
     assert rows1 == rows2  # deterministic
     assert all(len(v) == 8 for v in rows1.values())
     assert all(0.0 <= x < 1.0 for v in rows1.values() for x in v)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from discogs_load_spark.operators.relational import salted_join
+
+    orders = load_tables(spark, SF_SMALL, ["orders"])["orders"]
+    customer = load_tables(spark, SF_SMALL, ["customer"])["customer"]
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey").count()
+    )
+    salted = (
+        salted_join(orders, customer, "o_custkey", "c_custkey", n_salts=8)
+        .groupBy("c_custkey").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

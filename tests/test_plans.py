@@ -1,0 +1,89 @@
+"""Physical-plan hygiene: the properties that decide whether these plans
+survive a 100 TB scale-up. Asserted, not eyeballed, so a regression (a lost
+pushdown, a join flipping to cartesian) fails CI.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from discogs_load_spark.queries import REGISTRY
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_filter(spark):
+    plan = _plan(spark, "q03_point_lookup")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderkey,42)" in plan.replace(" ", "")
+
+
+def test_scan_project_prunes_columns(spark):
+    plan = _plan(spark, "q02_scan_project")
+    # ReadSchema must carry only the 4 referenced columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_partkey" in read and "p_retailprice" in read
+    assert "p_size" not in read and "p_type" not in read
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "q07_customers_per_region")
+    assert plan.count("BroadcastHashJoin") >= 2  # appears in tree + detail
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "q18_global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_joins_are_equi_joins(spark):
+    """The whole point of LSH banding/bucketing: candidate generation is an
+    equi-join on the band/bucket key, never a cartesian product."""
+    for q in ("q51_minhash_lsh_pairs", "q54_embedding_neardup"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_semi_anti_stay_semi_anti(spark):
+    assert "LeftSemi" in _plan(spark, "q10_semi_join")
+    assert "LeftAnti" in _plan(spark, "q11_anti_join")
+
+
+def test_no_python_udfs_in_relational_core(spark):
+    """Everything outside the explicitly-Python multimodal path must stay
+    JVM-side (whole-stage codegen; no BatchEvalPython / ArrowEvalPython /
+    mapInPandas stages)."""
+    for name, spec in REGISTRY.items():
+        if "multimodal" in spec.tags or "rows-only" in spec.tags:
+            continue
+        plan = _plan(spark, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, f"{name} contains {marker}"
+
+
+def test_shred_pipeline_single_scan_per_table(spark):
+    """Each shredded child table derives from one scan + explode (no joins
+    back to the parent)."""
+    from discogs_load_spark.operators.shred import shred
+    from discogs_load_spark.sources.xml_source import read_dump
+    from pathlib import Path
+
+    fixtures = Path(__file__).parent / "fixtures"
+    tables = shred(read_dump(spark, str(fixtures / "releases.xml"), "releases"), "releases")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tables["release_label"].explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    assert "Generate" in plan  # the explode

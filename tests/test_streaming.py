@@ -1,0 +1,122 @@
+"""Structured Streaming operators: batch rows through a real streaming
+runtime (file source → memory sink, processAllAvailable), checked against
+their batch duals.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from discogs_load_spark.operators.relational import sessionize
+from discogs_load_spark.session import load_tables
+from discogs_load_spark.streaming.ops import (
+    dedup_stream,
+    read_event_stream,
+    running_user_totals,
+    session_aggregates,
+    windowed_counts,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events fixture re-materialized at microsecond precision (the raw
+    parquet is TIMESTAMP(NANOS), unreadable by a streaming source)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_tables(spark, SF_SMALL, ["events"])["events"].write.parquet(path)
+    return path
+
+
+def _run_to_memory(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    # complete mode: append would (correctly) withhold windows still
+    # inside the watermark horizon at end-of-stream
+    _run_to_memory(windowed_counts(stream, "1 hour"), "win_counts", "complete")
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r.ws, r.event_type): r.n
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_aggregates_matches_batch_session_count(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    _run_to_memory(session_aggregates(stream, gap="6 hours"), "sessions", "complete")
+    got = (
+        spark.sql("SELECT user_id, count(*) AS n FROM sessions GROUP BY user_id")
+        .collect()
+    )
+    got = {r.user_id: r.n for r in got}
+    batch = sessionize(
+        spark.read.parquet(events_dir), ["user_id"], "ts", 6 * 3600, ["event_id"]
+    )
+    want = {
+        r.user_id: r.n
+        for r in batch.groupBy("user_id")
+        .agg(F.countDistinct("session_seq").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_dedup_stream_drops_duplicates(spark, events_dir, tmp_path):
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(events_dir).limit(50)
+    base.union(base).write.parquet(dup_dir)  # every event twice
+    stream = read_event_stream(spark, dup_dir)
+    _run_to_memory(dedup_stream(stream), "dedup_out", "append")
+    out = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in out]
+    assert len(ids) == 50
+    assert len(set(ids)) == 50
+
+
+def test_running_user_totals_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    _run_to_memory(running_user_totals(stream), "running", "update")
+    # last update per user == batch totals
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM running) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
