@@ -1,11 +1,19 @@
 """Dual-dialect vector expression builders: deterministic cosine similarity
 and hyperplane-LSH bucketing for embedding columns (array<float>).
 
-Determinism strategy: the dot product is UNROLLED into a fixed left-
-associated expression tree ``a1*b1 + a2*b2 + …`` over doubles. IEEE-754
-ops on identical inputs with identical association are bitwise deterministic
-in any engine — so Spark and DuckDB produce the same double, with no decimal
-detour in the hot path and everything whole-stage-codegen'd JVM-side.
+Determinism strategy: both dialects compute a LEFT-ASSOCIATED double fold
+``((a1*b1 + a2*b2) + …)``. IEEE-754 ops on identical inputs with identical
+association are bitwise deterministic in any engine — so Spark and DuckDB
+produce the same double, with no decimal detour in the hot path.
+
+Dialect split: DuckDB gets the sum unrolled as literal SQL text; Spark gets
+``aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)`` — the
+higher-order form codegens as a compact loop. An unrolled 64-dim cosine
+(dot + two norms) inside a join condition blows a single codegen method past
+Janino's 64 KB limit and silently drops the whole stage to interpreted mode;
+the HOF loop stays inside whole-stage codegen. The two forms are bitwise
+equal: the fold is ((0+t1)+t2)+… and x+0.0 == x for every x (the -0.0
+corner changes only the sign of zero, which compares and hashes equal).
 
 float32 → float64 widening is exact, so casting the parquet float arrays to
 double first costs nothing in precision.
@@ -27,22 +35,37 @@ def _elem(arr: str, i: int, dialect: str) -> str:
     return f"element_at({arr}, {i})"
 
 
+def _fold_sum(mapped: str) -> str:
+    """Spark left fold of a double array: ((0+t1)+t2)+… ."""
+    return f"aggregate({mapped}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
 def dot_sql(a: str, b: str, dim: int, dialect: str) -> str:
-    """Unrolled dot product of two double arrays (left-associated chain)."""
-    terms = [
-        f"CAST({_elem(a, i, dialect)} AS DOUBLE) * CAST({_elem(b, i, dialect)} AS DOUBLE)"
-        for i in range(1, dim + 1)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """Dot product of two float arrays as a left-associated double chain."""
+    if dialect == "duckdb":
+        terms = [
+            f"CAST({_elem(a, i, dialect)} AS DOUBLE) * CAST({_elem(b, i, dialect)} AS DOUBLE)"
+            for i in range(1, dim + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
+    return _fold_sum(
+        f"zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
+        f" (x, y) -> x * y)"
+    )
 
 
 def norm2_sql(a: str, dim: int, dialect: str) -> str:
-    """Unrolled squared L2 norm."""
-    terms = [
-        f"CAST({_elem(a, i, dialect)} AS DOUBLE) * CAST({_elem(a, i, dialect)} AS DOUBLE)"
-        for i in range(1, dim + 1)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """Squared L2 norm, same association as :func:`dot_sql`."""
+    if dialect == "duckdb":
+        terms = [
+            f"CAST({_elem(a, i, dialect)} AS DOUBLE) * CAST({_elem(a, i, dialect)} AS DOUBLE)"
+            for i in range(1, dim + 1)
+        ]
+        return "(" + " + ".join(terms) + ")"
+    return _fold_sum(
+        f"zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({a} AS ARRAY<DOUBLE>),"
+        f" (x, y) -> x * y)"
+    )
 
 
 def cosine_sql(a: str, b: str, dim: int, dialect: str) -> str:
@@ -73,16 +96,26 @@ def lsh_bucket_sql(vec: str, n_planes: int, dim: int, dialect: str) -> str:
     Cosine-similar vectors land in the same bucket with high probability;
     the bucket key equi-joins candidates so the exact rerank never sees a
     full cross product. Integer coefficients keep every product exact in
-    double → identical signs in both engines.
+    double → identical signs in both engines. (The Spark fold includes the
+    zero-coefficient terms the DuckDB unroll skips; adding an exact ±0.0
+    never changes a partial sum except the sign of zero, and -0.0 >= 0 is
+    true — the emitted bit is identical.)
     """
     bits = []
     for coeffs in hyperplanes(n_planes, dim):
-        terms = [
-            f"CAST({_elem(vec, i + 1, dialect)} AS DOUBLE) * {c}.0"
-            for i, c in enumerate(coeffs)
-            if c != 0
-        ]
-        s = " + ".join(terms) if terms else "0.0"
+        if dialect == "duckdb":
+            terms = [
+                f"CAST({_elem(vec, i + 1, dialect)} AS DOUBLE) * {c}.0"
+                for i, c in enumerate(coeffs)
+                if c != 0
+            ]
+            s = " + ".join(terms) if terms else "0.0"
+        else:
+            lit = ", ".join(f"CAST({c} AS DOUBLE)" for c in coeffs)
+            s = _fold_sum(
+                f"zip_with(CAST({vec} AS ARRAY<DOUBLE>), array({lit}),"
+                f" (x, c) -> x * c)"
+            )
         bits.append(f"(CASE WHEN ({s}) >= 0 THEN '1' ELSE '0' END)")
     if dialect == "duckdb":
         return "(" + " || ".join(bits) + ")"

@@ -11,9 +11,10 @@
 - :func:`embedding_near_dup_pairs` — self-join flavor for corpus-level
   near-duplicate detection.
 
-Dot products are unrolled fixed-association double chains
-(functions/vectors.py) → bitwise identical in Spark and the DuckDB oracle,
-entirely inside whole-stage codegen.
+Dot products are fixed-association double folds (functions/vectors.py —
+zip_with/aggregate loops on the Spark side, unrolled chains in the DuckDB
+oracle) → bitwise identical results, and the loop form keeps the stage
+inside whole-stage codegen at any dim.
 """
 
 from __future__ import annotations
