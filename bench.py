@@ -21,14 +21,14 @@ REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-XML_BENCH_RELEASES = int(os.environ.get("SPARK_GRAFT_XML_ROWS", "30000"))
+XML_BENCH_RELEASES = int(os.environ.get("SPARK_GRAFT_XML_ROWS", "240000"))
 
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-XML_BENCH_SHARDS = int(os.environ.get("SPARK_GRAFT_XML_SHARDS", "8"))
+XML_BENCH_SHARDS = int(os.environ.get("SPARK_GRAFT_XML_SHARDS", "32"))
 
 
 def _gen_releases_xml(shard_dir: Path, n: int, shards: int) -> None:
@@ -63,18 +63,25 @@ def bench_xml_ingest(spark) -> dict:
     shard_dir = Path("/tmp") / f"bench_releases_{XML_BENCH_RELEASES}_{XML_BENCH_SHARDS}"
     if not shard_dir.exists():
         _gen_releases_xml(shard_dir, XML_BENCH_RELEASES, XML_BENCH_SHARDS)
-    t0 = time.monotonic()
-    raw = read_dump(spark, str(shard_dir), "releases").persist()
-    tables = shred(raw, "releases")
-    for df in tables.values():
-        _materialize(df)
-    raw.unpersist()
-    dt = time.monotonic() - t0
+
+    def one_pass() -> float:
+        t0 = time.monotonic()
+        raw = read_dump(spark, str(shard_dir), "releases").persist()
+        tables = shred(raw, "releases")
+        for df in tables.values():
+            _materialize(df)
+        raw.unpersist()
+        return time.monotonic() - t0
+
+    cold = one_pass()  # includes parser-path JIT + page-cache fill
+    warm = one_pass()  # steady-state throughput, the comparable figure
     n = XML_BENCH_RELEASES // XML_BENCH_SHARDS * XML_BENCH_SHARDS
     return {
-        "seconds": round(dt, 3),
+        "seconds": round(warm, 3),
+        "cold_seconds": round(cold, 3),
         "rows": n,
-        "rows_per_sec": round(n / dt, 1),
+        "rows_per_sec": round(n / warm, 1),
+        "cold_rows_per_sec": round(n / cold, 1),
         "shards": XML_BENCH_SHARDS,
     }
 
@@ -87,11 +94,21 @@ def main() -> None:
     from discogs_load_spark.session import get_spark
 
     spark = get_spark(app_name="discogs_load_spark_bench")
-    # warm the JVM/codegen/noop-sink paths so query timings measure the
-    # engine, not startup
+    # Warm the one-time paths so per-query timings measure the engine, not
+    # startup: JVM/codegen/noop sink, the fixture re-shard cache + page
+    # cache (load_tables), and the Python worker pool (first Pandas-UDF
+    # call forks N workers that each import pandas).
     spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode(
         "overwrite"
     ).save()
+    from discogs_load_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        _materialize(df)
+    import pandas as pd  # noqa: F401 — fail fast if absent
+
+    warm = spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    _materialize(warm.mapInPandas(lambda it: it, "id long"))
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

@@ -25,11 +25,12 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.textfns import (
     SIMHASH_BITS,
     band_key_sql,
-    doc_shingles_sql,
     minhash_agg_sql,
     norm_sql,
+    shingles_sql,
     simhash_bit_sql,
     simhash_value_sql,
+    tokens_sql,
 )
 
 DEFAULT_N_HASHES = 12
@@ -54,12 +55,23 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _shingle_col(df: DataFrame, text_col: str, k: int, out: str) -> DataFrame:
+    """Adds a shingle-array column, materializing the normalize→tokenize
+    chain once (the regex walk is the dominant per-row cost; inlined copies
+    defeat codegen subexpression elimination — see operators/text.py)."""
+    return (
+        df.withColumn("__norm", F.expr(norm_sql(text_col, "spark")))
+        .withColumn("__toks", F.expr(tokens_sql("__norm", "spark")))
+        .withColumn(out, F.expr(shingles_sql("__toks", k, "spark")))
+        .drop("__norm", "__toks")
+    )
+
+
 def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) — exploded word k-grams. Docs with < k tokens vanish
     (no shingles → not MinHash-able; handle them with exact dedup)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(F.expr(doc_shingles_sql(text_col, k, "spark"))).alias("sh"),
+    return _shingle_col(df, text_col, k, "__sh").select(
+        F.col(id_col), F.explode("__sh").alias("sh")
     )
 
 
@@ -133,11 +145,8 @@ def jaccard_verify(
     |A∩B| and |A∪B| are integer set sizes → the division is one double op,
     bitwise identical across engines.
     """
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(F.expr(doc_shingles_sql(text_col, k, "spark"))).alias(
-            "shset"
-        ),
+    sets = _shingle_col(df, text_col, k, "__sh").select(
+        F.col(id_col), F.array_distinct("__sh").alias("shset")
     )
     out = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a"), "id_a")

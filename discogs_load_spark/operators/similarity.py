@@ -44,17 +44,20 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("cnorm"),
     )
-    sim = (
-        F.expr(dot_sql("qvec", "cvec", dim, "spark"))
-        / (
-            F.expr(f"sqrt({norm2_sql('qvec', dim, 'spark')})")
-            * F.expr(f"sqrt({norm2_sql('cvec', dim, 'spark')})")
-        )
+    # norms ride each side computed once per row, not once per pair; the
+    # arithmetic (dot / (sqrt(n_a) * sqrt(n_b))) is unchanged so the value
+    # is still bitwise equal to the oracle's inline form
+    sim = F.expr(dot_sql("qvec", "cvec", dim, "spark")) / (
+        F.col("qnorm") * F.col("cnorm")
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -83,18 +86,16 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.expr(bucket).alias("bucket"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("qnorm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.expr(bucket).alias("bucket"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("cnorm"),
     )
-    sim = (
-        F.expr(dot_sql("qvec", "cvec", dim, "spark"))
-        / (
-            F.expr(f"sqrt({norm2_sql('qvec', dim, 'spark')})")
-            * F.expr(f"sqrt({norm2_sql('cvec', dim, 'spark')})")
-        )
+    sim = F.expr(dot_sql("qvec", "cvec", dim, "spark")) / (
+        F.col("qnorm") * F.col("cnorm")
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -128,19 +129,22 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.expr(bucket).alias("bucket"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("nrm"),
     )
     a = base.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        "bucket",
+        F.col("nrm").alias("nrm_a"),
     )
     b = base.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        "bucket",
+        F.col("nrm").alias("nrm_b"),
     )
-    sim = (
-        F.expr(dot_sql("vec_a", "vec_b", dim, "spark"))
-        / (
-            F.expr(f"sqrt({norm2_sql('vec_a', dim, 'spark')})")
-            * F.expr(f"sqrt({norm2_sql('vec_b', dim, 'spark')})")
-        )
+    sim = F.expr(dot_sql("vec_a", "vec_b", dim, "spark")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
         a.join(b, "bucket")

@@ -74,6 +74,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Local-profile split sizing: fixture files are single-digit MB, so
+        # the 128 MB default packs every table into ONE task and serializes
+        # compute-heavy per-row work. 4 MB ranges + the 4 MB open-cost give
+        # one task per (re-sharded) part file. A real deployment reading
+        # ~100 TB keeps the 128 MB default — this knob is per-deployment.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
@@ -112,10 +118,64 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = _read_parquet_normalized(spark, path)
+            df = _read_parquet_normalized(spark, _maybe_reshard(spark, path))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+_RESHARD_MIN_BYTES = 256 << 10
+_RESHARD_MIN_ROWS_PER_PART = 128
+
+
+def _maybe_reshard(spark: SparkSession, path: str) -> str:
+    """Split a single-row-group parquet file into N part files (cached in
+    /tmp) so the scan parallelizes.
+
+    Parquet splits by byte ranges, but a range only yields rows if a
+    row-group midpoint falls inside it — a single-row-group file is ONE task
+    no matter the configs, which serializes every downstream map-side
+    operator on a 32-core local run. This is the columnar cousin of the
+    gzip-unsplittability problem (ARCHITECTURE.md): fix the LAYOUT once,
+    up front, rather than paying a repartition shuffle in every query.
+    At production scale inputs arrive as many files/row-groups and this
+    path never triggers (files below 256 KB or already multi-group are
+    returned unchanged). Row order is preserved (part k = rows [k*step,
+    (k+1)*step)), the cache key is (path, size, mtime), and the rewrite is
+    atomic (tmp dir + rename) so concurrent sessions share one cache.
+    """
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    if st.st_size < _RESHARD_MIN_BYTES:
+        return path
+    cores = spark.sparkContext.defaultParallelism
+    meta = pq.ParquetFile(path).metadata
+    if meta.num_row_groups >= min(cores, 4):
+        return path
+    nparts = min(cores, max(2, meta.num_rows // _RESHARD_MIN_ROWS_PER_PART))
+    import hashlib
+
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}:{nparts}".encode()
+    ).hexdigest()[:16]
+    dest = Path(tempfile.gettempdir()) / "discogs_load_shards" / key
+    if not dest.exists():
+        table = pq.read_table(path)
+        step = -(-table.num_rows // nparts)
+        tmp = dest.with_name(f"{key}.tmp.{os.getpid()}")
+        tmp.mkdir(parents=True, exist_ok=True)
+        for i in range(nparts):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, tmp / f"part-{i:05d}.parquet")
+        try:
+            tmp.rename(dest)
+        except OSError:  # another session won the race; its copy is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(dest)
 
 
 def _read_parquet_normalized(spark: SparkSession, path: str):
@@ -131,7 +191,10 @@ def _read_parquet_normalized(spark: SparkSession, path: str):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    footer = pq.read_schema(path)
+    peek = path
+    if os.path.isdir(path):  # re-sharded cache dir: all parts share a schema
+        peek = os.path.join(path, sorted(os.listdir(path))[0])
+    footer = pq.read_schema(peek)
     nanos_cols = [
         f.name
         for f in footer
