@@ -165,6 +165,60 @@ def jaccard_verify(
     return out
 
 
+def simhash_near_dup_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id_a < id_b, hamming) pairs whose SimHash differs in ≤ max_hamming
+    bits, without a cross product.
+
+    Pigeonhole banding: split the 32-bit signature into n_bands byte-sized
+    bands; two signatures within max_hamming < n_bands bits MUST agree on
+    at least one whole band, so the equi self-join on (band_idx, band_bits)
+    finds every true pair. Exact verify = bit_count(xor) — one integer op.
+    Same shuffle shape as MinHash-LSH: scales on band-key partitioning.
+    """
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(CAST({sig_col} AS BIGINT) >> {b * width}) & {mask}").alias(
+                    "key"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.col(sig_col), F.explode(bands).alias("bk")
+    ).select(id_col, sig_col, "bk.band", "bk.key")
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "key"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, simhash) — 32-bit SimHash over word k-grams.
 

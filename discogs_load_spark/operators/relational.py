@@ -121,6 +121,45 @@ def salted_join(
     return out.drop("__salt")
 
 
+def range_join_bucketized(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Time-range join with NO equi key: pairs where
+    ``left_ts + lower_s < right_ts <= left_ts + upper_s`` (seconds).
+
+    Without an equi anchor Spark plans a theta join as BroadcastNestedLoop
+    — O(|L|·|R|) and a broadcast of a whole side, which dies at scale. The
+    classic fix is to mint the equi key: bucket time into windows of width
+    (upper-lower); each left row can only match rights in ≤2 consecutive
+    buckets, so explode left into those bucket ids and equi-join on the
+    bucket (shuffle-partitionable, skew handled by AQE), then apply the
+    exact range predicate. Candidate blowup is bounded by 2x the true
+    match density per bucket. Column names must be disjoint across sides.
+    """
+    width_us = max(upper_s - lower_s, 1) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l2 = left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + lower_s * 1_000_000) / width_us),
+                F.floor((l_us + upper_s * 1_000_000) / width_us),
+            )
+        ),
+    )
+    r2 = right.withColumn("__bkt", F.floor(r_us / width_us))
+    exact = (r_us > l_us + lower_s * 1_000_000) & (
+        r_us <= l_us + upper_s * 1_000_000
+    )
+    return l2.join(r2, "__bkt").filter(exact).drop("__bkt")
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],

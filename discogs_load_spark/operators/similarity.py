@@ -110,6 +110,79 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    centroid_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi cells
+    around fixed centroid vectors, then search only the query's own cell.
+
+    The inverted-file structure (FAISS IVF-Flat shape) as DataFrames: cell
+    assignment is a broadcast cross-join against the tiny centroid set +
+    argmax-by-cosine (one scan of the corpus, no shuffle besides the final
+    window); the probe is an equi-join on cell id. At 100 TB the cell
+    column is what you'd partition/bucket the corpus table BY, making each
+    probe touch one partition. nprobe=1 here; recall is tuned by centroid
+    count (and a multi-cell probe is the same join with explode over the
+    q's top-n cells). Centroids here are designated corpus rows (k-means
+    would drift per run; fixed ids keep the operator deterministic and
+    oracle-checkable).
+    """
+    cent = corpus.filter(F.col(id_col).isin(*centroid_ids)).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("centvec"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("centnorm"),
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "__ccos",
+            F.expr(dot_sql(vec_col, "centvec", dim, "spark"))
+            / (
+                F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})")
+                * F.col("centnorm")
+            ),
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("cid"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col(vec_col), F.col("cid").alias("cell"))
+        )
+
+    c = assign(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "cell",
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("cnorm"),
+    )
+    q = assign(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "cell",
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("qnorm"),
+    )
+    sim = F.expr(dot_sql("qvec", "cvec", dim, "spark")) / (
+        F.col("qnorm") * F.col("cnorm")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -5,7 +5,7 @@ aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.numeric import dec_sum_sql, dec_var_sql
 from ..session import load_tables
@@ -199,4 +199,104 @@ def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+    )
+
+
+@register(
+    "q29_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           {dec_sum_sql("o_totalprice", "total")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (rollup/cube's general form) — one pass,
+    Spark expands to a single Expand + aggregate, not three scans."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               {dec_sum_sql("o_totalprice", "total")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q36_window_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q36_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function family: lag/lead/ntile/percent_rank/
+    cume_dist/first_value over a per-customer time order (unique tie-break
+    on o_orderkey keeps every value deterministic; percent_rank's
+    (rank-1)/(n-1) is a single exact-integer division in both engines)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@register(
+    "q45_bucketized_range_join",
+    oracle="""
+    SELECT e.event_id, COUNT(p.event_id) AS n_purchases
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts > e.ts AND p.ts <= e.ts + INTERVAL '60' SECOND
+    GROUP BY e.event_id
+    """,
+    tags=("join", "range", "no-equi-key"),
+)
+def q45_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key (platform-wide purchases within 60s
+    after each error event). A naive theta join is a nested-loop cross
+    product; range_join_bucketized mints the equi key by time-bucketing
+    (left explodes into ≤2 buckets of width 60s), so it shuffles like a
+    normal join. The oracle runs the naive form — same rows."""
+    from ..operators.relational import range_join_bucketized
+
+    (events,) = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    matched = range_join_bucketized(errors, purchases, "e_ts", "p_ts", 0, 60)
+    counts = matched.groupBy("event_id").agg(
+        F.count("p_id").alias("n_purchases")
+    )
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .na.fill(0, ["n_purchases"])
     )

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.vectors import cosine_sql, dot_sql, lsh_bucket_sql, norm2_sql
-from ..operators.similarity import cosine_topk, embedding_near_dup_pairs, lsh_topk
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from ..session import load_tables
 from .registry import register
 
@@ -111,4 +116,57 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         DIM,
         threshold=NEARDUP_THRESHOLD,
         n_planes=NEARDUP_PLANES,
+    )
+
+
+IVF_CENTROID_IDS = (7, 503, 1009, 1511)
+
+
+def _ivf_oracle() -> str:
+    cos_ec = cosine_sql("e.embedding", "c.embedding", DIM, "duckdb")
+    cos_qn = cosine_sql("q.embedding", "n.embedding", DIM, "duckdb")
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                  WHERE vec_id IN ({cids})),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) t WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {cos_qn} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cos_qn} DESC, n.vec_id
+               ) AS rank
+        FROM embeddings q
+        JOIN assign qa ON qa.vec_id = q.vec_id
+        JOIN assign na ON na.cell = qa.cell
+        JOIN embeddings n ON n.vec_id = na.vec_id AND n.vec_id <> q.vec_id
+        WHERE q.vec_id IN ({_QIDS})
+    ) t WHERE rank <= {TOPK}
+    """
+
+
+@register(
+    "q57_ann_ivf",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "ann", "ivf"),
+)
+def q57_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat-style approximate top-k: corpus partitioned into Voronoi
+    cells around 4 fixed centroid vectors; each query probes only its own
+    cell (nprobe=1). The cell id is the column a 100 TB corpus would be
+    bucketed by."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", DIM, TOPK, IVF_CENTROID_IDS
     )
