@@ -162,3 +162,42 @@ def q43_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "q46_sliding_window",
+    oracle=f"""
+    WITH contrib AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+               event_type, value
+        FROM events
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dec_sum_sql("value", "total_value")}
+    FROM contrib GROUP BY window_start, event_type
+    """,
+    tags=("events", "window-agg", "sliding"),
+)
+def q46_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 10-minute windows every 5 minutes — each
+    event lands in exactly 2 overlapping windows. Spark's window() explodes
+    the event into its windows before the aggregate (same shape the
+    streaming version uses); the oracle mirrors that with a 2-way
+    time_bucket union. Both are epoch-aligned."""
+    events = _events(spark, sf_dir)
+    return events.groupBy(
+        F.window("ts", "10 minutes", "5 minutes"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value")
+    ).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )

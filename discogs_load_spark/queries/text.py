@@ -148,3 +148,63 @@ def q63_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content md5 + winnowing-style fingerprint (md5 of the 4 smallest
     shingle hashes): robust to small edits, all per-row array math."""
     return fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=3, n_min=4)
+
+
+_Q65_TOKS = _D_TOKS  # documents token array, DuckDB dialect
+
+
+@register(
+    "q65_corpus_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               md5({norm_sql('text', 'duckdb')}) AS content_hash,
+               len({_Q65_TOKS}) AS n_words,
+               {stopword_hits_sql(_Q65_TOKS, STOPWORDS['en'], 'duckdb')}
+                   / GREATEST(len({_Q65_TOKS}), 1) AS stopword_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE n_words >= 5 AND stopword_ratio > 0.0
+    ),
+    deduped AS (
+        SELECT content_hash, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM kept GROUP BY content_hash
+    )
+    SELECT k.source,
+           COUNT(*) AS n_docs_kept,
+           SUM(k.n_words) AS total_words
+    FROM deduped d JOIN kept k ON k.doc_id = d.keeper_id
+    GROUP BY k.source
+    """,
+    tags=("text", "pipeline", "dedup"),
+)
+def q65_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one declared query: quality
+    filter → exact dedup (keep min doc_id per content hash) → per-source
+    rollup. Each stage is the operator the standalone queries check
+    (q61 quality, q50 dedup, q60 stats); this proves they compose."""
+    docs = _docs(spark, sf_dir)
+    scored = (
+        quality_signals(docs, "text")
+        .withColumn(
+            "content_hash", F.md5(F.expr(norm_sql("text", "spark")))
+        )
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 5) & (F.col("stopword_ratio") > 0.0)
+    )
+    keepers = kept.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    return (
+        kept.join(
+            keepers, kept.doc_id == keepers.keeper_id, "left_semi"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
