@@ -5,20 +5,23 @@ pushdown, a join flipping to cartesian) fails CI.
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
+from discogs_load_spark.plans import formatted_plan, join_kinds
 from discogs_load_spark.queries import REGISTRY
 
 from .conftest import SF_SMALL
 
 
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_SMALL)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(REGISTRY[name].fn(spark, SF_SMALL))
+
+
+def test_no_equi_range_join_is_not_nested_loop(spark):
+    """range_join_bucketized's reason to exist: the minted bucket key must
+    keep the no-equi-key range join out of BroadcastNestedLoop/Cartesian."""
+    kinds = join_kinds(REGISTRY["q45_bucketized_range_join"].fn(spark, SF_SMALL))
+    assert kinds, "expected at least one join"
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "CartesianProduct" not in kinds
 
 
 def test_point_lookup_pushes_filter(spark):
@@ -81,9 +84,6 @@ def test_shred_pipeline_single_scan_per_table(spark):
 
     fixtures = Path(__file__).parent / "fixtures"
     tables = shred(read_dump(spark, str(fixtures / "releases.xml"), "releases"), "releases")
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        tables["release_label"].explain("formatted")
-    plan = buf.getvalue()
+    plan = formatted_plan(tables["release_label"])
     assert "Join" not in plan
     assert "Generate" in plan  # the explode
