@@ -128,3 +128,39 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def purchase_click_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched with the same
+    user's clicks in the following ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions — that pair of constraints is what lets Spark evict
+    buffered rows (state is O(rows inside the horizon window per side), not
+    O(stream)). Without the time bound, a stream-stream join must buffer a
+    side forever. The equi key (user_id) carries the state-store sharding,
+    so state scales out with the shuffle like every other keyed operator.
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("p_event", "p_user", "c_event", "c_ts", "c_value")

@@ -120,3 +120,37 @@ def test_running_user_totals_matches_batch(spark, events_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    from discogs_load_spark.streaming.ops import purchase_click_join
+
+    stream = read_event_stream(spark, events_dir)
+    joined = purchase_click_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        horizon="1 hour",
+    )
+    _run_to_memory(joined, "ssjoin", "append")
+    got = spark.sql("SELECT * FROM ssjoin")
+
+    batch = spark.read.parquet(events_dir)
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") > F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 hour")),
+    )
+    got_pairs = sorted((r.p_event, r.c_event) for r in got.collect())
+    want_pairs = sorted((r.p_event, r.c_event) for r in want.collect())
+    assert got_pairs == want_pairs and len(got_pairs) > 0
