@@ -171,3 +171,60 @@ def char_class_count_sql(text_col: str, char_class: str, dialect: str) -> str:
         f"(length({text_col}) - "
         f"length(regexp_replace({text_col}, '{char_class}', ''{g})))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling hash (Rabin-Karp) fingerprint
+# ---------------------------------------------------------------------------
+
+RH_BASE = 256
+RH_MOD = 1_000_000_007
+RH_K = 8
+
+
+def rolling_hash_min_sql(s: str, dialect: str, k: int = RH_K) -> str:
+    """Minimum Rabin-Karp hash over all k-char windows of ``s`` (NULL when
+    shorter than k) — a winnowing-style content fingerprint robust to
+    edits outside the minimal window.
+
+    h(window) = Σ code(cⱼ)·B^(k-1-j) mod M, with the power table
+    precomputed in Python (pow(B, ·, M)) and inlined — both engines'
+    float pow() loses integer precision past 2^53.
+
+    Spark evaluates the true O(n) ROLLING recurrence — one `aggregate`
+    fold carrying (current hash, min-so-far):
+    h' = (h − code(out)·B^(k-1))·B + code(in) mod M, kept non-negative so
+    both engines' truncated ``%`` agree. DuckDB runs the O(n·k) windowed
+    definition; identical values by construction.
+    """
+    B, M, K = RH_BASE, RH_MOD, k
+    P = [pow(B, K - 1 - j, M) for j in range(K)]
+    if dialect == "duckdb":
+        terms = " + ".join(
+            f"(ascii(substr({s}, CAST(i + {j} AS INT), 1)) * CAST({P[j]} AS BIGINT)) % {M}"
+            for j in range(K)
+        )
+        return (
+            f"(CASE WHEN length({s}) < {K} THEN NULL ELSE "
+            f"list_min(list_transform(generate_series(1, length({s}) - {K - 1}), "
+            f"i -> ({terms}) % {M})) END)"
+        )
+    first = (
+        "("
+        + " + ".join(
+            f"(ascii(substring({s}, {j + 1}, 1)) * {P[j]}L) % {M}" for j in range(K)
+        )
+        + f") % {M}"
+    )
+    nh = (
+        f"((acc.h + {M} - (ascii(substring({s}, i - {K}, 1)) * {P[0]}L) % {M})"
+        f" * {B} + ascii(substring({s}, i, 1))) % {M}"
+    )
+    return (
+        f"(CASE WHEN length({s}) < {K} THEN NULL ELSE "
+        f"aggregate("
+        f"IF(length({s}) >= {K + 1}, sequence({K + 1}, length({s})), array()), "
+        f"named_struct('h', CAST({first} AS BIGINT), 'mn', CAST({first} AS BIGINT)), "
+        f"(acc, i) -> named_struct('h', {nh}, 'mn', least(acc.mn, {nh})), "
+        f"acc -> acc.mn) END)"
+    )

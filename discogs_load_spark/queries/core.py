@@ -632,3 +632,47 @@ def q24_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket")
     )
     return orders.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q37_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dec_sum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+    doc="TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-10.",
+)
+def q37_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the canonical filter→join→join→agg→
+    top-k pipeline. customer filters to one segment and broadcasts;
+    lineitem only shuffles for its own aggregation; top-10 is
+    TakeOrderedAndProject with a unique tie-break (l_orderkey) so the
+    LIMIT is deterministic."""
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+            & (F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dec_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

@@ -8,10 +8,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.numeric import dec_avg, dec_avg_sql
 from ..functions.textfns import (
+    RH_K,
     STOPWORDS,
     char_class_count_sql,
     doc_shingles_sql,
     norm_sql,
+    rolling_hash_min_sql,
     stopword_hits_sql,
     token_count_sql,
     tokens_sql,
@@ -207,4 +209,29 @@ def q65_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs_kept"),
             F.sum("n_words").alias("total_words"),
         )
+    )
+
+
+@register(
+    "q66_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           {rolling_hash_min_sql('text', 'duckdb')} AS rolling_min,
+           GREATEST(length(text) - {RH_K - 1}, 0) AS n_windows
+    FROM documents
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def q66_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint: min hash over all 8-char
+    windows. The Spark side runs the O(n) rolling recurrence in one
+    per-row fold (no shuffle, whole-stage codegen); the oracle recomputes
+    each window from scratch — same values, independently derived."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(rolling_hash_min_sql("text", "spark")).alias("rolling_min"),
+        F.greatest(
+            F.length("text") - (RH_K - 1), F.lit(0)
+        ).alias("n_windows"),
     )
