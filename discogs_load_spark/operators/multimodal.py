@@ -83,3 +83,84 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Arrow-batched image resize stage (1 row in → 1 row out).
+
+    Plumbing is real: mapInPandas, declared schema, partition-parallel.
+    The codec call is the stub — a real deployment swaps the body for
+    PIL/opencv decode→resize→re-encode. The fake output is deterministic:
+    payload sha256 re-keyed with the target dims, n_bytes = w*h*3 (RGB),
+    so tests can assert exact values and the stage composes downstream.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    schema = (
+        "doc_id bigint, modality string, width int, height int, "
+        "n_bytes int, checksum string"
+    )
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = pdf[["doc_id", "modality"]].copy()
+            out["width"] = width
+            out["height"] = height
+            out["n_bytes"] = width * height * 3
+            out["checksum"] = [
+                hashlib.sha256(
+                    bytes(p) + f":{width}x{height}".encode()
+                ).hexdigest()
+                for p in pdf["payload"]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """Video frame sampling — the UDTF shape (1 row in → many rows out)
+    through mapInPandas.
+
+    A real implementation seeks keyframes with ffmpeg; the stub emits one
+    deterministic "frame" per ``every_n_bytes`` of payload (offset +
+    sha256 of the slice), which exercises the part Spark cares about: the
+    fan-out row count, the declared schema, and batch-wise memory (one
+    input batch may expand to many output rows — mapInPandas streams the
+    expansion instead of materializing it)."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    schema = "doc_id bigint, frame_idx int, byte_offset int, frame_checksum string"
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                for idx, off in enumerate(range(0, len(raw), every_n_bytes)):
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            off,
+                            hashlib.sha256(
+                                raw[off : off + every_n_bytes]
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "byte_offset", "frame_checksum"],
+            )
+
+    return df.mapInPandas(run, schema=schema)

@@ -131,3 +131,36 @@ def test_salted_join_matches_plain_join(spark):
         .groupBy("c_custkey").count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_resize_images_deterministic_schema_and_values(spark):
+    from discogs_load_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    mm = attach_payload(docs.limit(20))
+    out = resize_images(mm, 32, 16)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 20
+    assert all(r.width == 32 and r.height == 16 for r in rows.values())
+    assert all(r.n_bytes == 32 * 16 * 3 for r in rows.values())
+    rows2 = {r.doc_id: r.checksum for r in resize_images(mm, 32, 16).collect()}
+    assert {k: v.checksum for k, v in rows.items()} == rows2
+
+
+def test_sample_frames_fanout_matches_payload_size(spark):
+    from discogs_load_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    mm = attach_payload(docs.limit(10))
+    frames = sample_frames(mm, every_n_bytes=100).collect()
+    sizes = {r.doc_id: r.n_bytes for r in mm.collect()}
+    import math
+    want = sum(math.ceil(n / 100) for n in sizes.values())
+    assert len(frames) == want
+    # offsets are the arithmetic progression the stub promises
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.byte_offset))
+    for doc, pairs in per_doc.items():
+        pairs.sort()
+        assert pairs == [(i, i * 100) for i in range(len(pairs))]
