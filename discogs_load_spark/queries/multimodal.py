@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.multimodal import attach_payload, extract_features
+from ..operators.multimodal import attach_payload, extract_features, sample_frames
 from ..session import load_tables
 from .registry import register
 
@@ -69,5 +69,38 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(SUM(CAST(feat_norm2 AS DECIMAL(25,9))) AS DOUBLE)"
             ).alias("total_norm2"),
+        )
+    )
+
+
+@register(
+    "q72_frame_sampling",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 256)
+                    AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT (doc_id % 3) AS modality_code,
+           SUM(n_frames) AS total_frames,
+           COUNT(*) AS n_docs
+    FROM frames GROUP BY doc_id % 3
+    """,
+    tags=("multimodal", "udtf"),
+)
+def q72_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (the UDTF shape through mapInPandas) rolled
+    up per modality. The oracle can't run the Python stage, but the frame
+    COUNT is a pure function of payload length (one frame per 256-byte
+    window), so the rollup is fully value-checkable — the distributed
+    fan-out must produce exactly ceil(bytes/256) rows per doc."""
+    mm = attach_payload(_docs(spark, sf_dir))
+    frames = sample_frames(mm, every_n_bytes=256)
+    return (
+        frames.groupBy((F.col("doc_id") % 3).alias("modality_code"))
+        .agg(
+            F.count(F.lit(1)).alias("total_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
         )
     )
