@@ -13,5 +13,6 @@ from . import (  # noqa: F401
     shred,
     similarity,
     text,
+    warehouse,
 )
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

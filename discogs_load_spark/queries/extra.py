@@ -300,3 +300,39 @@ def q45_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "event_id", "left")
         .na.fill(0, ["n_purchases"])
     )
+
+
+@register(
+    "q47_scd2_history",
+    oracle="""
+    WITH status_events AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
+    FROM status_events
+    """,
+    tags=("window", "scd2", "cdc"),
+)
+def q47_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history construction: each state-change event becomes a
+    validity interval [valid_from, valid_to) via LEAD, open-ended for the
+    current state. One window shuffle on the entity key — the standard
+    warehouse type-2 dimension build, and the batch dual of a CDC
+    changelog compaction."""
+    (events,) = _t(spark, sf_dir, "events")
+    se = events.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return se.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

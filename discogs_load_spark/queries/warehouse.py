@@ -1,0 +1,167 @@
+"""Third-ring warehouse coverage: disjunctive predicate pushdown, EXISTS
+decorrelation, histograms, arg-max aggregates.
+
+These exercise optimizer behaviors the earlier rings don't: OR-of-ANDs
+predicates (Q19 shape), EXISTS→semi-join rewrites (Q4 shape), and the
+width_bucket / max_by scalar+aggregate families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dec_sum, dec_sum_sql
+from ..session import load_tables
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, list(names))
+    return [tables[n] for n in names]
+
+
+@register(
+    "q38_disjunctive_predicates",
+    oracle=f"""
+    SELECT {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    tags=("join", "tpch", "pushdown"),
+)
+def q38_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate straddling the join.
+
+    Catalyst extracts the common part-side disjunction
+    (brand∈{1,3,5} ∧ size ranges) below the join — the part scan prunes
+    before shuffling — while the mixed l_quantity×brand terms evaluate
+    post-join. part is dim-sized → broadcast hash join, so lineitem never
+    shuffles at all: the whole query is one map-side pass + a scalar agg.
+
+    Reference delegates all querying to Postgres (SURVEY §2.C,
+    README.md:77-83); this is the disjunctive access path its
+    `sql/indexes.sql` b-trees would serve.
+    """
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    j = lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(10, 30) & q.between(10, 40))
+        | ((F.col("p_brand") == "Brand#5") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return j.filter(cond).agg(
+        dec_sum("l_extendedprice * (1 - l_discount)", "revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q39_exists_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "semi-join", "tpch"),
+)
+def q39_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join.
+
+    Catalyst rewrites the EXISTS into a semi join on l_orderkey with the
+    correlated date comparison as the join's extra condition; the semi
+    join short-circuits per key (no fan-out, no dedup pass), and the date
+    filter on orders pushes to the scan. At 100 TB both sides shuffle
+    once on orderkey — the minimum for this semantics — and AQE can flip
+    to broadcast when the filtered orders side is small.
+    """
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    orders.createOrReplaceTempView("orders")
+    lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '30' DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# 25k-wide buckets over [0, 600k); floor of an exact double division by a
+# power-of-ten-ish constant is bitwise identical in both engines.
+_BUCKET = "CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT)"
+
+
+@register(
+    "q48_price_histogram",
+    oracle=f"""
+    SELECT {_BUCKET} AS bucket,
+           COUNT(*) AS n,
+           MIN(o_orderkey) AS first_order
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q48_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via a floor-division bucket (the same SQL
+    text runs in both dialects; DuckDB lacks width_bucket) — the scalable
+    form of a distribution profile (vs. sort-based quantiles): one
+    map-side bucket assignment + a tiny 24-key aggregate, no global sort.
+    All outputs are integers, so cross-engine parity is exact by
+    construction."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.expr(_BUCKET).alias("bucket"), "o_orderkey")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("first_order"))
+    )
+
+
+@register(
+    "q49_argmax_aggregates",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_totalprice, o_orderkey) AS latest_price,
+           arg_min(o_orderstatus, o_orderkey) AS first_status,
+           MAX(o_orderkey) AS last_order,
+           MIN(o_orderkey) AS first_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "argmax"),
+)
+def q49_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max) aggregates: per customer, the payload of
+    the row with the extreme ordering key — one hash aggregate instead of
+    the window+filter idiom (q16), so no sort and no second pass. The
+    ordering key (o_orderkey) is unique per group, making the arg-max
+    deterministic; Spark max_by == DuckDB arg_max."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.expr("max_by(o_totalprice, o_orderkey)").alias("latest_price"),
+        F.expr("min_by(o_orderstatus, o_orderkey)").alias("first_status"),
+        F.max("o_orderkey").alias("last_order"),
+        F.min("o_orderkey").alias("first_order"),
+    )
