@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     shred,
     similarity,
     text,
+    tpch_deep,
     warehouse,
 )
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

@@ -1,0 +1,513 @@
+"""Deep multi-way-join warehouse queries (TPC-H Q5/Q7/Q8/Q10/Q15/Q17/Q18/Q22
+shapes, adapted to the fixture schema — no partsupp table, so Q2/Q9/Q11/Q16/
+Q20 have no faithful mapping here).
+
+These are the join-planner workout the earlier rings lack: 6-table star
+joins, nation self-joins with disjunctive pair predicates, market-share
+ratio aggregates, scalar-subquery thresholds joined back against the fact
+table, and the NOT-EXISTS + above-average-balance anti-join.
+
+Scale notes (the part that matters at 100 TB):
+  - region/nation are O(10^1..2) rows forever → always broadcast, hinted
+    explicitly so the plan doesn't depend on stats being fresh.
+  - supplier/part/customer grow with SF → NO broadcast hint; AQE decides
+    from runtime sizes (at sf0.1 they still broadcast; on a 1000-executor
+    cluster they flip to shuffle joins without a code change).
+  - every orders⋈lineitem join shuffles both sides on orderkey exactly
+    once; the per-year/per-nation aggregates that follow reuse that
+    clustering where possible (partial aggregation is map-side anyway).
+  - threshold patterns (Q15/Q17/Q18/Q22) compute the scalar/per-key
+    threshold as a separate tiny aggregate and join it back — at scale
+    the threshold side is orders of magnitude smaller than the fact side,
+    so AQE broadcasts it; never a cartesian or a window over the fact.
+
+Reference context: the reference delegates every one of these shapes to
+Postgres after load (README.md:77-83); its sql/indexes.sql b-trees on the
+FK columns (sql/indexes.sql:7-16) declare exactly these access paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dec_sum, dec_sum_sql
+from ..session import load_tables
+from .registry import register
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, list(names))
+    return [tables[n] for n in names]
+
+
+@register(
+    "q73_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {dec_sum_sql(_REV, "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "tpch", "deep"),
+)
+def q73_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table join where customer and supplier must share a
+    nation (the join graph has a cycle: supplier joins lineitem on suppkey
+    AND customer on nationkey).
+
+    Plan shape that survives 100 TB: orders filtered by date (pushed to
+    scan) ⋈ customer shuffles on custkey; that result ⋈ lineitem shuffles
+    on orderkey — the two unavoidable big shuffles. supplier joins with a
+    compound key (suppkey + the cycle-closing nationkey equality folded
+    into the join condition, NOT a post-filter, so the hash table keys on
+    both). nation/region broadcast unconditionally.
+    """
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    asia = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    j = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(dec_sum(_REV, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q74_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           {dec_sum_sql(_REV, "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "tpch", "deep"),
+)
+def q74_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations, either direction, per
+    ship year — nation joined twice (supplier side and customer side) with
+    a disjunctive pair predicate that can only evaluate after both joins.
+
+    The two nation copies broadcast (25 rows each, forever); the pair
+    disjunction sits above them but below the aggregate. The supplier join
+    keys on suppkey only — at 100 TB supplier is too big to broadcast, and
+    AQE decides; lineitem⋈orders⋈customer is the standard two-shuffle
+    chain with the shipdate range pushed to the lineitem scan.
+    """
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dec_sum(_REV, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _dec_sum_expr(expr: str) -> str:
+    """dec_sum_sql without the trailing alias — for use inside arithmetic."""
+    return dec_sum_sql(expr, "x").rsplit(" AS ", 1)[0]
+
+
+_NATION_REV = f"CASE WHEN n2.n_name = 'NATION_3' THEN {_REV} ELSE 0 END"
+
+
+@register(
+    "q75_market_share",
+    oracle=f"""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           {dec_sum_sql(_NATION_REV, "nation_rev")},
+           {dec_sum_sql(_REV, "total_rev")},
+           {_dec_sum_expr(_NATION_REV)} / {_dec_sum_expr(_REV)} AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("join", "tpch", "deep", "ratio"),
+)
+def q75_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of supplier revenue into a region, per
+    order year — a conditional-aggregate ratio over a 7-table join.
+
+    The ratio is numerator/denominator of two exact decimal sums divided
+    in double AFTER aggregation (deterministic for the oracle; also the
+    scalable form — one aggregation pass, no second scan). Customer-side
+    nation+region prune the fact rows (EUROPE filter folds into the
+    broadcast hash lookup); supplier-side nation only labels them.
+    """
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    cust_nat = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    nat_rev = f"CASE WHEN supp_nation = 'NATION_3' THEN {_REV} ELSE 0 END"
+    agg = (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(dec_sum(nat_rev, "nation_rev"), dec_sum(_REV, "total_rev"))
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@register(
+    "q76_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {dec_sum_sql(_REV, "revenue")},
+           CAST(MAX(c_acctbal) AS DOUBLE) AS c_acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "tpch", "deep", "topk"),
+)
+def q76_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a
+    quarter-ish window.
+
+    The top-k over the aggregate is a TakeOrderedAndProject (per-partition
+    heaps + one 20-row driver merge — no global sort), tie-broken on
+    custkey for determinism. Both the returnflag filter and the date range
+    push to their scans; the groupBy key includes the functionally-
+    dependent name/nation columns so no second join is needed after
+    aggregation (at 100 TB re-joining post-agg would be cheaper only if
+    the agg output were huge — it's ≤ |customer|, so keeping them in the
+    grouping key rides the same shuffle).
+    """
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dec_sum(_REV, "revenue"),
+            F.max("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q77_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dec_sum_sql("l_extendedprice", "total_price")} ,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    tags=("subquery", "tpch", "deep"),
+)
+def q77_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below half their part's average quantity.
+
+    The correlated scalar subquery decorrelates into a per-partkey
+    aggregate joined back to lineitem. The threshold side has ≤ |part|
+    rows — AQE broadcasts it, so the fact table is scanned once, shuffled
+    once (for its own per-part aggregate), and the final filter+sum is
+    map-side. The naive window-function phrasing (AVG OVER partkey) would
+    instead shuffle the FULL fact table including the payload columns;
+    the agg+join form moves only (partkey, sum, count).
+
+    Determinism: avg_qty is an exact decimal sum divided by a count in
+    double — identical bits in both engines; quantities are integers in
+    double, never on the 0.5*avg boundary ulp.
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    part_avg = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        lineitem.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            dec_sum("l_extendedprice", "total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q78_large_volume_customer",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey AS bk, {dec_sum_sql("l_quantity", "total_qty")}
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 140
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = bk
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("join", "tpch", "deep", "having", "topk"),
+)
+def q78_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customers, top-25 by price.
+
+    The HAVING aggregate runs FIRST and shrinks the orderkey set to the
+    rare heavy hitters; joining orders/customer after means those joins
+    see only qualifying keys (semi-join-sized probe side → AQE broadcast).
+    The exact decimal HAVING comparison is order-insensitive — a double
+    SUM here could flip rows right at the threshold between runs with
+    different partitioning.
+    """
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(
+            dec_sum("l_quantity", "total_qty"),
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(25,6)))").alias("_exact"),
+        )
+        .filter(F.col("_exact") > 140)
+        .drop("_exact")
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("bk"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q79_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS sk, {dec_sum_sql(_REV, "total_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = sk
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "tpch", "deep"),
+)
+def q79_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum revenue in a quarter —
+    a scalar MAX subquery over a derived aggregate, kept (not top-1) so
+    ties all surface, exactly as the spec's view formulation does.
+
+    The revenue CTE computes once and feeds both the MAX (one tiny
+    all-to-one agg over ≤|supplier| rows) and the equality filter — in
+    Spark that's a self-referencing reuse Catalyst handles via a scalar
+    subquery broadcast; the big lineitem scan happens exactly once.
+    MAX over doubles that are each exact-decimal-sums is deterministic.
+    """
+    supplier, lineitem = _t(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(dec_sum(_REV, "total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        supplier.join(rev, F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q80_dormant_customers",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("subquery", "anti-join", "tpch", "deep"),
+)
+def q80_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers (balance above the positive-balance
+    average) with no recent orders (none since 2000-01-01), by nation.
+
+    Two classic decorrelations in one query: the scalar AVG becomes a
+    1-row broadcast cross join (not a collect — stays a lazy plan edge),
+    and NOT EXISTS becomes a left-anti join on custkey. At 100 TB the
+    anti join shuffles both sides on custkey; orders needs only its key
+    column read (column pruning cuts the probe payload to 8 bytes/row).
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)").alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -87,3 +87,31 @@ def test_shred_pipeline_single_scan_per_table(spark):
     plan = formatted_plan(tables["release_label"])
     assert "Join" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_deep_join_plans_have_no_cartesian(spark):
+    """The Q5/Q7/Q8 shapes join 5-7 tables with a cyclic/self-join graph —
+    the classic way to accidentally produce a cartesian or nested-loop if a
+    join condition gets lost in translation."""
+    for q in ("q73_local_supplier_volume", "q74_volume_shipping", "q75_market_share"):
+        kinds = join_kinds(REGISTRY[q].fn(spark, SF_SMALL))
+        assert kinds, q
+        assert "CartesianProduct" not in kinds, q
+        assert "BroadcastNestedLoopJoin" not in kinds, q
+
+
+def test_deep_join_dims_broadcast(spark):
+    """nation/region joins in the deep queries must be broadcast hash joins
+    (hinted — O(10^2) rows at any SF)."""
+    for q in ("q73_local_supplier_volume", "q74_volume_shipping"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+
+
+def test_threshold_queries_avoid_fact_window(spark):
+    """Q17/Q18 shapes: the per-key threshold must be an aggregate joined
+    back, never a window over the full fact table (a window would shuffle
+    the payload columns too)."""
+    for q in ("q77_small_quantity_revenue", "q78_large_volume_customer"):
+        plan = _plan(spark, q)
+        assert "Window" not in plan, q
