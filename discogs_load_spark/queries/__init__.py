@@ -5,11 +5,13 @@ Importing :mod:`discogs_load_spark.queries` loads all of them.
 """
 
 from . import (  # noqa: F401
+    behavior,
     core,
     dedup,
     events,
     extra,
     multimodal,
+    sampling,
     shred,
     similarity,
     text,

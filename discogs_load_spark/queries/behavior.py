@@ -1,0 +1,199 @@
+"""Behavioral analytics over the ``events`` stream table: conversion
+funnel, weekly retention cohorts, event-transition matrix.
+
+These are the product-analytics shapes a training-data/event pipeline runs
+at 100 TB scale, and each is written in its scalable form:
+
+  - the funnel is three per-user MIN aggregates chained with strictly-
+    increasing-timestamp joins — every stage shuffles on user_id only and
+    carries one row per user, never the raw event fan-out;
+  - retention dedups to the (user, cohort_week, offset_week) grain FIRST
+    (map-side combine shrinks to the grid size) and only then counts — a
+    COUNT(DISTINCT user_id) straight over the joined fact would shuffle
+    every event row per grid cell;
+  - transitions are a per-user lag window (one shuffle on user_id, which
+    at scale should be the events table's native clustering) followed by
+    a pre-aggregated count.
+
+The reference has no event-time capability at all (SURVEY §2.C streaming:
+none); this module plus streaming/ops.py is the engine's superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..session import load_tables
+from .registry import register
+
+_EPOCH = "2024-01-01"  # fixture events all live in Jan 2024
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
+@register(
+    "q81_conversion_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           (SELECT SUM(epoch_us(p.t_purchase) - epoch_us(v.t_view))
+            FROM p JOIN v ON p.user_id = v.user_id) AS total_funnel_us
+    """,
+    tags=("events", "funnel"),
+)
+def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: users counted at each stage only
+    if the stage event strictly follows their previous stage's first event.
+
+    Each stage is MIN-per-user then an equi-join on user_id with the
+    ordering predicate as a residual condition — stage cardinality is
+    ≤ |users| rows of (key, timestamp), so every join after the first
+    aggregate is AQE-broadcast-sized relative to the event fan-out. The
+    funnel latency total is an integer-microsecond sum (exact, order-
+    insensitive — no decimal machinery needed).
+    """
+    events = _events(spark, sf_dir)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("vu"), "t_view"),
+              (F.col("user_id") == F.col("vu")) & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("cu"), "t_click"),
+              (F.col("user_id") == F.col("cu")) & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lag = p.join(v, "user_id").select(
+        (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias("us")
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .crossJoin(lag.agg(F.sum("us").alias("total_funnel_us")))
+    )
+    return counts
+
+
+@register(
+    "q82_retention_cohorts",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_ts
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT DISTINCT e.user_id,
+               CAST(FLOOR((CAST(f.first_ts AS DATE) - DATE '{_EPOCH}') / 7.0)
+                    AS BIGINT) AS cohort_week,
+               CAST(FLOOR((CAST(e.ts AS DATE) - DATE '{_EPOCH}') / 7.0)
+                    AS BIGINT)
+                 - CAST(FLOOR((CAST(f.first_ts AS DATE) - DATE '{_EPOCH}') / 7.0)
+                        AS BIGINT) AS offset_week
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, offset_week, COUNT(*) AS active_users
+    FROM grid
+    GROUP BY cohort_week, offset_week
+    ORDER BY cohort_week, offset_week
+    """,
+    tags=("events", "retention"),
+)
+def q82_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention grid: users bucketed by first-seen week (cohort),
+    counted once per calendar-week offset they return in.
+
+    Week indices are integer day-arithmetic from a fixed epoch (identical
+    in both engines; no date_trunc locale/week-start ambiguity). The
+    distinct-to-the-grid-grain-then-count pattern is the scalable form of
+    COUNT(DISTINCT): the dedup's partial aggregation collapses each
+    user's events map-side before any wide shuffle.
+    """
+    events = _events(spark, sf_dir)
+    firsts = events.groupBy(F.col("user_id").alias("fu")).agg(
+        F.min("ts").alias("first_ts")
+    )
+    epoch = F.lit(_EPOCH).cast("date")
+    week = lambda col: F.floor(F.datediff(F.col(col).cast("date"), epoch) / 7.0)
+    grid = (
+        events.join(firsts, F.col("user_id") == F.col("fu"))
+        .select(
+            "user_id",
+            week("first_ts").alias("cohort_week"),
+            (week("ts") - week("first_ts")).alias("offset_week"),
+        )
+        .dropDuplicates(["user_id", "cohort_week", "offset_week"])
+    )
+    return (
+        grid.groupBy("cohort_week", "offset_week")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "offset_week")
+    )
+
+
+@register(
+    "q83_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "window"),
+)
+def q83_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (the Markov-chain input): each
+    user's event stream lagged by one, pairs counted.
+
+    One shuffle on user_id for the lag window (with event_id as the
+    deterministic tie-break within equal timestamps), then the pair count
+    partially aggregates map-side — the output is |event_types|² rows no
+    matter the input scale.
+    """
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
