@@ -1,0 +1,229 @@
+"""Corpus-curation operators for a training-data pipeline: deterministic
+train/val/test splitting, class-balanced downsampling, output-shard
+planning, and TF-IDF keyword extraction — over the ``documents`` fixture.
+
+Determinism is the design constraint everywhere: splits and samples must be
+reproducible across runs, engines, AND cluster sizes, so nothing here uses
+rand()/TABLESAMPLE (engine-specific PRNGs, partition-dependent). The
+routing primitive is md5 of a stable key — identical hex in every engine —
+which also makes every one of these fully oracle-checkable.
+
+Scale shapes:
+  - split/shard assignment is a per-row projection (no shuffle at all);
+    the summary aggregate partial-aggregates map-side to O(#splits) rows;
+  - balanced sampling is one window shuffle on the class key; the hash
+    ordering inside the window is the deterministic stand-in for "random";
+  - TF-IDF shuffles doc-term pairs twice (per-doc tf, per-term df) — both
+    keys are high-cardinality and skew-resistant; the df side collapses to
+    vocabulary size before joining back (AQE broadcasts it when it fits).
+
+The reference has no sampling/splitting surface at all (it is a load-only
+tool, SURVEY §2.C); these are engine extensions from the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.textfns import norm_sql, tokens_sql
+from ..session import load_tables
+from .registry import register
+
+# first hex nibble of md5(key): 0-9,a,b → train (12/16), c,d → val, e,f → test
+_SPLIT_CASE = (
+    "CASE WHEN substring(md5(CAST(doc_id AS {vtype})), 1, 1) IN ('c', 'd') THEN 'val' "
+    "WHEN substring(md5(CAST(doc_id AS {vtype})), 1, 1) IN ('e', 'f') THEN 'test' "
+    "ELSE 'train' END"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+@register(
+    "q84_train_test_split",
+    oracle=f"""
+    SELECT {_SPLIT_CASE.format(vtype="VARCHAR")} AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("sampling", "documents"),
+)
+def q84_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by the first hex
+    nibble of md5(doc_id).
+
+    Hash-routing (vs rand()) gives the three properties a training split
+    needs: reproducible across runs and engines, stable under re-partition
+    (assignment depends only on the key), and leakage-safe (a document can
+    never change split when the corpus grows). Assignment is a pure
+    projection — at 100 TB this costs one md5 per row and zero shuffles;
+    the summary aggregate emits 3 rows.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("split", F.expr(_SPLIT_CASE.format(vtype="STRING")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q85_balanced_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sample_chars
+    FROM ranked WHERE rn <= 30
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sampling", "documents", "window"),
+)
+def q85_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: at most 30 documents per language,
+    chosen by md5(doc_id) order — a deterministic shuffle-proof stand-in
+    for uniform random choice.
+
+    One window shuffle on the class key. Skew caveat at 100 TB: a
+    dominant class (say 90% English) lands on one partition under this
+    window; the production form pre-filters with a per-class hash
+    threshold (md5 < k/N quantile estimate) so only ~cap rows per class
+    reach the exact window — same semantics, bounded partition size. At
+    fixture scale the plain window is the honest measurable plan.
+    """
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q86_shard_manifest",
+    oracle="""
+    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("sampling", "documents"),
+)
+def q86_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard planning manifest: route every document to one of 16
+    hash shards and report per-shard row/byte totals — the planning query
+    behind `df.repartition(N, hash_key).write` for evenly-sized output
+    files.
+
+    Hash sharding is what keeps 100 TB writes balanced regardless of key
+    distribution (vs range sharding, which inherits the data's skew). The
+    whole query is a map-side projection + 16-row aggregate; the manifest
+    doubles as a cheap skew check (max/min shard byte ratio).
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn(
+            "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _tfidf_oracle() -> str:
+    norm = norm_sql("text", "duckdb")
+    toks = tokens_sql(norm, "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({toks}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               (tf.tf * 1000000) // df.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token
+               ) AS rn
+        FROM tf JOIN df ON tf.token = df.token
+    )
+    SELECT doc_id, token, tf, df, score
+    FROM scored WHERE rn <= 3
+    ORDER BY doc_id, score DESC, token
+    """
+
+
+@register(
+    "q87_tfidf_topk",
+    oracle=_tfidf_oracle(),
+    tags=("text", "documents", "window"),
+)
+def q87_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer-scaled TF-IDF
+    (score = tf * 1e6 DIV document-frequency — integer arithmetic, so the
+    ranking is bitwise identical in any engine; a float idf = ln(N/df)
+    could differ by one ulp of libm and flip ties).
+
+    Pipeline: explode to doc-term pairs → per-(doc,term) tf [shuffle 1 on
+    the pair key] → per-term df over the tf table (vocabulary-sized output)
+    [shuffle 2] → join df back [AQE broadcasts the vocabulary when it
+    fits] → per-doc top-3 window [shuffle 3 on doc_id]. All three keys are
+    high-cardinality; nothing here degrades with corpus size except the
+    vocabulary join, which falls back to a shuffle join gracefully.
+    """
+    docs = _docs(spark, sf_dir)
+    toks_expr = tokens_sql(norm_sql("text", "spark"), "spark")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(toks_expr)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "score", F.expr("tf * 1000000 DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "score")
+        .orderBy("doc_id", F.desc("score"), "token")
+    )
