@@ -34,6 +34,46 @@ from ..functions.textfns import (
 DEFAULT_N_HASHES = 12
 DEFAULT_BANDS = 4  # 4 bands x 3 rows: catches jaccard >~ 0.6 reliably
 
+# Mega-bucket guard: a band bucket of near-identical spam produces
+# O(bucket^2) candidate pairs inside ONE join partition. Buckets above this
+# size are capped to their min-N members by id before the self-join. 1024
+# keeps every realistic organic bucket intact (4096 docs in a bucket at
+# jaccard>=0.6 is a spam cluster, not a neighborhood) while bounding any one
+# bucket's pair output to ~0.5M pairs.
+DEFAULT_MAX_BUCKET = 1024
+
+
+def _cap_buckets(
+    buckets: DataFrame, id_col: str, cap: int, n_salts: int = 16
+) -> DataFrame:
+    """Keep at most ``cap`` members per (band, key) bucket — the ``cap``
+    smallest ids, exactly, via salted two-phase top-N.
+
+    Phase 1 ranks within (band, key, salt) so a mega-bucket is processed by
+    ``n_salts`` parallel tasks of O(bucket/n_salts) each; phase 2 ranks the
+    <= cap*n_salts survivors exactly. A row in the bucket's true min-``cap``
+    set ranks <= cap within its own salt bucket too, so phase 1 never drops
+    a winner — same output as a single window, bounded partition size.
+
+    Trade-off (documented knob): pairs where BOTH members would need a
+    dropped row are missed *for that band*; with near-identical docs every
+    band hashes them to the same bucket, so a spam cluster still yields its
+    first ``cap`` members' pairs — enough to route the whole cluster to one
+    dedup group downstream.
+    """
+    from pyspark.sql import Window
+
+    local_w = Window.partitionBy("band", "key", "__salt").orderBy(id_col)
+    exact_w = Window.partitionBy("band", "key").orderBy(id_col)
+    return (
+        buckets.withColumn("__salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
+        .withColumn("__rn", F.row_number().over(local_w))
+        .filter(F.col("__rn") <= cap)
+        .withColumn("__rn", F.row_number().over(exact_w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__salt", "__rn")
+    )
+
 
 def normalized(df: DataFrame, text_col: str, out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.expr(norm_sql(text_col, "spark")))
@@ -102,14 +142,17 @@ def lsh_candidate_pairs(
     id_col: str,
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs agreeing on at least one LSH band.
 
     Banding: split the signature into ``bands`` groups of r hashes; docs
     sharing ALL r hashes of any band land in the same bucket. The self-join
     is an equi-join on (band_idx, band_key) — shuffle-partitionable, no
-    quadratic blowup unless a bucket itself is huge (near-identical spam;
-    cap with AQE skew handling or a bucket-size limit upstream).
+    quadratic blowup; buckets larger than ``max_bucket_size`` (spam
+    clusters of near-identical docs) are capped to their min-N ids before
+    the join (see :func:`_cap_buckets` for the recall trade-off). Pass
+    ``max_bucket_size=None`` to disable.
     """
     # materialize signatures before the self-join: both sides of a
     # self-join are independent subplans to Spark, so without this the
@@ -138,6 +181,8 @@ def lsh_candidate_pairs(
         .select(id_col, "bk.band", "bk.key")
         .repartition("band", "key")
     )
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, id_col, max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -197,6 +242,7 @@ def simhash_near_dup_pairs(
     sig_col: str = "simhash",
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs whose SimHash differs in ≤ max_hamming
     bits, without a cross product.
@@ -232,6 +278,8 @@ def simhash_near_dup_pairs(
         .select(id_col, sig_col, "bk.band", "bk.key")
         .repartition("band", "key")
     )
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, id_col, max_bucket_size)
     a = buckets.select(
         F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "key"
     )

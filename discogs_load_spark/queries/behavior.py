@@ -53,8 +53,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT COUNT(*) FROM v) AS n_view,
            (SELECT COUNT(*) FROM c) AS n_click,
            (SELECT COUNT(*) FROM p) AS n_purchase,
-           (SELECT SUM(epoch_us(p.t_purchase) - epoch_us(v.t_view))
-            FROM p JOIN v ON p.user_id = v.user_id) AS total_funnel_us
+           CAST((SELECT SUM(epoch_us(p.t_purchase) - epoch_us(v.t_view))
+            FROM p JOIN v ON p.user_id = v.user_id) AS BIGINT) AS total_funnel_us
     """,
     tags=("events", "funnel"),
 )

@@ -594,7 +594,7 @@ def q22_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS y,
            {dec_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", "finished_rev")},
            {dec_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END", "open_rev")},
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
     FROM orders GROUP BY DATE_TRUNC('year', o_orderdate)
     """,
     tags=("agg", "pivot"),

@@ -30,7 +30,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT modality,
            COUNT(*) AS n,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            MAX(n_bytes) AS max_bytes,
            COUNT(DISTINCT checksum) AS n_distinct_payloads
     FROM m GROUP BY modality
@@ -83,7 +83,7 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT (doc_id % 3) AS modality_code,
-           SUM(n_frames) AS total_frames,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
            COUNT(*) AS n_docs
     FROM frames GROUP BY doc_id % 3
     """,

@@ -42,6 +42,70 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Driver-verification priority. The driver's correctness gate checks registry
+# entries in iteration order and (empirically, CORRECTNESS_r01) caps at the
+# first 50, so ordering is part of the contract: queries that have never
+# received a driver row, plus queries whose oracle changed this round, are
+# listed here FIRST; everything else follows in registration order. Names not
+# in this list keep their relative registration order after the listed ones.
+PRIORITY: list[str] = [
+    # §2.A shred proxies — reference-core semantics (release.rs / master.rs),
+    # never driver-verified in r01 (run truncated at 50 entries).
+    "q30_shred_parent_project",
+    "q31_shred_child_posexplode",
+    "q32_array_roundtrip",
+    "q33_first_wins_dedup",
+    "q34_bridge_table",
+    # ANN / similarity — never verified.
+    "q54_embedding_neardup",
+    "q55_ann_bruteforce_topk",
+    "q56_ann_lsh_topk",
+    "q57_ann_ivf",
+    # Text analysis — never verified (q64 lives in dedup and is green).
+    "q60_token_stats",
+    "q61_quality_signals",
+    "q62_langid_confusion",
+    "q63_fingerprint",
+    "q65_corpus_pipeline",
+    "q66_rolling_hash",
+    # TPC-H deep joins — never verified.
+    "q73_local_supplier_volume",
+    "q74_volume_shipping",
+    "q75_market_share",
+    "q76_returned_items",
+    "q77_small_quantity_revenue",
+    "q78_large_volume_customer",
+    "q79_top_supplier",
+    "q80_dormant_customers",
+    # Warehouse — never verified.
+    "q38_disjunctive_predicates",
+    "q39_exists_order_priority",
+    "q48_price_histogram",
+    "q49_argmax_aggregates",
+    # Corpus curation — never verified.
+    "q84_train_test_split",
+    "q85_balanced_sample",
+    "q86_shard_manifest",
+    "q87_tfidf_topk",
+    # Multimodal UDTF — never verified.
+    "q72_frame_sampling",
+    # r01 hash-reds whose oracle typing was fixed this round — need their
+    # green rows confirmed.
+    "q23_conditional_agg",
+    "q43_json_extraction",
+    "q70_multimodal_meta",
+    "q81_conversion_funnel",
+]
+
+
+def _ordered_items() -> list[tuple[str, QuerySpec]]:
+    rank = {name: i for i, name in enumerate(PRIORITY)}
+    n = len(PRIORITY)
+    order = {name: i for i, name in enumerate(REGISTRY)}
+    return sorted(
+        REGISTRY.items(), key=lambda kv: (rank.get(kv[0], n), order[kv[0]])
+    )
+
 
 def register(
     name: str,
@@ -63,10 +127,10 @@ def register(
 
 
 def queries_map() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered_items()}
 
 
 def oracle_sql_map() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle for name, spec in _ordered_items() if spec.oracle is not None
     }

@@ -29,10 +29,13 @@ from ..functions.textfns import norm_sql, tokens_sql
 from ..session import load_tables
 from .registry import register
 
-# first hex nibble of md5(key): 0-9,a,b → train (12/16), c,d → val, e,f → test
-_SPLIT_CASE = (
-    "CASE WHEN substring(md5(CAST(doc_id AS {vtype})), 1, 1) IN ('c', 'd') THEN 'val' "
-    "WHEN substring(md5(CAST(doc_id AS {vtype})), 1, 1) IN ('e', 'f') THEN 'test' "
+# first hex nibble of md5(key): 0-9,a,b → train (12/16), c,d → val, e,f → test.
+# The nibble is hoisted into its own column so md5 runs once per row instead
+# of once per CASE branch (don't rely on the engine's CSE).
+_NIBBLE = "substring(md5(CAST(doc_id AS {vtype})), 1, 1)"
+_SPLIT_FROM_NIBBLE = (
+    "CASE WHEN nib IN ('c', 'd') THEN 'val' "
+    "WHEN nib IN ('e', 'f') THEN 'test' "
     "ELSE 'train' END"
 )
 
@@ -41,13 +44,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
 
+_SAMPLE_CAP = 30
+_SAMPLE_SALTS = 16
+
+
 @register(
     "q84_train_test_split",
     oracle=f"""
-    SELECT {_SPLIT_CASE.format(vtype="VARCHAR")} AS split,
+    SELECT {_SPLIT_FROM_NIBBLE} AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
-    FROM documents
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT {_NIBBLE.format(vtype="VARCHAR")} AS nib, n_chars FROM documents)
     GROUP BY split
     ORDER BY split
     """,
@@ -66,7 +73,8 @@ def q84_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     return (
-        docs.withColumn("split", F.expr(_SPLIT_CASE.format(vtype="STRING")))
+        docs.withColumn("nib", F.expr(_NIBBLE.format(vtype="STRING")))
+        .withColumn("split", F.expr(_SPLIT_FROM_NIBBLE))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -87,7 +95,7 @@ def q84_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn
         FROM documents
     )
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sample_chars
+    SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sample_chars
     FROM ranked WHERE rn <= 30
     GROUP BY lang
     ORDER BY lang
@@ -99,20 +107,36 @@ def q85_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen by md5(doc_id) order — a deterministic shuffle-proof stand-in
     for uniform random choice.
 
-    One window shuffle on the class key. Skew caveat at 100 TB: a
-    dominant class (say 90% English) lands on one partition under this
-    window; the production form pre-filters with a per-class hash
-    threshold (md5 < k/N quantile estimate) so only ~cap rows per class
-    reach the exact window — same semantics, bounded partition size. At
-    fixture scale the plain window is the honest measurable plan.
+    Scale shape — exact salted two-phase top-k. A plain
+    ``Window.partitionBy(lang)`` puts a dominant class (90% English at
+    100 TB) on ONE partition. Instead:
+
+      phase 1: window over (lang, salt) where salt = hash(doc_id) % 16 —
+               16-way parallel per class, keeps each bucket's local
+               top-30;
+      phase 2: the exact per-lang window, now fed at most 30*16 = 480
+               rows per class regardless of class skew.
+
+    This is exact, not approximate: any row in a class's true top-30 is
+    ranked <= 30 within its own salt bucket too (ranks only shrink when
+    restricted to a subset), so phase 1 never drops a winner. Same
+    semantics as the single-window form, bounded partition size at any
+    scale. (The alternative in earlier drafts — an estimated md5
+    threshold pre-filter — is approximate and can drop true winners when
+    the estimate is off; the salted form needs no estimate.)
     """
     docs = _docs(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    order = [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()]
+    local_w = Window.partitionBy("lang", "salt").orderBy(*order)
+    exact_w = Window.partitionBy("lang").orderBy(*order)
+    prefiltered = (
+        docs.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(_SAMPLE_SALTS)))
+        .withColumn("rn_local", F.row_number().over(local_w))
+        .filter(F.col("rn_local") <= _SAMPLE_CAP)
     )
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 30)
+        prefiltered.withColumn("rn", F.row_number().over(exact_w))
+        .filter(F.col("rn") <= _SAMPLE_CAP)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
@@ -127,7 +151,7 @@ def q85_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM documents

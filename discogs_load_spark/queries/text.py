@@ -42,8 +42,8 @@ _D_TOKS = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(n_words) AS total_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
            {dec_avg_sql("CAST(n_chars_obs AS DOUBLE)", "avg_chars")},
            MAX(n_tokens) AS max_tokens
     FROM per_doc GROUP BY source
@@ -176,7 +176,7 @@ _Q65_TOKS = _D_TOKS  # documents token array, DuckDB dialect
     )
     SELECT k.source,
            COUNT(*) AS n_docs_kept,
-           SUM(k.n_words) AS total_words
+           CAST(SUM(k.n_words) AS BIGINT) AS total_words
     FROM deduped d JOIN kept k ON k.doc_id = d.keeper_id
     GROUP BY k.source
     """,

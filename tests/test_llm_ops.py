@@ -164,3 +164,41 @@ def test_sample_frames_fanout_matches_payload_size(spark):
     for doc, pairs in per_doc.items():
         pairs.sort()
         assert pairs == [(i, i * 100) for i in range(len(pairs))]
+
+
+def test_lsh_mega_bucket_cap(spark):
+    """A planted cluster of 1,000 identical documents must NOT go quadratic
+    inside one band bucket: with max_bucket_size=32 the candidate output for
+    the cluster is exactly C(32,2) pairs over the 32 smallest ids, and
+    unrelated docs are unaffected."""
+    cluster = [(i, "spam spam spam wonderful spam baked beans and spam") for i in range(1000)]
+    others = [
+        (2000, "completely unrelated text about database systems design"),
+        (2001, "completely unrelated text about database systems design"),
+    ]
+    df = spark.createDataFrame(cluster + others, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=32).collect()
+    cluster_pairs = [r for r in pairs if r.id_b < 2000]
+    other_pairs = [r for r in pairs if r.id_a >= 2000]
+    assert len(cluster_pairs) == 32 * 31 // 2
+    assert all(r.id_a < 32 and r.id_b < 32 for r in cluster_pairs)
+    assert other_pairs == [(2000, 2001)] or [
+        (r.id_a, r.id_b) for r in other_pairs
+    ] == [(2000, 2001)]
+
+
+def test_lsh_cap_disabled_matches_uncapped_semantics(spark):
+    """With max_bucket_size=None (and with a cap larger than any bucket) the
+    pair set is identical to the pre-cap behavior on organic data."""
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1024).collect()
+    }
+    assert uncapped == capped
