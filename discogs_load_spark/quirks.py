@@ -41,4 +41,14 @@ Q8  Whitespace-sensitive array parsing. With pretty-printed XML the
     urls/aliases/members sub-states bounce back on whitespace text events and
     produce empty arrays (artist.rs:211-249 + quick-xml trim_text default).
     Engine: structural parsing, whitespace-immune.
+
+Q9  Tar-in-gzip test dumps silently tolerated. The reference's own
+    test_data/artists.xml.gz and masters.xml.gz are `tar czf` outputs, not
+    plain gzip; the reference parses them only because quick-xml scans past
+    the 512-byte tar header (NUL-padded filename block) to the first '<'
+    (main.rs:96-102 never validates the decompressed payload). Engine:
+    sources/xml_source._open_maybe_gzip detects the ustar magic and extracts
+    the member explicitly — same observable behavior, no reliance on a
+    parser's garbage tolerance (tests/test_shred_xml.py parity suite covers
+    all four reference dumps raw + gz).
 """

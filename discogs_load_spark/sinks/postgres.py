@@ -18,6 +18,11 @@ Three write paths, fastest first:
 
 DDL (A13/A15) is generated from the typed schemas — the engine's equivalent
 of the reference's sql/tables/*.sql + sql/indexes.sql files.
+
+No server in the build sandbox, so the COPY protocol is verified by
+round-tripping copy_encode_row/copy_decode_row (tests/test_sinks.py); the
+live end-to-end smoke for real deployments is documented in
+docs/postgres_smoke.md.
 """
 
 from __future__ import annotations
@@ -138,6 +143,72 @@ def copy_encode_row(row, schema: T.StructType) -> str:
         else:
             out.append(esc(str(v)))
     return "\t".join(out)
+
+
+def copy_decode_row(line: str, schema: T.StructType):
+    """Protocol-exact inverse of :func:`copy_encode_row`: what a Postgres
+    server does with each COPY text line. Two layers, same order as the
+    server: (1) COPY-format unescape per tab-separated field, (2) for
+    array columns, parse the ``{...}`` literal with the array input
+    function's quoting rules (db.rs:66-76 sends these as TEXT_ARRAY; the
+    text-format equivalent is this literal). Exists so tests can prove the
+    encoder round-trips without a live server."""
+
+    def unescape(s: str) -> str:
+        out, i = [], 0
+        while i < len(s):
+            c = s[i]
+            if c == "\\" and i + 1 < len(s):
+                n = s[i + 1]
+                out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(n, n))
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    def parse_array(s: str) -> list[str]:
+        assert s.startswith("{") and s.endswith("}"), s
+        body = s[1:-1]
+        vals, i = [], 0
+        while i < len(body):
+            if body[i] == ",":
+                i += 1
+                continue
+            if body[i] == '"':
+                i += 1
+                cur = []
+                while body[i] != '"':
+                    if body[i] == "\\":
+                        i += 1
+                    cur.append(body[i])
+                    i += 1
+                i += 1  # closing quote
+                vals.append("".join(cur))
+            else:  # unquoted element (encoder never emits these)
+                j = body.find(",", i)
+                j = len(body) if j == -1 else j
+                vals.append(body[i:j])
+                i = j
+        return vals
+
+    out = []
+    for f, raw in zip(schema.fields, line.split("\t")):
+        if raw == "\\N":
+            out.append(None)
+            continue
+        v = unescape(raw)
+        if isinstance(f.dataType, T.ArrayType):
+            out.append(parse_array(v))
+        elif isinstance(f.dataType, T.IntegerType | T.LongType):
+            out.append(int(v))
+        elif isinstance(f.dataType, T.DoubleType):
+            out.append(float(v))
+        elif isinstance(f.dataType, T.BooleanType):
+            out.append(v == "t")
+        else:
+            out.append(v)
+    return tuple(out)
 
 
 def write_copy(df: DataFrame, table: str, dsn: str) -> None:

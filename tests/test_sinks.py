@@ -84,3 +84,59 @@ def test_write_parquet_partitioned(spark, tmp_path):
     df = spark.range(100).withColumn("bucket", F.col("id") % 4)
     write_parquet(df, str(tmp_path / "p"), partition_by=["bucket"])
     assert spark.read.parquet(str(tmp_path / "p")).count() == 100
+
+
+def test_copy_array_literal_roundtrip():
+    """Encoder parity with the reference's TEXT_ARRAY COPY writes
+    (db.rs:66-76): decoding each line with the server's two-layer rules
+    (COPY unescape, then array-literal parse) must recover the row exactly,
+    including the adversarial characters of both layers."""
+    from discogs_load_spark.sinks.postgres import copy_decode_row
+
+    row = (
+        7,
+        "Accepted",
+        "title",
+        "US",
+        "2000",
+        None,
+        ["plain", "", 'quo"te', "back\\slash", "com,ma", "bra{ce}", "tab\there", "nl\nhere"],
+        [],
+        0,
+        "Correct",
+    )
+    enc = copy_encode_row(row, RELEASE_SCHEMA)
+    assert "\n" not in enc  # one row = one COPY line, always
+    assert copy_decode_row(enc, RELEASE_SCHEMA) == row
+
+
+def test_copy_roundtrip_fuzz():
+    """Property: decode(encode(row)) == row for arbitrary text content."""
+    from hypothesis import given, settings, strategies as st
+
+    from discogs_load_spark.sinks.postgres import copy_decode_row
+
+    txt = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.one_of(st.none(), txt),
+        st.lists(txt, max_size=5),
+    )
+    def roundtrip(i, s, a):
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("a", T.ArrayType(T.StringType())),
+            ]
+        )
+        row = (i, s, a)
+        assert copy_decode_row(copy_encode_row(row, schema), schema) == row
+
+    roundtrip()
