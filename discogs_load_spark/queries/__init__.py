@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     sampling,
     shred,
     similarity,
+    streaming,
     text,
     tpch_deep,
     warehouse,

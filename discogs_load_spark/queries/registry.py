@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "q87_tfidf_topk",
     # Multimodal UDTF — never verified.
     "q72_frame_sampling",
+    # New this round — never verified.
+    "q88_streaming_tumbling",
     # r01 hash-reds whose oracle typing was fixed this round — need their
     # green rows confirmed.
     "q23_conditional_agg",

@@ -1,0 +1,74 @@
+"""Driver-visible streaming query: run the events fixture through a REAL
+Structured Streaming pipeline (file source → watermarked tumbling-window
+aggregate → memory sink, ``processAllAvailable``) and return the finished
+result as a batch DataFrame.
+
+Because the stream is driven to completion over static input, the result is
+exactly the batch tumbling aggregate — so unlike most streaming surfaces
+this one is fully oracle-checkable (same SQL dual as q40). The decimal-sum
+recipe (functions/numeric.py) keeps the value hash stable: streaming partial
+aggregates add in arrival order, which would make a raw double SUM
+hash-unstable.
+
+Scale shape: the watermark bounds state to O(active windows) regardless of
+stream length (streaming/ops.py docstring); the memory sink is test/driver
+plumbing only — production composes writeStream.foreachBatch → JDBC/parquet
+(sinks/) around the same transformation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.numeric import dec_sum, dec_sum_sql
+from ..session import load_tables
+from ..streaming.ops import read_event_stream
+from .registry import register
+
+
+@register(
+    "q88_streaming_tumbling",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dec_sum_sql("value", "total_value")}
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+    tags=("streaming", "window-agg"),
+)
+def q88_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dual of q40: tumbling 1h counts + exact value sums,
+    computed by the streaming runtime (not a batch rewrite) and drained to
+    completion so the answer is deterministic."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = tempfile.mkdtemp(prefix="stream_events_")
+    # re-materialize at microsecond precision: the raw fixture parquet is
+    # TIMESTAMP(NANOS), which the streaming file source cannot read
+    events.write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"q88_sink_{uuid.uuid4().hex[:8]}"
+    # complete mode: append would withhold windows still inside the
+    # watermark horizon at end-of-stream
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

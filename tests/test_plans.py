@@ -109,9 +109,43 @@ def test_deep_join_dims_broadcast(spark):
 
 
 def test_threshold_queries_avoid_fact_window(spark):
-    """Q17/Q18 shapes: the per-key threshold must be an aggregate joined
-    back, never a window over the full fact table (a window would shuffle
-    the payload columns too)."""
-    for q in ("q77_small_quantity_revenue", "q78_large_volume_customer"):
+    """Q15/Q17/Q18/Q22 shapes: the per-key threshold must be an aggregate
+    joined back (or a scalar-subquery broadcast), never a window over the
+    full fact table (a window would shuffle the payload columns too)."""
+    for q in (
+        "q77_small_quantity_revenue",
+        "q78_large_volume_customer",
+        "q79_top_supplier",
+        "q80_dormant_customers",
+    ):
         plan = _plan(spark, q)
         assert "Window" not in plan, q
+
+
+def test_balanced_sample_window_input_is_prefiltered(spark):
+    """q85's exact per-class window must be fed by the salted local top-N,
+    not the raw table: two Window nodes, with the local rank filter between
+    the salted window and the exact one (bounded partition at any skew)."""
+    plan = _plan(spark, "q85_balanced_sample")
+    assert plan.count("Window (") >= 2, plan
+    # the local rank filter feeds the exact window
+    assert "Condition : (rn_local" in plan, plan
+    # Spark 4 additionally pushes a partial top-k below each exchange
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_lsh_bucket_cap_in_plan(spark):
+    """The candidate self-join must be fed capped buckets: the __rn cap
+    filter sits upstream of the join."""
+    from discogs_load_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from discogs_load_spark.plans import formatted_plan
+    from discogs_load_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    plan = formatted_plan(lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=64))
+    assert "__rn" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
