@@ -43,17 +43,19 @@ DEFAULT_BANDS = 4  # 4 bands x 3 rows: catches jaccard >~ 0.6 reliably
 DEFAULT_MAX_BUCKET = 1024
 
 
-def _cap_buckets(
-    buckets: DataFrame, id_col: str, cap: int, n_salts: int = 16
-) -> DataFrame:
+def _cap_buckets(buckets: DataFrame, id_col: str, cap: int) -> DataFrame:
     """Keep at most ``cap`` members per (band, key) bucket — the ``cap``
-    smallest ids, exactly, via salted two-phase top-N.
+    smallest ids.
 
-    Phase 1 ranks within (band, key, salt) so a mega-bucket is processed by
-    ``n_salts`` parallel tasks of O(bucket/n_salts) each; phase 2 ranks the
-    <= cap*n_salts survivors exactly. A row in the bucket's true min-``cap``
-    set ranks <= cap within its own salt bucket too, so phase 1 never drops
-    a winner — same output as a single window, bounded partition size.
+    One window, deliberately partitioned the same way the caller already
+    repartitioned (band, key): ENSURE_REQUIREMENTS reuses that exchange, so
+    the cap adds a sort + rank but NO extra shuffle (asserted in
+    test_plans.py). Memory is bounded without salting because Spark pushes a
+    partial WindowGroupLimit below the exchange: every map task forwards at
+    most ``cap`` rows per key, so one reducer sees <= cap * n_map_tasks rows
+    of a mega-bucket, never the whole thing (a first salted-two-phase
+    version was exact too but cost two windows + two extra exchanges on the
+    full bucket table — 2x wall on the LSH bench).
 
     Trade-off (documented knob): pairs where BOTH members would need a
     dropped row are missed *for that band*; with near-identical docs every
@@ -63,15 +65,11 @@ def _cap_buckets(
     """
     from pyspark.sql import Window
 
-    local_w = Window.partitionBy("band", "key", "__salt").orderBy(id_col)
-    exact_w = Window.partitionBy("band", "key").orderBy(id_col)
+    w = Window.partitionBy("band", "key").orderBy(id_col)
     return (
-        buckets.withColumn("__salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
-        .withColumn("__rn", F.row_number().over(local_w))
+        buckets.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
-        .withColumn("__rn", F.row_number().over(exact_w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__salt", "__rn")
+        .drop("__rn")
     )
 
 
@@ -299,6 +297,67 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the pair graph; component = the
+    minimum node id reachable from it — the canonical keeper for a near-dup
+    cluster (pairs alone under-merge: A~B and B~C may both pass the
+    threshold while A~C was never a candidate; training-data dedup needs
+    the transitive closure).
+
+    Pregel-style min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels — one equi-join + one
+    groupBy per round, converging in graph-diameter rounds (near-dup
+    components are small cliques, so 2-3 in practice; ``max_iters`` is a
+    safety bound, convergence is detected). Labels only ever decrease, so
+    SUM(label) strictly decreases until the fixpoint — a 1-row action per
+    round instead of a change-count join. ``localCheckpoint`` truncates the
+    lineage each round (iterative DataFrame loops otherwise replan from the
+    source every iteration). At extreme diameters the log-round
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce") drops in behind the same signature.
+    """
+    edges = pairs.select(
+        F.col(src).alias("esrc"), F.col(dst).alias("edst")
+    ).union(pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst")))
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("esrc").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    if prev_sum is None:  # empty graph
+        return labels.select("node", F.col("label").alias("component"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.esrc == labels.node)
+            .groupBy("edst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.edst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:

@@ -24,6 +24,7 @@ from ..functions.textfns import (
 from ..operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_N_HASHES,
+    connected_components,
     exact_dedup_groups,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -58,8 +59,8 @@ def _bucket_union() -> str:
     return " UNION ALL ".join(parts)
 
 
-_PAIRS_CTE = f"""
-    WITH s AS (SELECT doc_id, unnest({_D_SH}) AS sh FROM documents),
+_PAIRS_CTE_BODY = f"""
+    s AS (SELECT doc_id, unnest({_D_SH}) AS sh FROM documents),
     sig AS (SELECT doc_id, {_D_AGGS} FROM s GROUP BY doc_id),
     buckets AS ({_bucket_union()}),
     pairs AS (
@@ -68,6 +69,7 @@ _PAIRS_CTE = f"""
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
 """
+_PAIRS_CTE = f"\n    WITH {_PAIRS_CTE_BODY}"
 
 
 @register(
@@ -122,6 +124,60 @@ def q52_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     return jaccard_verify(docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+
+
+_JACC = (
+    "CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)"
+    " / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset)))"
+)
+
+
+@register(
+    "q89_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE_BODY},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents),
+    verified AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sets sa ON p.id_a = sa.doc_id
+        JOIN sets sb ON p.id_b = sb.doc_id
+        WHERE {_JACC} >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+    SELECT component, COUNT(*) AS n_docs, list_sort(list(node)) AS doc_ids
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters = connected components of the verified pair graph
+    (operators/dedup.connected_components docstring explains why pairs
+    alone under-merge). Oracle: DuckDB recursive CTE computes the same
+    transitive closure by reachability — an independent algorithm, so a
+    propagation bug can't self-confirm."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    comp = connected_components(verified)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("node")).alias("doc_ids"),
+    )
 
 
 def _simhash_oracle() -> str:

@@ -91,6 +91,7 @@ PRIORITY: list[str] = [
     "q72_frame_sampling",
     # New this round — never verified.
     "q88_streaming_tumbling",
+    "q89_dedup_components",
     # r01 hash-reds whose oracle typing was fixed this round — need their
     # green rows confirmed.
     "q23_conditional_agg",

@@ -202,3 +202,22 @@ def test_lsh_cap_disabled_matches_uncapped_semantics(spark):
         for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1024).collect()
     }
     assert uncapped == capped
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, C-D must merge into ONE component labeled min(id), even
+    though A-C, A-D, B-D were never pairs; disjoint E-F stays separate."""
+    from discogs_load_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    from discogs_load_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0

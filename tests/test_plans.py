@@ -146,6 +146,10 @@ def test_lsh_bucket_cap_in_plan(spark):
 
     docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
     sigs = minhash_signatures(docs, "doc_id", "text")
-    plan = formatted_plan(lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=64))
-    assert "__rn" in plan
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    capped = formatted_plan(lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=64))
+    assert "__rn" in capped
+    assert "WindowGroupLimit" in capped  # map-side partial cap below the exchange
+    assert "CartesianProduct" not in capped and "BroadcastNestedLoopJoin" not in capped
+    # the cap must reuse the existing (band, key) repartition — no new shuffle
+    uncapped = formatted_plan(lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None))
+    assert capped.count("Exchange (") == uncapped.count("Exchange (")
