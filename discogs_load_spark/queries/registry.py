@@ -92,6 +92,8 @@ PRIORITY: list[str] = [
     # New this round — never verified.
     "q88_streaming_tumbling",
     "q89_dedup_components",
+    "q90_sequence_packing",
+    "q91_contamination_check",
     # r01 hash-reds whose oracle typing was fixed this round — need their
     # green rows confirmed.
     "q23_conditional_agg",

@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.textfns import norm_sql, tokens_sql
+from ..functions.textfns import (
+    doc_shingles_sql,
+    norm_sql,
+    token_count_sql,
+    tokens_sql,
+)
 from ..session import load_tables
 from .registry import register
 
@@ -184,6 +189,148 @@ def q86_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("shard")
+    )
+
+
+SEQ_BUDGET = 1024  # tokens per packed training sequence
+
+_NIB_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+
+
+@register(
+    "q90_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_NIB_SQL} AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               {token_count_sql('text', 'duckdb')} AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT shard,
+           CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS seq,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY shard, seq
+    ORDER BY shard, seq
+    """,
+    tags=("sampling", "documents", "packing"),
+)
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences
+    (concat-then-chunk, doc granularity): within each hash shard, documents
+    are laid out in deterministic md5 order and a doc starts the next
+    sequence when the running token count crosses the budget.
+
+    This is the layout step between curation and the trainer: sequences are
+    what a pretraining loader consumes, and packing density (seq_tokens vs
+    budget) is the measurable utilization. Scale shape: one window per
+    shard — the shard count is the parallelism knob (16 here; at 100 TB use
+    O(cluster cores) shards, assignment stays a pure per-row projection),
+    and the running sum is O(shard) sequential like any packing pass, but
+    shards are independent. Deterministic: md5 order, integer token counts,
+    integer division — no engine-specific tie-breaks.
+    """
+    docs = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("shard", F.substring("h", 1, 1))
+        .withColumn(
+            "n_tokens",
+            F.expr(token_count_sql("text", "spark")).cast("long"),
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq", F.expr(f"cum_before DIV {SEQ_BUDGET}"))
+        .groupBy("shard", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("shard", "seq")
+    )
+
+
+@register(
+    "q91_contamination_check",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({doc_shingles_sql('text', 8, 'duckdb')}) AS sh
+        FROM documents WHERE {_NIB_SQL} IN ('e', 'f')
+    ),
+    tr AS (
+        SELECT doc_id, source FROM documents
+        WHERE {_NIB_SQL} NOT IN ('c', 'd', 'e', 'f')
+    ),
+    trs AS (
+        SELECT doc_id, unnest({doc_shingles_sql('text', 8, 'duckdb')}) AS sh
+        FROM documents WHERE {_NIB_SQL} NOT IN ('c', 'd', 'e', 'f')
+    ),
+    contam AS (
+        SELECT DISTINCT doc_id FROM trs WHERE sh IN (SELECT sh FROM ev)
+    )
+    SELECT tr.source,
+           COUNT(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM tr LEFT JOIN contam c ON tr.doc_id = c.doc_id
+    GROUP BY tr.source
+    ORDER BY tr.source
+    """,
+    tags=("sampling", "documents", "dedup"),
+)
+def q91_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which TRAIN documents share any word
+    8-gram with the held-out TEST split (same md5-nibble routing as q84)?
+    Word 8-grams are long enough that template phrasing shared across the
+    whole synthetic corpus doesn't fire (3-grams flagged ~95% of train —
+    vacuous); what remains is genuine span overlap, i.e. the planted
+    near-duplicates that straddle the split boundary.
+
+    The shape that scales is the inverted-index semi-join: explode both
+    sides to (doc, shingle), dedup the eval side to a shingle set
+    (benchmark-sized — small), and semi-join train shingles against it.
+    Never doc x doc: cost is O(|train shingles|) with a broadcast-able
+    build side. The corpus's planted near-duplicates that straddle the
+    split boundary are exactly what this catches.
+    """
+    docs = _docs(spark, sf_dir).withColumn(
+        "nib", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    )
+    sh = F.expr(doc_shingles_sql("text", 8, "spark"))
+    ev_sh = (
+        docs.filter(F.col("nib").isin("e", "f"))
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(~F.col("nib").isin("c", "d", "e", "f"))
+    contam = (
+        train.select("doc_id", F.explode(sh).alias("sh"))
+        .join(F.broadcast(ev_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    return (
+        train.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce("is_contam", F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy("source")
     )
 
 
