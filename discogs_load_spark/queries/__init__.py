@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     streaming,
     text,
     tpch_deep,
+    udf_surface,
     warehouse,
 )
 from .registry import REGISTRY, oracle_sql_map, queries_map  # noqa: F401

@@ -94,6 +94,9 @@ PRIORITY: list[str] = [
     "q89_dedup_components",
     "q90_sequence_packing",
     "q91_contamination_check",
+    "q92_streaming_foreachbatch_sink",
+    "q93_udtf_sentences",
+    "q94_udaf_second_largest",
     # r01 hash-reds whose oracle typing was fixed this round — need their
     # green rows confirmed.
     "q23_conditional_agg",

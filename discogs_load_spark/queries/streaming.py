@@ -76,3 +76,58 @@ def q88_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "q92_streaming_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def q92_streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink side of streaming: events stream -> ``foreachBatch`` ->
+    parquet lake (append per micro-batch, exactly the composition a
+    production job uses for JDBC/COPY via sinks/postgres.py) -> read the
+    landed files back and aggregate.
+
+    foreachBatch hands each micro-batch over as a BATCH DataFrame, so every
+    batch-only sink (parquet partitionBy, JDBC, COPY) works unmodified; the
+    read-back aggregation proves no rows were lost or duplicated in
+    transit (count + id range per event type, all integers — exact).
+    """
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    key = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{key}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
+
+    out = tempfile.mkdtemp(prefix="q92_lake_")
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        read_event_stream(spark, src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(out, "_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

@@ -68,7 +68,7 @@ def test_no_python_udfs_in_relational_core(spark):
     JVM-side (whole-stage codegen; no BatchEvalPython / ArrowEvalPython /
     mapInPandas stages)."""
     for name, spec in REGISTRY.items():
-        if "multimodal" in spec.tags or "rows-only" in spec.tags:
+        if {"multimodal", "rows-only", "python-seam"} & set(spec.tags):
             continue
         plan = _plan(spark, name)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
