@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "q92_streaming_foreachbatch_sink",
     "q93_udtf_sentences",
     "q94_udaf_second_largest",
+    "q95_embedding_dedup_groups",
     # r01 hash-reds whose oracle typing was fixed this round — need their
     # green rows confirmed.
     "q23_conditional_agg",

@@ -170,3 +170,58 @@ def q57_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, "vec_id", "embedding", DIM, TOPK, IVF_CENTROID_IDS
     )
+
+
+@register(
+    "q95_embedding_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE
+    buck AS (SELECT vec_id, embedding,
+                    {{bucket}} AS bucket FROM embeddings),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM buck x JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE {{cos}} >= {{thr}}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
+    SELECT component, COUNT(*) AS n_vecs, list_sort(list(node)) AS vec_ids
+    FROM comp GROUP BY component
+    """.format(
+        bucket=lsh_bucket_sql("embedding", NEARDUP_PLANES, DIM, "duckdb"),
+        cos=cosine_sql("x.embedding", "y.embedding", DIM, "duckdb"),
+        thr=NEARDUP_THRESHOLD,
+    ),
+    tags=("dedup", "similarity", "embedding", "graph"),
+)
+def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components over the q54
+    cosine pair graph — the same transitive-closure step q89 applies to
+    text near-dups (semantic dup chains A~B~C where A~C is below
+    threshold). One min-label propagation joins per round over a
+    pair list that LSH bucketing already made sub-quadratic."""
+    from ..operators.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        _emb(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        DIM,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=NEARDUP_PLANES,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sort_array(F.collect_list("node")).alias("vec_ids"),
+    )

@@ -74,6 +74,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime semi-join reduction: a selective filter on one join side
+        # builds a bloom filter that prunes the other side's scan before the
+        # shuffle — at 100 TB this is row-group pruning on the fact table
+        # for free. On by default in recent Spark; pinned explicitly because
+        # the star-join plans here assume it.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Local-profile split sizing: fixture files are single-digit MB, so
         # the 128 MB default packs every table into ONE task and serializes
         # compute-heavy per-row work. 4 MB ranges + the 4 MB open-cost give
