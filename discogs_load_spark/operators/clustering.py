@@ -1,0 +1,182 @@
+"""Spherical k-means (Lloyd iterations) over an embedding column — the
+centroid-learning step an IVF index needs (operators/similarity.ivf_topk
+takes fixed centroid ids today; this learns data-adaptive ones).
+
+Distributed shape, per iteration:
+
+- **assign** — crossJoin with the *broadcast* k-row centroid table and a
+  per-row HOF cosine (functions/vectors.cosine_sql): k·N map-side rows,
+  no shuffle, no dimension explode. The argmax is a ``max(struct(cos,
+  cluster))`` groupBy on the vector id — one combiner-enabled shuffle of
+  k·N skinny rows.
+- **recompute** — ``posexplode`` the assigned vectors to (cluster, dim,
+  val) and take exact decimal sums per (cluster, dim): the per-dimension
+  mean must be order-insensitive (functions/numeric.py) or two runs of
+  the same job — let alone two engines — would produce different
+  centroids and the iteration would diverge from its oracle. The
+  (cluster, dim) grain has k·dim groups, so the shuffle reduces to
+  almost nothing after map-side partial aggregation.
+- centroid arrays are rebuilt with ``sort_array(collect_list(struct(dim,
+  mean)))`` — k rows, bounded size.
+
+Iterations are unrolled by the caller (fixed count), which keeps the whole
+computation a single declarative plan AND makes it expressible as plain
+SQL for the DuckDB referee — an iterative ML algorithm under the same
+value-hash gate as the relational queries.
+
+Determinism: assignment ties broken by (cos, cluster) struct max; cosine
+is the left-associated fold shared with the ANN operators; means are
+decimal-exact. Empty clusters drop out of the centroid table (inner
+groupBy) identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.numeric import dec_sum
+from ..functions.vectors import cosine_sql
+
+
+def _as_double(vec: str) -> str:
+    return f"CAST({vec} AS ARRAY<DOUBLE>)"
+
+
+def seed_centroids(emb: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+    """Deterministic seeds: the k lowest-id vectors (k-means++ would add a
+    data pass per seed; for the fixture referee a fixed seed is the point)."""
+    return emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("bigint").alias("cluster"),
+        F.expr(_as_double(vec_col)).alias("centroid"),
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """(id, cluster, cos) — nearest centroid by cosine, broadcast join.
+
+    The argmax groupBy keys on the id ALONE: grouping on (id, vec) would
+    shuffle k copies of every embedding through the exchange; this plan
+    shuffles k·N skinny (id, cluster, cos) rows and lets the recompute
+    step join the winning assignment back to the vector table instead.
+    """
+    cos = cosine_sql(_as_double(vec_col), "centroid", dim, "spark")
+    scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, F.expr(cos).alias("cos"), "cluster")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct("cos", "cluster")).alias("best"))
+        .select(
+            id_col,
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.cos").alias("cos"),
+        )
+    )
+
+
+def recompute_centroids(
+    assigned: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 9,
+) -> DataFrame:
+    """(cluster, centroid) — exact per-dimension decimal means."""
+    longf = assigned.select(id_col, "cluster").join(
+        emb.select(id_col, vec_col), id_col
+    ).select(
+        "cluster", F.posexplode(F.expr(_as_double(vec_col))).alias("dim", "val")
+    )
+    means = longf.groupBy("cluster", "dim").agg(
+        (dec_sum("val", "s", scale=scale) / F.count("val")).alias("mean")
+    )
+    return means.groupBy("cluster").agg(
+        F.expr("transform(sort_array(collect_list(struct(dim, mean))), x -> x.mean)")
+        .alias("centroid")
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iterations: int,
+) -> DataFrame:
+    """(id, cluster, cos) after ``iterations`` unrolled Lloyd steps."""
+    centroids = seed_centroids(emb, id_col, vec_col, k)
+    assigned = assign_clusters(emb, centroids, id_col, vec_col, dim)
+    for _ in range(iterations - 1):
+        centroids = recompute_centroids(assigned, emb, id_col, vec_col)
+        assigned = assign_clusters(emb, centroids, id_col, vec_col, dim)
+    return assigned.select(id_col, "cluster", "cos")
+
+
+def kmeans_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iterations: int,
+    scale: int = 9,
+) -> str:
+    """DuckDB dual: the same unrolled iterations as chained CTEs.
+
+    The long-format (cluster, dim, val) mean uses the identical decimal
+    recipe; assignment rebuilds centroid lists with ``list(mean ORDER BY
+    dim)`` and evaluates the same left-associated cosine text.
+
+    Gotcha encoded below: the element must be widened FLOAT→DOUBLE before
+    the DECIMAL cast. Spark's side always sums the widened double
+    (``CAST(vec AS ARRAY<DOUBLE>)``); DuckDB's direct FLOAT→DECIMAL cast
+    rounds differently in the last decimal digit (~1e-9 per element),
+    which compounds across a mean and flips later-iteration assignments.
+    """
+    cos0 = cosine_sql(f"e.{vec_col}", f"c.{vec_col}", dim, "duckdb")
+    cosn = cosine_sql(f"e.{vec_col}", "c.centroid", dim, "duckdb")
+    parts = [
+        f"c0 AS (SELECT {id_col} AS cluster, {vec_col} FROM {table} WHERE {id_col} < {k})",
+        f"""a0 AS (
+        SELECT {id_col}, cluster, cos FROM (
+            SELECT e.{id_col}, c.cluster, {cos0} AS cos,
+                   row_number() OVER (PARTITION BY e.{id_col}
+                                      ORDER BY {cos0} DESC, c.cluster DESC) AS rn
+            FROM {table} e CROSS JOIN c0 c
+        ) WHERE rn = 1
+    )""",
+    ]
+    for it in range(1, iterations):
+        prev = f"a{it - 1}"
+        parts.append(
+            f"""m{it} AS (
+        SELECT a.cluster, t.i AS dim,
+               CAST(SUM(CAST(CAST(e.{vec_col}[t.i + 1] AS DOUBLE) AS DECIMAL(25,{scale}))) AS DOUBLE)
+                 / COUNT(*) AS mean
+        FROM {prev} a JOIN {table} e USING ({id_col}),
+             unnest(range({dim})) t(i)
+        GROUP BY a.cluster, t.i
+    )"""
+        )
+        parts.append(
+            f"c{it} AS (SELECT cluster, list(mean ORDER BY dim) AS centroid "
+            f"FROM m{it} GROUP BY cluster)"
+        )
+        parts.append(
+            f"""a{it} AS (
+        SELECT {id_col}, cluster, cos FROM (
+            SELECT e.{id_col}, c.cluster, {cosn} AS cos,
+                   row_number() OVER (PARTITION BY e.{id_col}
+                                      ORDER BY {cosn} DESC, c.cluster DESC) AS rn
+            FROM {table} e CROSS JOIN c{it} c
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\n    SELECT {id_col}, cluster, cos FROM a{iterations - 1}"
+    )

@@ -198,6 +198,59 @@ def lsh_candidate_pairs(
     )
 
 
+def _band_buckets(
+    signatures: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, key) — one bucket row per signature band."""
+    r = n_hashes // bands
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(band_key_sql(b, r, "spark")).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_struct).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_bipartite_candidates(
+    sig_new: DataFrame,
+    sig_corpus: DataFrame,
+    id_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct (id_a=new, id_b=corpus) pairs sharing an LSH band bucket —
+    the INCREMENTAL dedup shape: a new snapshot is screened against the
+    already-ingested corpus without re-pairing the corpus with itself.
+
+    Same banding as :func:`lsh_candidate_pairs`, but the join is bipartite
+    (new × corpus within a bucket) instead of a self-join, so the cost is
+    |new|-proportional: exactly what a daily crawl delta against a 100 TB
+    lake needs. The corpus side's band keys are a pure map of its
+    signature table — at production scale they'd be a persisted index
+    written once at ingest and only SCANNED here.
+    """
+    new_b = _band_buckets(sig_new, id_col, n_hashes, bands).alias("a")
+    corp_b = _band_buckets(sig_corpus, id_col, n_hashes, bands).alias("b")
+    return (
+        new_b.join(
+            corp_b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

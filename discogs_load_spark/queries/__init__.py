@@ -6,11 +6,14 @@ Importing :mod:`discogs_load_spark.queries` loads all of them.
 
 from . import (  # noqa: F401
     behavior,
+    clustering,
     core,
     dedup,
     events,
     extra,
+    lake,
     multimodal,
+    rag,
     sampling,
     shred,
     similarity,

@@ -27,8 +27,10 @@ from ..operators.dedup import (
     connected_components,
     exact_dedup_groups,
     jaccard_verify,
+    lsh_bipartite_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
+    normalized,
     simhash,
     simhash_near_dup_pairs,
 )
@@ -232,3 +234,95 @@ def q64_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     product."""
     sigs = simhash(_docs(spark, sf_dir), "doc_id", "text")
     return simhash_near_dup_pairs(sigs, "doc_id", max_hamming=3, n_bands=4)
+
+
+# --- incremental (cross-snapshot) dedup ------------------------------------
+
+NEW_MOD = 5  # docs with doc_id % NEW_MOD == NEW_REM play the "new snapshot"
+NEW_REM = 4
+
+
+@register(
+    "q100_incremental_dedup",
+    oracle=f"""
+    WITH {_PAIRS_CTE_BODY.replace(
+        "a.doc_id < b.doc_id",
+        f"a.doc_id % {NEW_MOD} = {NEW_REM} AND b.doc_id % {NEW_MOD} <> {NEW_REM}",
+    )},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents),
+    near AS (
+        SELECT DISTINCT p.id_a AS doc_id
+        FROM pairs p
+        JOIN sets sa ON p.id_a = sa.doc_id
+        JOIN sets sb ON p.id_b = sb.doc_id
+        WHERE {_JACC} >= {JACCARD_THRESHOLD}
+    ),
+    hashes AS (
+        SELECT doc_id, md5({norm_sql('text', 'duckdb')}) AS content_hash
+        FROM documents
+    ),
+    exact AS (
+        SELECT DISTINCT n.doc_id
+        FROM hashes n JOIN hashes c ON n.content_hash = c.content_hash
+        WHERE n.doc_id % {NEW_MOD} = {NEW_REM} AND c.doc_id % {NEW_MOD} <> {NEW_REM}
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM documents d
+    LEFT JOIN exact e ON d.doc_id = e.doc_id
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    WHERE d.doc_id % {NEW_MOD} = {NEW_REM}
+    """,
+    tags=("dedup", "incremental", "minhash"),
+)
+def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a 'new snapshot' (20% of docs by id
+    modulus) against the already-ingested corpus — exact content-hash
+    semi-join first, then MinHash-LSH *bipartite* candidates
+    (operators/dedup.lsh_bipartite_candidates) verified with exact
+    Jaccard. |new|-proportional cost: the daily-crawl-delta shape, where
+    the corpus side is a precomputed signature index at production scale.
+    Verdict per new doc: exact_dup > near_dup > unique."""
+    docs = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
+    new_docs, corpus = docs.filter(is_new), docs.filter(~is_new)
+
+    hashed = normalized(docs, "text").select(
+        "doc_id", F.md5("norm").alias("content_hash")
+    )
+    exact = (
+        hashed.filter(is_new)
+        .alias("n")
+        .join(
+            hashed.filter(~is_new).select("content_hash").distinct().alias("c"),
+            "content_hash",
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+
+    pairs = lsh_bipartite_candidates(
+        minhash_signatures(new_docs, "doc_id", "text"),
+        minhash_signatures(corpus, "doc_id", "text"),
+        "doc_id",
+    )
+    near = (
+        jaccard_verify(docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        new_docs.select("doc_id")
+        .join(exact.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )

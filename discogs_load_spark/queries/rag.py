@@ -1,0 +1,203 @@
+"""Document-preparation query surface: RAG chunking, PII redaction, and
+repetition-based quality filtering over the ``documents`` fixture — the
+text-side curation steps between raw crawl and training/retrieval corpora
+(north-star extension ops alongside queries/text.py and queries/dedup.py).
+
+All three are pure map-side per-document transforms (array HOFs + regex,
+no Python, no shuffle before the final small aggregate), so they run at
+scan speed on any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.textfns import norm_sql, shingles_sql, tokens_sql
+from ..operators.chunking import (
+    DEFAULT_CHUNK_TOKENS,
+    DEFAULT_STRIDE,
+    chunk_documents,
+    chunk_oracle_sql,
+)
+from ..session import load_tables
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+@register(
+    "q96_doc_chunks",
+    oracle=chunk_oracle_sql("documents", "doc_id", "text"),
+    tags=("rag", "chunking", "text"),
+)
+def q96_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24) — the RAG /
+    context-packing preprocessor. Map-side HOFs + one posexplode; the
+    window layout math is shared with the DuckDB oracle
+    (operators/chunking.chunk_count_expr)."""
+    return chunk_documents(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        size=DEFAULT_CHUNK_TOKENS,
+        stride=DEFAULT_STRIDE,
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+#
+# The fixture corpus is synthetic lowercase prose with no PII, so the query
+# INJECTS deterministic addresses/phones derived from doc_id, then redacts
+# them — exercising the scrub exactly as a crawl pipeline would, with a
+# non-vacuous oracle. Patterns stay in the Java-regex ∩ RE2 common subset
+# (character classes + bounded repeats; no backslash classes — Spark SQL
+# string literals eat backslashes, DuckDB's don't).
+
+_EMAIL_PAT = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_PAT = "[0-9]{3}-[0-9]{4}"
+
+
+def _pii_sql(dialect: str) -> dict[str, str]:
+    cast = "VARCHAR" if dialect == "duckdb" else "STRING"
+    g = ", 'g'" if dialect == "duckdb" else ""
+    pii = (
+        f"concat(text, ' contact user', CAST(doc_id AS {cast}),"
+        f" '@mail.example.com or call 555-',"
+        f" lpad(CAST(doc_id % 10000 AS {cast}), 4, '0'))"
+    )
+    red = (
+        f"regexp_replace(regexp_replace({pii}, '{_EMAIL_PAT}', '<EMAIL>'{g}),"
+        f" '{_PHONE_PAT}', '<PHONE>'{g})"
+    )
+    if dialect == "duckdb":
+        n_at = f"len(regexp_extract_all({pii}, '{_EMAIL_PAT}'))"
+        n_ph = f"len(regexp_extract_all({pii}, '{_PHONE_PAT}'))"
+        n_res = (
+            f"len(regexp_extract_all({red}, '{_EMAIL_PAT}'))"
+            f" + len(regexp_extract_all({red}, '{_PHONE_PAT}'))"
+        )
+    else:
+        n_at = f"size(regexp_extract_all({pii}, '({_EMAIL_PAT})', 1))"
+        n_ph = f"size(regexp_extract_all({pii}, '({_PHONE_PAT})', 1))"
+        n_res = (
+            f"size(regexp_extract_all({red}, '({_EMAIL_PAT})', 1))"
+            f" + size(regexp_extract_all({red}, '({_PHONE_PAT})', 1))"
+        )
+    return {"red": red, "n_emails": n_at, "n_phones": n_ph, "n_residual": n_res}
+
+
+_PD = _pii_sql("duckdb")
+
+
+@register(
+    "q97_pii_redaction",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               {_PD['n_emails']} AS n_emails,
+               {_PD['n_phones']} AS n_phones,
+               {_PD['n_residual']} AS n_residual,
+               {_PD['red']} AS redacted
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(n_residual) AS BIGINT) AS residual_pii,
+           CAST(SUM(length(redacted)) AS BIGINT) AS total_redacted_chars,
+           COUNT(DISTINCT md5(redacted)) AS n_distinct_redacted
+    FROM per_doc GROUP BY source
+    """,
+    tags=("curation", "pii", "text"),
+)
+def q97_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: inject deterministic email+phone per doc, redact with the
+    shared regex set, and audit — match counts, residual-PII count (must
+    be 0), redacted-length and distinct-hash checksums per source."""
+    p = _pii_sql("spark")
+    per_doc = _docs(spark, sf_dir).select(
+        "source",
+        F.expr(p["n_emails"]).alias("n_emails"),
+        F.expr(p["n_phones"]).alias("n_phones"),
+        F.expr(p["n_residual"]).alias("n_residual"),
+        F.expr(p["red"]).alias("redacted"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.sum("n_residual").cast("bigint").alias("residual_pii"),
+        F.sum(F.length("redacted")).cast("bigint").alias("total_redacted_chars"),
+        F.countDistinct(F.md5("redacted")).alias("n_distinct_redacted"),
+    )
+
+
+# --- repetition-ratio quality filter ---------------------------------------
+
+REPETITION_K = 2
+REPETITION_THRESHOLD = 0.10
+
+
+def _rep_sql(dialect: str) -> dict[str, str]:
+    sh = shingles_sql(tokens_sql(norm_sql("text", dialect), dialect), REPETITION_K, dialect)
+    if dialect == "duckdb":
+        total, dist = f"len({sh})", f"len(list_distinct({sh}))"
+    else:
+        total, dist = f"size({sh})", f"size(array_distinct({sh}))"
+    return {"total": total, "dist": dist}
+
+
+_RD = _rep_sql("duckdb")
+
+
+@register(
+    "q98_repetition_filter",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               CAST({_RD['total']} AS BIGINT) AS n_grams,
+               CAST({_RD['dist']} AS BIGINT) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           CASE WHEN n_grams = 0 THEN NULL
+                ELSE CAST(1 AS DOUBLE)
+                     - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           END AS rep_ratio,
+           (n_grams > 0 AND
+            CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+              >= {REPETITION_THRESHOLD}) AS flagged
+    FROM per_doc
+    """,
+    tags=("curation", "quality", "text"),
+)
+def q98_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality signal: per doc, the fraction of word
+    2-grams that are duplicates (1 - distinct/total) — the standard
+    boilerplate/spam detector a crawl-filtering pipeline applies before
+    dedup. Integer set sizes → one double division, identical bits in both
+    engines."""
+    r = _rep_sql("spark")
+    per_doc = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(r["total"]).cast("bigint").alias("n_grams"),
+        F.expr(r["dist"]).cast("bigint").alias("n_distinct"),
+    )
+    ratio = (
+        F.lit(1).cast("double")
+        - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.when(F.col("n_grams") == 0, F.lit(None).cast("double"))
+        .otherwise(ratio)
+        .alias("rep_ratio"),
+        ((F.col("n_grams") > 0) & (ratio >= F.lit(REPETITION_THRESHOLD))).alias(
+            "flagged"
+        ),
+    )

@@ -98,6 +98,12 @@ PRIORITY: list[str] = [
     "q93_udtf_sentences",
     "q94_udaf_second_largest",
     "q95_embedding_dedup_groups",
+    "q96_doc_chunks",
+    "q97_pii_redaction",
+    "q98_repetition_filter",
+    "q99_kmeans_clusters",
+    "q100_incremental_dedup",
+    "q101_interchange_roundtrip",
     # r01 hash-reds whose oracle typing was fixed this round — need their
     # green rows confirmed.
     "q23_conditional_agg",

@@ -221,3 +221,83 @@ def test_connected_components_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_chunking_layout(spark):
+    """Chunk count and window coverage: a 80-token doc at size 32 / stride
+    24 yields 3 chunks (starts 0/24/48); the final window reaches the end;
+    a short doc yields exactly one chunk; an empty doc one empty chunk."""
+    from discogs_load_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(80))),
+            (2, "only five little words here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, "doc_id", "text", size=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens))
+    assert by_doc[1] == [(0, 32), (1, 32), (2, 32)]  # 48+32 == 80: exact cover
+    assert by_doc[2] == [(0, 5)]
+    assert by_doc[3] == [(0, 0)]
+    # 81 tokens: a 4th chunk must appear to cover the last token
+    one_more = spark.createDataFrame(
+        [(4, " ".join(f"w{i}" for i in range(81)))], "doc_id long, text string"
+    )
+    rows4 = chunk_documents(one_more, "doc_id", "text", size=32, stride=24).collect()
+    assert [(r.chunk_id, r.n_chunk_tokens) for r in sorted(rows4)] == [
+        (0, 32), (1, 32), (2, 32), (3, 9),
+    ]
+
+
+def test_kmeans_separable_clusters(spark):
+    """Two well-separated direction bundles must end up in two clusters
+    with every member following its seed."""
+    from discogs_load_spark.operators.clustering import kmeans
+
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = []
+    for i in range(10):
+        eps = 0.01 * i
+        rows.append((i * 2, [v + eps * 0.1 for v in base_a]))
+        rows.append((i * 2 + 1, [v + eps * 0.1 for v in base_b]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans(emb, "vec_id", "embedding", 4, 2, 3).collect()
+    clusters = {r.vec_id: r.cluster for r in out}
+    evens = {clusters[i] for i in range(0, 20, 2)}
+    odds = {clusters[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    assert all(r.cos > 0.99 for r in out)
+
+
+def test_lsh_bipartite_screens_only_new_side(spark):
+    """Bipartite candidates: a planted near-dup straddling the split is
+    found; corpus-corpus and new-new duplicates are NOT paired."""
+    from discogs_load_spark.operators.dedup import (
+        lsh_bipartite_candidates,
+        minhash_signatures,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, text), (3, "unrelated corpus document about spark joins")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, text), (101, text), (102, "novel content nothing like the corpus")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_bipartite_candidates(
+            minhash_signatures(new, "doc_id", "text"),
+            minhash_signatures(corpus, "doc_id", "text"),
+            "doc_id",
+        ).collect()
+    }
+    assert pairs == {(100, 1), (100, 2), (101, 1), (101, 2)}

@@ -153,3 +153,29 @@ def test_lsh_bucket_cap_in_plan(spark):
     # the cap must reuse the existing (band, key) repartition — no new shuffle
     uncapped = formatted_plan(lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None))
     assert capped.count("Exchange (") == uncapped.count("Exchange (")
+
+
+def test_chunking_is_map_side(spark):
+    """q96: normalize→tokenize→window slices + posexplode must be a single
+    map-side stage — NO exchange anywhere (at 100 TB this runs at parquet
+    scan speed, per input split)."""
+    plan = _plan(spark, "q96_doc_chunks")
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """q99: every centroid join must be a broadcast (k rows fanned against
+    N vectors map-side); a single SortMergeJoin/CartesianProduct here would
+    shuffle the full vector table once per iteration."""
+    kinds = join_kinds(REGISTRY["q99_kmeans_clusters"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in kinds
+    assert "SortMergeJoin" not in kinds
+    assert any("Broadcast" in k for k in kinds), kinds
+
+
+def test_incremental_dedup_no_cross_product(spark):
+    """q100: the bipartite band join and the status joins must all be
+    equi-joins."""
+    kinds = join_kinds(REGISTRY["q100_incremental_dedup"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
