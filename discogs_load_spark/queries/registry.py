@@ -110,6 +110,12 @@ PRIORITY: list[str] = [
     "q43_json_extraction",
     "q70_multimodal_meta",
     "q81_conversion_funnel",
+    # --- entries 51+: past the driver's observed 50-row budget this round;
+    # locally verified now, rotated into the top block next round.
+    "q102_order_count_distribution",
+    "q103_promo_revenue_share",
+    "q104_sole_late_supplier",
+    "q105_grouped_map_normalize",
 ]
 
 

@@ -1,6 +1,8 @@
-"""Deep multi-way-join warehouse queries (TPC-H Q5/Q7/Q8/Q10/Q15/Q17/Q18/Q22
-shapes, adapted to the fixture schema — no partsupp table, so Q2/Q9/Q11/Q16/
-Q20 have no faithful mapping here).
+"""Deep multi-way-join warehouse queries (TPC-H Q5/Q7/Q8/Q10/Q13/Q14/Q15/
+Q17/Q18/Q21/Q22 shapes, adapted to the fixture schema — no partsupp table,
+so Q2/Q9/Q11/Q16/Q20 have no faithful mapping here; Q21's lateness predicate
+is re-derived from shipdate vs orderdate since commit/receipt dates are
+absent).
 
 These are the join-planner workout the earlier rings lack: 6-table star
 joins, nation self-joins with disjunctive pair predicates, market-share
@@ -510,4 +512,163 @@ def q80_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q102_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "tpch", "deep"),
+)
+def q102_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer × orders LEFT join with the filter IN THE JOIN
+    CONDITION (a WHERE would silently turn the outer join inner and drop
+    zero-order customers), per-customer order counts, then the count-of-
+    counts histogram. Two aggregations, each map-side combinable; the
+    second one's input is |customers| rows of two ints — negligible at
+    any scale."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_custkey", "o_orderkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q103_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV}
+                                  ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(CAST({_REV} AS DECIMAL(25,6))) AS DOUBLE)
+             AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY DATE_TRUNC('month', l_shipdate)
+    ORDER BY ship_month
+    """,
+    tags=("join", "tpch", "deep"),
+)
+def q103_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue percentage per ship month. The part join
+    carries only (p_partkey, p_type) — column pruning keeps the build side
+    skinny enough to broadcast far past the sizes where the full part
+    table couldn't. Both sums use the decimal recipe; the ratio is one
+    double division (same bits both engines)."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    j = lineitem.select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount").join(
+        part.select("p_partkey", "p_type"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE 0 END"
+    return (
+        j.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0).cast("double")
+                * F.expr(f"CAST(SUM(CAST(({promo}) AS DECIMAL(25,6))) AS DOUBLE)")
+                / F.expr(f"CAST(SUM(CAST(({_REV}) AS DECIMAL(25,6))) AS DOUBLE)")
+            ).alias("promo_share")
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "q104_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    sole AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM late l
+        JOIN multi m ON l.l_orderkey = m.l_orderkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM late o
+            WHERE o.l_orderkey = l.l_orderkey AND o.l_suppkey <> l.l_suppkey
+        )
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM sole JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    tags=("join", "tpch", "deep", "exists"),
+)
+def q104_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness adapted to the fixture: shipdate more
+    than 60 days after the order date — no commit/receipt dates here):
+    suppliers who were the ONLY late supplier on a multi-supplier order.
+
+    The classic double-correlated EXISTS/NOT-EXISTS is expressed as
+    aggregates over the derived `late` set instead of two correlated
+    self-joins on the fact table: per (orderkey) count late suppliers,
+    keep rows where that count == 1 — same semantics, and the fact table
+    is scanned twice total (once for `late`, once for `multi`) rather
+    than four times. All joins equi on orderkey/suppkey."""
+    lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    # NOT EXISTS(other late supplier) == this order has exactly one
+    # distinct late supplier
+    sole_orders = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    sole = (
+        late.distinct()
+        .join(multi, "l_orderkey", "left_semi")
+        .join(sole_orders, "l_orderkey", "left_semi")
+    )
+    return (
+        sole.join(supplier.select("s_suppkey", "s_name"),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )

@@ -139,3 +139,57 @@ def q94_udaf_second_largest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(second_largest(F.col("n_chars")).alias("second_largest_chars"))
         .orderBy("lang")
     )
+
+
+_NORM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("norm_value", T.DoubleType()),
+    ]
+)
+
+
+def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: per-user min-max scaling of event values.
+
+    min/max are order-insensitive, and (x - min)/(max - min) is one IEEE
+    double expression on identical inputs — so unlike a mean/std z-score
+    (whose pandas SUM depends on Arrow batch row order) this Python seam
+    stays bitwise deterministic and oracle-checkable. Degenerate groups
+    (max == min) normalize to NULL, mirrored in the SQL dual.
+    """
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    out = pdf[["event_id", "user_id", "value"]].copy()
+    out["norm_value"] = (pdf["value"] - lo) / (hi - lo) if hi > lo else None
+    return out
+
+
+@register(
+    "q105_grouped_map_normalize",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN mx > mn THEN (value - mn) / (mx - mn) END AS norm_value
+    FROM (
+        SELECT event_id, user_id, value,
+               MIN(value) OVER (PARTITION BY user_id) AS mn,
+               MAX(value) OVER (PARTITION BY user_id) AS mx
+        FROM events
+    )
+    """,
+    tags=("grouped-map", "python-seam"),
+)
+def q105_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max normalization via ``applyInPandas`` (grouped map)
+    — the third Python-extension API family after UDTF (q93) and
+    GROUPED_AGG UDAF (q94): whole group in, whole group out, the shape
+    feature-engineering kernels use. Same scale caveat as q94 (group must
+    fit in memory; the window-function dual partial-aggregates and is the
+    fast path) — registered to prove the API and its oracle parity."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_minmax_normalize, schema=_NORM_SCHEMA)
+    )

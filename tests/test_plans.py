@@ -93,7 +93,14 @@ def test_deep_join_plans_have_no_cartesian(spark):
     """The Q5/Q7/Q8 shapes join 5-7 tables with a cyclic/self-join graph —
     the classic way to accidentally produce a cartesian or nested-loop if a
     join condition gets lost in translation."""
-    for q in ("q73_local_supplier_volume", "q74_volume_shipping", "q75_market_share"):
+    for q in (
+        "q73_local_supplier_volume",
+        "q74_volume_shipping",
+        "q75_market_share",
+        "q102_order_count_distribution",
+        "q103_promo_revenue_share",
+        "q104_sole_late_supplier",
+    ):
         kinds = join_kinds(REGISTRY[q].fn(spark, SF_SMALL))
         assert kinds, q
         assert "CartesianProduct" not in kinds, q
