@@ -201,3 +201,54 @@ def q46_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+# Shared WITH RECURSIVE body: identical SQL text runs in BOTH engines
+# (Spark 4 added recursive CTEs; DuckDB has had them) — the date spine
+# densifies a sparse daily series with explicit zero rows, the gap-filling
+# step dashboards/forecasting need. Anchor/bound are literals matching the
+# fixture's generated range; recursion depth 30 stays far under Spark's
+# default cteRecursionLevelLimit (100).
+_SPINE_SQL = """
+    WITH RECURSIVE spine(day) AS (
+        SELECT DATE '2024-01-01'
+        UNION ALL
+        SELECT day + 1 FROM spine WHERE day < DATE '2024-01-30'
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               {total}
+        FROM {events} WHERE event_type = 'purchase' AND value >= 180
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(d.n, 0) AS n_high_value,
+           COALESCE(d.total_value, CAST(0 AS DOUBLE)) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@register(
+    "q109_recursive_spine",
+    oracle=_SPINE_SQL.format(
+        total=dec_sum_sql("value", "total_value"), events="events"
+    ),
+    tags=("recursive-cte", "events", "densify"),
+)
+def q109_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE date spine + gap fill: high-value purchase days are
+    sparse (value >= 180), so the 30-day spine generated by WITH RECURSIVE
+    left-joins the daily aggregate and emits explicit zero rows for the
+    gaps. Runs the SAME recursive SQL text in Spark (4.x recursion
+    support) and DuckDB. Scale shape: the recursion materializes 30 rows —
+    the spine side is trivially broadcast; the fact side aggregates before
+    the join."""
+    load_tables(spark, sf_dir, ["events"])["events"].createOrReplaceTempView(
+        "q109_events"
+    )
+    return spark.sql(
+        _SPINE_SQL.format(
+            total=dec_sum_sql("value", "total_value"), events="q109_events"
+        )
+    )

@@ -336,3 +336,78 @@ def q47_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q106_unpivot_stats",
+    oracle="""
+    WITH s AS (
+        SELECT c_nationkey,
+               MIN(c_acctbal) AS mn,
+               MAX(c_acctbal) AS mx,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(c_acctbal) AS av
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, 'min' AS stat, mn AS value FROM s
+    UNION ALL SELECT c_nationkey, 'max', mx FROM s
+    UNION ALL SELECT c_nationkey, 'avg', av FROM s
+    """,
+    tags=("relational", "unpivot"),
+)
+def q106_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (``stack``): wide per-nation stats back to long
+    (nationkey, stat, value) rows — the inverse of q26's pivot, closing
+    the reshape pair. stack() is a generator expression evaluated inline
+    per row (no shuffle beyond the feeding aggregate)."""
+    from ..functions.numeric import dec_avg
+
+    customer = _t(spark, sf_dir, "customer")[0]
+    s = customer.groupBy("c_nationkey").agg(
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+        dec_avg("c_acctbal", "av"),
+    )
+    return s.selectExpr(
+        "c_nationkey",
+        "stack(3, 'min', mn, 'max', mx, 'avg', av) AS (stat, value)",
+    )
+
+
+@register(
+    "q107_map_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "map-type"),
+)
+def q107_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: per-priority status→count built with
+    ``map_from_entries``, read back with ``element_at`` (missing key →
+    NULL), ``map_keys``, ``size``. The map is an INTERMEDIATE — the
+    output flattens to plain columns so the oracle needn't model map
+    rendering (DuckDB's map semantics differ; the point is Spark's map
+    functions compute the same facts)."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mp = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_map")
+    )
+    return mp.select(
+        "o_orderpriority",
+        F.size("status_map").cast("bigint").alias("n_statuses"),
+        F.element_at("status_map", "F").alias("n_f"),
+        F.element_at("status_map", "O").alias("n_o"),
+        F.element_at("status_map", "P").alias("n_p"),
+        F.map_keys("status_map").alias("statuses"),
+    )

@@ -116,6 +116,10 @@ PRIORITY: list[str] = [
     "q103_promo_revenue_share",
     "q104_sole_late_supplier",
     "q105_grouped_map_normalize",
+    "q106_unpivot_stats",
+    "q107_map_functions",
+    "q108_filtered_ann",
+    "q109_recursive_spine",
 ]
 
 

@@ -225,3 +225,44 @@ def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sort_array(F.collect_list("node")).alias("vec_ids"),
     )
+
+
+@register(
+    "q108_filtered_ann",
+    oracle=f"""
+    WITH filtered AS (
+        SELECT c.vec_id, c.embedding
+        FROM embeddings c JOIN documents d ON c.vec_id = d.doc_id
+        WHERE d.lang = 'en'
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_AB} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_AB} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN filtered c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN ({_QIDS})
+    ) t WHERE rank <= {TOPK}
+    """,
+    tags=("similarity", "ann", "filtered"),
+)
+def q108_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-DB 'metadata predicate' op):
+    top-k cosine neighbors restricted to documents with lang = 'en' —
+    the relational filter composes BEFORE the similarity scan, so the
+    selectivity cuts the distance computations proportionally (pre-filter
+    strategy; at low selectivity a post-filter over an ANN index would
+    win, which is the q56/q57 path plus this predicate)."""
+    from ..session import load_tables
+
+    emb = _emb(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    filtered = emb.join(
+        docs.filter(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return cosine_topk(filtered, queries, "vec_id", "embedding", DIM, TOPK)
