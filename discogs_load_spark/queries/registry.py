@@ -120,6 +120,7 @@ PRIORITY: list[str] = [
     "q107_map_functions",
     "q108_filtered_ann",
     "q109_recursive_spine",
+    "q110_streaming_dedup",
 ]
 
 

@@ -131,3 +131,56 @@ def q92_streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "q110_streaming_dedup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dec_sum_sql("value", "total_value")}
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q110_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the source directory contains every event
+    TWICE (two parquet dumps of the same table), the stream drops the
+    duplicates by event_id in-flight, and the post-dedup aggregate must
+    equal the single-copy batch oracle — proving rows were removed by the
+    stateful operator, not lost by the source.
+
+    Unwatermarked ``dropDuplicates`` keeps one state row per key forever —
+    correct for a drained bounded test; a production stream bounds state
+    with ``dropDuplicatesWithinWatermark`` (streaming/ops.dedup_stream),
+    which trades exactness outside the lateness horizon. Duplicates here
+    may arrive in DIFFERENT micro-batches (file order is not promised),
+    which is exactly what the unbounded state handles deterministically.
+    """
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    key = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_x2_{key}")
+    marker = os.path.join(src, "_DUP_DONE")
+    if not os.path.exists(marker):
+        events.write.mode("overwrite").parquet(src)
+        os.remove(os.path.join(src, "_SUCCESS"))
+        events.write.mode("append").parquet(src)
+        open(marker, "w").close()
+
+    deduped = read_event_stream(spark, src).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value")
+    )
+    name = f"q110_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
