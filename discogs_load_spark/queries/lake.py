@@ -42,7 +42,10 @@ _DOC_SCHEMA = T.StructType(
 
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
-    key = sf_dir.strip("/").replace("/", "_")
+    # key includes the source mtime: a regenerated fixture invalidates the
+    # cached round-trip instead of serving stale rows against a fresh oracle
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{mtime}"
     return os.path.join(tempfile.gettempdir(), f"lake_{fmt}_{key}")
 
 

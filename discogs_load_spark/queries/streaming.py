@@ -30,6 +30,14 @@ from ..streaming.ops import read_event_stream
 from .registry import register
 
 
+def _cache_key(sf_dir: str, table: str = "events") -> str:
+    """/tmp cache key for fixture-derived copies: path + source mtime, so a
+    regenerated fixture (new round, new seed) can never serve a stale copy
+    that silently diverges from the oracle's view of the same table."""
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, f"{table}.parquet")))
+    return f"{sf_dir.strip('/').replace('/', '_')}_{mtime}"
+
+
 @register(
     "q88_streaming_tumbling",
     oracle=f"""
@@ -50,8 +58,7 @@ def q88_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-materialize at microsecond precision: the raw fixture parquet is
     # TIMESTAMP(NANOS), which the streaming file source cannot read.
     # Cached per fixture dir so repeat calls (bench warm runs) skip the write.
-    key = sf_dir.strip("/").replace("/", "_")
-    src = os.path.join(tempfile.gettempdir(), f"stream_events_{key}")
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         events.write.mode("overwrite").parquet(src)
 
@@ -102,8 +109,7 @@ def q92_streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFra
     transit (count + id range per event type, all integers — exact).
     """
     events = load_tables(spark, sf_dir, ["events"])["events"]
-    key = sf_dir.strip("/").replace("/", "_")
-    src = os.path.join(tempfile.gettempdir(), f"stream_events_{key}")
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         events.write.mode("overwrite").parquet(src)
 
@@ -159,8 +165,9 @@ def q110_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the unbounded state handles deterministically.
     """
     events = load_tables(spark, sf_dir, ["events"])["events"]
-    key = sf_dir.strip("/").replace("/", "_")
-    src = os.path.join(tempfile.gettempdir(), f"stream_events_x2_{key}")
+    src = os.path.join(
+        tempfile.gettempdir(), f"stream_events_x2_{_cache_key(sf_dir)}"
+    )
     marker = os.path.join(src, "_DUP_DONE")
     if not os.path.exists(marker):
         events.write.mode("overwrite").parquet(src)
