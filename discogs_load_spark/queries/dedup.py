@@ -289,8 +289,14 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
     new_docs, corpus = docs.filter(is_new), docs.filter(~is_new)
 
-    hashed = normalized(docs, "text").select(
-        "doc_id", F.md5("norm").alias("content_hash")
+    # both split sides filter this projection; persist so the regex
+    # normalize chain runs once, not once per side
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = (
+        normalized(docs, "text")
+        .select("doc_id", F.md5("norm").alias("content_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     exact = (
         hashed.filter(is_new)

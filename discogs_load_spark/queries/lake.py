@@ -96,3 +96,52 @@ def q101_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         legs.append(_fingerprint(back, fmt))
     return legs[0].unionByName(legs[1])
+
+
+@register(
+    "q111_partitioned_lake",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+    tags=("sinks", "sources", "partitioning"),
+)
+def q111_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout: events written ``partitionBy(event_date)``,
+    then read back with a single-day predicate — the layout that makes a
+    100 TB fact table affordable to query (the scan lists ONE date
+    directory; the other 29 days are never opened). The plan must show the
+    predicate as a PartitionFilter, not a post-scan Filter — asserted in
+    tests/test_plans.py::test_partitioned_lake_prunes_partitions.
+
+    Production notes encoded here: partition by a LOW-cardinality derived
+    column (a date: ~10^3 dirs over years — never a raw id); within each
+    partition, files stay row-group sized so maxPartitionBytes splits
+    work evenly."""
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import dec_sum
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    lake = os.path.join(
+        tempfile.gettempdir(),
+        f"lake_part_{sf_dir.strip('/').replace('/', '_')}_{mtime}",
+    )
+    if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+        (
+            events.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(lake)
+        )
+    back = spark.read.parquet(lake).filter(
+        F.col("event_date") == F.lit("2024-01-15").cast("date")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value")
+    )

@@ -121,6 +121,7 @@ PRIORITY: list[str] = [
     "q108_filtered_ann",
     "q109_recursive_spine",
     "q110_streaming_dedup",
+    "q111_partitioned_lake",
 ]
 
 

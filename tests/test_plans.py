@@ -186,3 +186,13 @@ def test_incremental_dedup_no_cross_product(spark):
     kinds = join_kinds(REGISTRY["q100_incremental_dedup"].fn(spark, SF_SMALL))
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" not in kinds
+
+
+def test_partitioned_lake_prunes_partitions(spark):
+    """q111: the event_date predicate must prune at the DIRECTORY level
+    (PartitionFilters on the scan), not filter rows after reading all 30
+    days."""
+    plan = _plan(spark, "q111_partitioned_lake")
+    assert "PartitionFilters" in plan, plan
+    compact = plan.replace(" ", "")
+    assert "PartitionFilters:[]" not in compact, plan
