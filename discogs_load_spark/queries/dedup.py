@@ -332,3 +332,43 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@register(
+    "q112_fuzzy_name_match",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: near-identical part names (edit distance <=
+    2) found by a BLOCKED self-join — the equi-join on brand bounds the
+    candidate set to within-block pairs, so the quadratic Levenshtein
+    never sees the full catalog (the same blocking discipline as the LSH
+    band joins; production adds secondary blocking keys — sorted
+    neighborhood, phonetic — when one block is still too coarse).
+    Levenshtein is classical edit distance in both engines → exact
+    value-hash parity."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, (a.brand == b.brand) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )

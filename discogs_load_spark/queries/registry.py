@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     "q109_recursive_spine",
     "q110_streaming_dedup",
     "q111_partitioned_lake",
+    "q112_fuzzy_name_match",
 ]
 
 
