@@ -117,7 +117,28 @@ def kmeans(
     return assigned.select(id_col, "cluster", "cos")
 
 
-def kmeans_oracle_sql(
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iterations: int,
+) -> DataFrame:
+    """(cluster, centroid) after ``iterations`` Lloyd steps — the learned
+    centroid table an IVF index builds on (operators/similarity.
+    ivf_topk_with_centroids)."""
+    centroids = seed_centroids(emb, id_col, vec_col, k)
+    if iterations <= 1:
+        return centroids
+    assigned = assign_clusters(emb, centroids, id_col, vec_col, dim)
+    for _ in range(iterations - 2):
+        centroids = recompute_centroids(assigned, emb, id_col, vec_col)
+        assigned = assign_clusters(emb, centroids, id_col, vec_col, dim)
+    return recompute_centroids(assigned, emb, id_col, vec_col)
+
+
+def kmeans_oracle_ctes(
     table: str,
     id_col: str,
     vec_col: str,
@@ -125,23 +146,19 @@ def kmeans_oracle_sql(
     k: int,
     iterations: int,
     scale: int = 9,
-) -> str:
-    """DuckDB dual: the same unrolled iterations as chained CTEs.
+) -> tuple[list[str], str, str]:
+    """The unrolled-iteration CTE list plus the names of the final
+    assignment and final centroid CTEs — composable by downstream oracles
+    (learned-IVF probes) as well as :func:`kmeans_oracle_sql`.
 
-    The long-format (cluster, dim, val) mean uses the identical decimal
-    recipe; assignment rebuilds centroid lists with ``list(mean ORDER BY
-    dim)`` and evaluates the same left-associated cosine text.
-
-    Gotcha encoded below: the element must be widened FLOAT→DOUBLE before
-    the DECIMAL cast. Spark's side always sums the widened double
-    (``CAST(vec AS ARRAY<DOUBLE>)``); DuckDB's direct FLOAT→DECIMAL cast
-    rounds differently in the last decimal digit (~1e-9 per element),
-    which compounds across a mean and flips later-iteration assignments.
+    Note the seed CTE exposes a ``centroid`` column too, so the final
+    centroid CTE has a uniform shape at any iteration count.
     """
     cos0 = cosine_sql(f"e.{vec_col}", f"c.{vec_col}", dim, "duckdb")
     cosn = cosine_sql(f"e.{vec_col}", "c.centroid", dim, "duckdb")
     parts = [
-        f"c0 AS (SELECT {id_col} AS cluster, {vec_col} FROM {table} WHERE {id_col} < {k})",
+        f"c0 AS (SELECT {id_col} AS cluster, {vec_col}, "
+        f"{vec_col} AS centroid FROM {table} WHERE {id_col} < {k})",
         f"""a0 AS (
         SELECT {id_col}, cluster, cos FROM (
             SELECT e.{id_col}, c.cluster, {cos0} AS cos,
@@ -177,6 +194,37 @@ def kmeans_oracle_sql(
         ) WHERE rn = 1
     )"""
         )
+    return parts, f"a{iterations - 1}", f"c{iterations - 1}"
+
+
+def kmeans_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iterations: int,
+    scale: int = 9,
+) -> str:
+    """DuckDB dual of :func:`kmeans`: the same unrolled iterations as
+    chained CTEs (:func:`kmeans_oracle_ctes`).
+
+    The long-format (cluster, dim, val) mean uses the identical decimal
+    recipe; assignment rebuilds centroid lists with ``list(mean ORDER BY
+    dim)`` and evaluates the same left-associated cosine text.
+
+    Gotcha encoded in the CTE builder: the element must be widened
+    FLOAT→DOUBLE before the DECIMAL cast. Spark's side always sums the
+    widened double (``CAST(vec AS ARRAY<DOUBLE>)``); DuckDB's direct
+    FLOAT→DECIMAL cast rounds differently in the last decimal digit
+    (~1e-9 per element), which compounds across a mean and flips
+    later-iteration assignments.
+    """
+    parts, last_a, _ = kmeans_oracle_ctes(
+        table, id_col, vec_col, dim, k, iterations, scale
+    )
     return (
-        "WITH " + ",\n    ".join(parts) + f"\n    SELECT {id_col}, cluster, cos FROM a{iterations - 1}"
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT {id_col}, cluster, cos FROM {last_a}"
     )

@@ -138,6 +138,23 @@ def ivf_topk(
         F.col(vec_col).alias("centvec"),
         F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("centnorm"),
     )
+    return ivf_topk_with_centroids(corpus, queries, cent, id_col, vec_col, dim, k)
+
+
+def ivf_topk_with_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe against an arbitrary centroid table (cid, centvec,
+    centnorm) — the entry point a LEARNED index uses (k-means centroids
+    from operators/clustering.py) while :func:`ivf_topk` keeps the
+    fixed-designated-row form. Same plan shape: broadcast cell
+    assignment, equi-join probe on the cell id."""
 
     def assign(df: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent)).withColumn(

@@ -123,6 +123,9 @@ PRIORITY: list[str] = [
     "q110_streaming_dedup",
     "q111_partitioned_lake",
     "q112_fuzzy_name_match",
+    "q113_ann_ivf_learned",
+    "q114_streaming_sessions",
+    "q115_stateful_running_totals",
 ]
 
 

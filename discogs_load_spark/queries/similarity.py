@@ -266,3 +266,71 @@ def q108_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
     return cosine_topk(filtered, queries, "vec_id", "embedding", DIM, TOPK)
+
+
+IVF_LEARN_K = 4
+IVF_LEARN_ITERS = 2
+
+
+def _learned_ivf_oracle() -> str:
+    from ..operators.clustering import kmeans_oracle_ctes
+
+    parts, _, last_c = kmeans_oracle_ctes(
+        "embeddings", "vec_id", "embedding", DIM, IVF_LEARN_K, IVF_LEARN_ITERS
+    )
+    ccos = cosine_sql("e.embedding", "c.centroid", DIM, "duckdb")
+    parts.append(
+        f"""cells AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cluster AS cell, {ccos} AS ccos,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {ccos} DESC, c.cluster ASC) AS rn
+            FROM embeddings e CROSS JOIN {last_c} c
+        ) WHERE rn = 1
+    )"""
+    )
+    with_body = ",\n    ".join(parts)
+    return f"""
+    WITH {with_body}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_AB} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_AB} DESC, c.vec_id
+               ) AS rank
+        FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        WHERE q.vec_id IN ({_QIDS})
+    ) t WHERE rank <= {TOPK}
+    """
+
+
+@register(
+    "q113_ann_ivf_learned",
+    oracle=_learned_ivf_oracle(),
+    tags=("similarity", "ann", "clustering", "iterative"),
+)
+def q113_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED centroids: the q99 k-means (2 Lloyd iterations)
+    produces the centroid table, the corpus is bucketed into its Voronoi
+    cells, and the probe is the same cell-id equi-join as q57 — the full
+    build-an-ANN-index-then-query pipeline as one declarative plan, still
+    value-exact against the oracle because every stage (decimal means,
+    left-assoc cosine, struct/rn tie-breaks) is deterministic."""
+    from pyspark.sql import functions as F
+    from ..functions.vectors import norm2_sql
+    from ..operators.clustering import kmeans_centroids
+    from ..operators.similarity import ivf_topk_with_centroids
+
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_centroids(
+        emb, "vec_id", "embedding", DIM, IVF_LEARN_K, IVF_LEARN_ITERS
+    ).select(
+        F.col("cluster").alias("cid"),
+        F.col("centroid").alias("centvec"),
+        F.expr(f"sqrt({norm2_sql('centroid', DIM, 'spark')})").alias("centnorm"),
+    )
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return ivf_topk_with_centroids(
+        emb, queries, cent, "vec_id", "embedding", DIM, TOPK
+    )

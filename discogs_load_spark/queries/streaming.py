@@ -191,3 +191,154 @@ def q110_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+SESSION_GAP_HOURS = 6
+
+
+@register(
+    "q114_streaming_sessions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            > CAST({SESSION_GAP_HOURS} AS BIGINT) * 3600 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_HOURS} HOUR AS session_end,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value", "session_value")}
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "session-window"),
+)
+def q114_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows computed by the STREAMING runtime
+    (``session_window``, incremental merge state) and drained over static
+    input; the oracle derives the identical sessions with the batch
+    lag/cumsum construction (q41's), with Spark's session-end convention
+    (last event + gap). Exact value sums via the decimal recipe — a raw
+    streaming SUM(double) adds in arrival order and would be
+    hash-unstable."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
+
+    agg = (
+        read_event_stream(spark, src)
+        .withWatermark("ts", "24 hours")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_HOURS} hours").alias("sess"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"q114_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "q115_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "python-seam"),
+)
+def q115_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator under the value-hash gate:
+    per-user running totals via ``applyInPandasWithState`` (cross-batch
+    state, one emission per key per batch). The running value accumulates
+    in INTEGER CENTS — the fixture's values are exact 2-decimal amounts,
+    so cents are exact int64 and the total is order-insensitive no matter
+    how the file source batches rows (a float accumulator here would be
+    arrival-order-dependent and unable to match any oracle). The final
+    answer per user is the emission with the highest event count (both
+    fields are monotone), which must equal the batch GROUP BY."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    emitted = (
+        read_event_stream(spark, src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"q115_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the memory sink appends every per-batch emission; keep each user's
+    # final (monotone-max) state row
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("f"))
+        .select("user_id", "f.n_events", "f.total_cents")
+    )
