@@ -354,20 +354,36 @@ def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     band joins; production adds secondary blocking keys — sorted
     neighborhood, phonetic — when one block is still too coarse).
     Levenshtein is classical edit distance in both engines → exact
-    value-hash parity."""
+    value-hash parity.
+
+    Scale shape: the build side is broadcast, so the probe side is
+    round-robin repartitioned explicitly — a blocked self-join's work is
+    QUADRATIC per block, not proportional to input bytes, so scan splits
+    (sized by bytes) under-parallelize it at every scale (locally: one
+    180 KB file = one task = 16M serialized levenshtein calls). A sound
+    length-band prune (|len(a)-len(b)| <= 2 is necessary for edit
+    distance <= 2) drops candidates before the O(len^2) distance."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
     a = part.select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_brand").alias("brand"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = part.select(
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
     )
     return (
-        a.join(b, (a.brand == b.brand) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            F.broadcast(b),
+            (a.brand == b.brand)
+            & (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.length(F.col("name_a")) - F.length(F.col("name_b")))
+                <= 2
+            ),
+        )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("edit_dist") <= 2)
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.textfns import (
     doc_shingles_sql,
     norm_sql,
+    shingles_sql,
     token_count_sql,
     tokens_sql,
 )
@@ -306,10 +307,17 @@ def q91_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side. The corpus's planted near-duplicates that straddle the
     split boundary are exactly what this catches.
     """
-    docs = _docs(spark, sf_dir).withColumn(
-        "nib", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    # Materialize the token array ONCE per row before shingling: the
+    # shingle builder slices the token list 8 times, and inlining the full
+    # normalize+split pipeline into each slice re-runs the regexes ~16x
+    # per row inside Generate (which gets no common-subexpression reuse) —
+    # observed 10.9 s -> ~3 s at sf0.1 from this hoist alone.
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("nib", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        .withColumn("toks", F.expr(tokens_sql(norm_sql("text", "spark"), "spark")))
     )
-    sh = F.expr(doc_shingles_sql("text", 8, "spark"))
+    sh = F.expr(shingles_sql("toks", 8, "spark"))
     ev_sh = (
         docs.filter(F.col("nib").isin("e", "f"))
         .select(F.explode(sh).alias("sh"))
