@@ -188,8 +188,17 @@ def q105_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit in memory; the window-function dual partial-aggregates and is the
     fast path) — registered to prove the API and its oracle parity."""
     events = load_tables(spark, sf_dir, ["events"])["events"]
+    # Explicit hash repartition on the grouping key: AQE coalesces the
+    # byte-small shuffle ahead of a grouped-map into ONE partition (its
+    # advisory sizing is byte-based), which serializes the Python workers
+    # — the stage cost here is per-row Python compute, not bytes. A
+    # user-specified repartition is exempt from AQE coalescing and
+    # already satisfies the groupBy's required distribution (no second
+    # exchange). 4.6 s -> 1.8 s at sf0.1.
+    n = spark.sparkContext.defaultParallelism
     return (
         events.select("event_id", "user_id", "value")
+        .repartition(n, "user_id")
         .groupBy("user_id")
         .applyInPandas(_minmax_normalize, schema=_NORM_SCHEMA)
     )
