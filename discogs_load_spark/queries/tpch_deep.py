@@ -672,3 +672,298 @@ def q104_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# partsupp-shape adaptations. The fixture has no partsupp table, so TPC-H
+# Q2/Q9/Q11/Q16/Q20 have no faithful column-level mapping — but their PLAN
+# SHAPES (the part the optimizer must survive) do map: the part↔supplier
+# relationship lives in lineitem here. Each query below names the shape it
+# preserves and what stands in for the missing columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_cheapest_supplier",
+    oracle="""
+    WITH eur_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    offers AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey AS b_partkey, MIN(unit_price) AS min_price
+        FROM offers GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_price
+    FROM part
+    JOIN offers ON p_partkey = l_partkey
+    JOIN best ON l_partkey = b_partkey AND unit_price = min_price
+    JOIN eur_supp ON l_suppkey = s_suppkey
+    WHERE p_size = 15 AND p_type = 'SMALL'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "tpch", "correlated-subquery"),
+)
+def q117_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 SHAPE (min-cost supplier per part via correlated scalar
+    subquery, region-restricted). ps_supplycost is absent, so the offered
+    unit price is derived from lineitem (MIN over a supplier's shipments
+    of extendedprice/quantity — an exact per-row IEEE division, so MIN and
+    the equality join-back are bit-identical across engines).
+
+    Plan shape preserved: the correlated "= (SELECT MIN ...)" becomes a
+    tiny per-part aggregate joined back by (partkey, price) equality —
+    at 100 TB the aggregate side is |parts| rows, broadcast by AQE, never
+    a window over the fact table. The region filter semi-joins lineitem
+    BEFORE the per-(part,supplier) aggregate, so the shuffled agg input
+    is already pruned to ~1/5 of suppliers."""
+    part, supplier, lineitem, nation, region = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    eur_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.join(
+            eur_supp.select("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.expr("l_extendedprice / l_quantity")).alias("unit_price"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    sized = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_type")
+    return (
+        sized.join(offers, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_price")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_PROFIT = "l_extendedprice * (1 - l_discount) - l_quantity * p_retailprice * 0.01"
+
+
+@register(
+    "q118_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           {dec_sum_sql(_PROFIT, "sum_profit")}
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "tpch", "deep"),
+)
+def q118_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 SHAPE (product-type profit by nation and year): 5-table
+    join with a LIKE-substring part filter, per-row profit arithmetic,
+    nation/year rollup. The missing ps_supplycost is replaced by a
+    retailprice-derived cost (one per-row double expression, textually
+    identical in both dialects; summed with the exact decimal recipe).
+
+    Scale shape: the selective p_name filter broadcasts into the lineitem
+    join (runtime bloom filter prunes the fact scan); lineitem⋈orders is
+    the one big orderkey shuffle; supplier/nation broadcast."""
+    part, supplier, lineitem, orders, nation = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    bolts = part.filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    j = (
+        lineitem.join(bolts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(_PROFIT).alias("__p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dec_sum("__p", "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q11_FRACTION = 0.0008
+
+
+@register(
+    "q119_important_parts",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_partkey, {dec_sum_sql(_REV, "part_value")}
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT {dec_sum_sql(_REV, "total_value")} FROM lineitem
+    )
+    SELECT l_partkey, part_value
+    FROM pv, tot
+    WHERE part_value > total_value * {Q11_FRACTION}
+    ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("tpch", "scalar-subquery", "threshold"),
+)
+def q119_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 SHAPE (keys whose aggregate value exceeds a FRACTION of
+    the global total — the global-scalar-subquery threshold). Value =
+    lineitem revenue per part (partsupp's availqty*supplycost is absent).
+
+    Scale shape: one shuffle for the per-part aggregate; the global total
+    is a second map-side-partial aggregate reduced to ONE row and
+    cross-joined (broadcast) as the threshold — never a window over the
+    fact, never a second full shuffle. Both sums use the exact decimal
+    recipe, so the > comparison is bit-identical across engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")[0]
+    pv = lineitem.groupBy("l_partkey").agg(dec_sum(_REV, "part_value"))
+    tot = lineitem.select(F.expr(_REV).alias("__r")).agg(
+        dec_sum("__r", "total_value")
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total_value") * Q11_FRACTION)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q120_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "anti-join", "count-distinct"),
+)
+def q120_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 SHAPE (supplier variety per part attribute group, with a
+    NOT-IN supplier exclusion): COUNT(DISTINCT supplier) grouped by
+    (brand, type, size), suppliers related to parts through lineitem, and
+    the "complaints" exclusion mapped to negative account balance.
+
+    Scale shape: the NOT IN becomes a broadcast anti-join (the exclusion
+    list is tiny at any SF — it's a filtered dimension); COUNT DISTINCT
+    shuffles on the group key with partial distinct map-side. Key-never-
+    null makes NOT IN ≡ anti-join (no three-valued-logic trap)."""
+    part, supplier, lineitem = _t(spark, sf_dir, "part", "supplier", "lineitem")
+    sized = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(sized, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q20_QTY_THRESHOLD = 60
+
+
+@register(
+    "q121_excess_shippers",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, {dec_sum_sql("l_quantity", "qty")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped WHERE qty > {Q20_QTY_THRESHOLD}
+    )
+    ORDER BY s_name
+    """,
+    tags=("tpch", "nested-subquery", "semi-join"),
+)
+def q121_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 SHAPE (the doubly-nested IN: suppliers who shipped an
+    excess quantity of name-filtered parts in a year window). The
+    availqty > 0.5*sum(qty) correlation needs partsupp; the stand-in is a
+    fixed per-(part,supplier) annual quantity threshold — same nesting:
+    part-name IN-subquery inside the shipped aggregate, whose qualifying
+    supplier set feeds the outer IN.
+
+    Scale shape: both INs are semi-joins (the part filter broadcast into
+    the lineitem scan via runtime bloom filter; the supplier set tiny);
+    the only shuffle is the (partkey, suppkey) aggregate, date-pruned at
+    the scan."""
+    part, supplier, lineitem, nation = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation"
+    )
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dec_sum("l_quantity", "qty"))
+        .filter(F.col("qty") > Q20_QTY_THRESHOLD)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
