@@ -126,6 +126,7 @@ PRIORITY: list[str] = [
     "q113_ann_ivf_learned",
     "q114_streaming_sessions",
     "q115_stateful_running_totals",
+    "q116_stream_stream_join",
     "q117_cheapest_supplier",
     "q118_product_profit",
     "q119_important_parts",

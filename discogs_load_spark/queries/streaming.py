@@ -342,3 +342,50 @@ def q115_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "total_cents")).alias("f"))
         .select("user_id", "f.n_events", "f.total_cents")
     )
+
+
+@register(
+    "q116_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_event, p.user_id AS p_user,
+           c.event_id AS c_event, c.ts AS c_ts, c.value AS c_value
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def q116_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases ⋈ same-user clicks within
+    the following hour) executed by the STREAMING runtime — two
+    watermarked file-source streams, state-store-backed join, drained to
+    completion — against the batch interval-join oracle. Inner join
+    results emit as matches arrive (append mode); the two-sided time
+    bound in the condition is what lets the state store evict buffered
+    rows (streaming/ops.purchase_click_join docstring). No float
+    aggregation anywhere, so the row set is trivially deterministic."""
+    from ..streaming.ops import purchase_click_join
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
+
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_event_stream(spark, src).filter(F.col("event_type") == "click")
+    joined = purchase_click_join(purchases, clicks, horizon="1 hour")
+    name = f"q116_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
