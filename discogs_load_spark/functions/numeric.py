@@ -80,3 +80,15 @@ def dec_sum(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> Colu
 
 def dec_avg(expr: str, alias: str, scale: int = SCALE, prec: int = PREC) -> Column:
     return F.expr(dec_avg_sql(expr, alias, scale, prec).rsplit(" AS ", 1)[0]).alias(alias)
+
+
+def epoch_us(col: str | Column) -> Column:
+    """Microseconds since epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (parquet files whose timestamps
+    lack isAdjustedToUTC read as NTZ under Spark's NTZ inference). The engine
+    pins the session timezone to UTC (session.py), so casting NTZ -> TIMESTAMP
+    is value-preserving and this is deterministic for both input types.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

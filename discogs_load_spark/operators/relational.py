@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from ..functions.numeric import epoch_us
+
 
 def first_wins_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
     """Keep exactly one row per key: the first under ``order_cols``.
@@ -142,8 +144,8 @@ def range_join_bucketized(
     match density per bucket. Column names must be disjoint across sides.
     """
     width_us = max(upper_s - lower_s, 1) * 1_000_000
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    l_us = epoch_us(left_ts)
+    r_us = epoch_us(right_ts)
     l2 = left.withColumn(
         "__bkt",
         F.explode(
@@ -179,10 +181,10 @@ def sessionize(
     order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
     w = W.partitionBy(*key_cols).orderBy(*order)
     gap_us = gap_seconds * 1_000_000
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(epoch_us(ts_col)).over(w)
     new_session = (
         F.when(prev_us.isNull(), 1)
-        .when(F.unix_micros(F.col(ts_col)) - prev_us > gap_us, 1)
+        .when(epoch_us(ts_col) - prev_us > gap_us, 1)
         .otherwise(0)
     )
     w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.numeric import epoch_us
 from ..session import load_tables
 from .registry import register
 
@@ -90,7 +91,7 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_purchase"))
     )
     lag = p.join(v, "user_id").select(
-        (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias("us")
+        (epoch_us("t_purchase") - epoch_us("t_view")).alias("us")
     )
     counts = (
         v.agg(F.count(F.lit(1)).alias("n_view"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.numeric import dec_sum, dec_sum_sql
+from ..functions.numeric import dec_sum, dec_sum_sql, epoch_us
 from ..operators.relational import asof_join, sessionize
 from ..session import load_tables
 from .registry import register
@@ -137,7 +137,7 @@ def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "click_ts",
         "click_event_id",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("click_ts")).alias("gap_us"),
     )
 
 
