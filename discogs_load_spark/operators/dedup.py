@@ -447,3 +447,66 @@ def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
         .filter(F.size("__sh") > 0)
         .select(F.col(id_col), F.expr(val).alias("simhash"))
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (PPJoin family):
+    all pairs with shingle-set Jaccard >= ``threshold``, NO approximation.
+
+    The LSH path (minhash_signatures -> lsh_candidate_pairs) is probabilistic:
+    a pair above threshold can miss every band. Prefix filtering is the exact
+    alternative: order each record's shingle set by ascending global document
+    frequency (rarest first, shingle text as tie-break) and keep only the
+    first ``|S| - floor(t*|S|) + 1`` shingles as its *prefix*. Two sets with
+    Jaccard >= t must share at least ``ceil(t*|S|)`` elements, so their
+    prefixes must intersect — candidates = equi-join on prefix shingles,
+    then exact Jaccard verification. (Prefix length uses floor, one longer
+    than the canonical ``|S| - ceil(t*|S|) + 1``, so float rounding of
+    ``t*|S|`` can only add candidates, never drop a true pair.)
+
+    Scale shape (100 TB story):
+      - document frequency is one map-side-combinable groupBy over (id,
+        shingle) pairs;
+      - the rarest-first ordering makes join buckets small by construction —
+        a shingle shared by millions of docs is almost never in anyone's
+        prefix, the opposite of LSH's mega-bucket failure mode (no cap
+        heuristic needed);
+      - per-doc work is two window functions over the same doc-id partition
+        (one shuffle), bounded by max document length, not corpus size;
+      - never all-pairs: the only joins are equi-joins on shingle / doc id.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b — identical semantics to
+    the plain all-pairs Jaccard join, so the oracle can be the exact
+    formulation.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = shingled(df, id_col, text_col, k).distinct()
+    doc_freq = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    by_doc = W.partitionBy(id_col)
+    rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
+    prefixes = (
+        pairs.join(doc_freq, "sh")
+        .withColumn("__sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn("__rn", F.row_number().over(rarest_first))
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.floor(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select(id_col, "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = prefixes.withColumnRenamed(id_col, "id_a")
+    b = prefixes.withColumnRenamed(id_col, "id_b")
+    candidates = (
+        a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(df, candidates, id_col, text_col, k, threshold)

@@ -31,6 +31,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     normalized,
+    prefix_filter_jaccard_pairs,
     simhash,
     simhash_near_dup_pairs,
 )
@@ -387,4 +388,28 @@ def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("edit_dist") <= 2)
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+@register(
+    "q123_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents)
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {_JACC} AS jaccard
+    FROM sets sa
+    JOIN sets sb ON sa.doc_id < sb.doc_id
+    WHERE len(sa.shset) > 0 AND len(sb.shset) > 0
+      AND {_JACC} >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "exact"),
+)
+def q123_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup join via prefix filtering (PPJoin family) — the
+    zero-false-negative alternative to the MinHash-LSH path (q52): order
+    each shingle set rarest-global-token-first, equi-join on the short
+    prefixes, verify exact Jaccard. The oracle is therefore the plain
+    all-pairs formulation — on this corpus both paths recover exactly the
+    planted near-duplicate pairs, but only this one is guaranteed to."""
+    return prefix_filter_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
     )

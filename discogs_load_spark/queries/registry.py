@@ -132,6 +132,8 @@ PRIORITY: list[str] = [
     "q119_important_parts",
     "q120_supplier_part_counts",
     "q121_excess_shippers",
+    "q122_forecast_revenue",
+    "q123_prefix_filter_jaccard",
 ]
 
 

@@ -18,6 +18,7 @@ plumbing only — production composes writeStream.foreachBatch → JDBC/parquet
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -28,6 +29,31 @@ from ..functions.numeric import dec_sum, dec_sum_sql
 from ..session import load_tables
 from ..streaming.ops import read_event_stream
 from .registry import register
+
+
+STREAM_DRAIN_PARTITIONS = "8"
+
+
+@contextlib.contextmanager
+def _stream_drain_conf(spark: SparkSession):
+    """Scoped shuffle-partition override for bounded streaming drains.
+
+    A streaming query materializes one state store (and its per-batch
+    version files) PER shuffle partition PER stateful operator, so the
+    fixed cost of draining a small bounded stream is dominated by
+    ``spark.sql.shuffle.partitions`` — 32 stores x versions for kilobytes
+    of state. 8 keeps all cores busy at bench scale while quartering the
+    state-store churn. This is the standard deployment-sizing knob (state
+    partition count is pinned by the checkpoint at first start); a real
+    24/7 stream at 100 TB/day sizes it to the cluster instead — nothing
+    about the operators changes.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_DRAIN_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _cache_key(sf_dir: str, table: str = "events") -> str:
@@ -77,11 +103,12 @@ def q88_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q88_sink_{uuid.uuid4().hex[:8]}"
     # complete mode: append would withhold windows still inside the
     # watermark horizon at end-of-stream
-    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_drain_conf(spark):
+        q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -118,16 +145,17 @@ def q92_streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFra
     def land(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        read_event_stream(spark, src)
-        .writeStream.foreachBatch(land)
-        .option("checkpointLocation", os.path.join(out, "_chk"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_drain_conf(spark):
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(out, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -180,16 +208,17 @@ def q110_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value")
     )
     name = f"q110_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -259,16 +288,17 @@ def q114_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"q114_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -324,16 +354,17 @@ def q115_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"q115_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        emitted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_drain_conf(spark):
+        q = (
+            emitted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # the memory sink appends every per-batch emission; keep each user's
     # final (monotone-max) state row
     return (
@@ -378,14 +409,15 @@ def q116_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = read_event_stream(spark, src).filter(F.col("event_type") == "click")
     joined = purchase_click_join(purchases, clicks, horizon="1 hour")
     name = f"q116_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_drain_conf(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)

@@ -967,3 +967,42 @@ def q121_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "q122_forecast_revenue",
+    oracle=f"""
+    SELECT {dec_sum_sql("l_extendedprice * l_discount", "revenue_delta")},
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "scan", "pushdown"),
+)
+def q122_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan -> filter -> global aggregate, zero joins.
+
+    The canonical predicate-pushdown benchmark: every filter (shipdate
+    range, discount band, quantity cap) reaches the parquet scan as a
+    PushedFilter and the ReadSchema is 4 columns, so at 100 TB the scan
+    reads a fraction of the fact table and the aggregate is one map-side
+    partial + a single-row final — no shuffle of any data to speak of.
+    test_plans asserts the pushdown actually happens.
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum("l_extendedprice * l_discount", "revenue_delta"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
