@@ -115,3 +115,25 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark):
+    """Prefix filtering is EXACT: its output must equal the all-pairs
+    Jaccard join on the same corpus — including pairs whose shingle sets
+    differ in size (the case the prefix-length bound has to survive)."""
+    from discogs_load_spark.operators.dedup import (
+        jaccard_verify,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    got = prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    all_pairs = ids.join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
+    want = jaccard_verify(docs, all_pairs, "doc_id", "text", threshold=0.7)
+    got_rows = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in got.collect())
+    want_rows = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in want.collect())
+    assert got_rows == want_rows and len(want_rows) > 0

@@ -196,3 +196,27 @@ def test_partitioned_lake_prunes_partitions(spark):
     assert "PartitionFilters" in plan, plan
     compact = plan.replace(" ", "")
     assert "PartitionFilters:[]" not in compact, plan
+
+
+def test_forecast_revenue_pushes_all_filters(spark):
+    """q122 (TPC-H Q6 shape) is the canonical pushdown check: every
+    predicate reaches the parquet scan and the ReadSchema carries only the
+    4 referenced lineitem columns."""
+    plan = _plan(spark, "q122_forecast_revenue")
+    flat = plan.replace(" ", "")
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThan({col}" in flat or f"LessThan({col}" in flat or \
+            f"GreaterThanOrEqual({col}" in flat or f"LessThanOrEqual({col}" in flat, col
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read, col
+
+
+def test_prefix_filter_join_is_equi_join(spark):
+    """q123's candidate generation must be an equi-join on prefix shingles
+    — never all-pairs — exactly like the LSH paths it complements."""
+    plan = _plan(spark, "q123_prefix_filter_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
