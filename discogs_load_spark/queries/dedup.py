@@ -310,9 +310,17 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
+    # one signature pass over the WHOLE corpus, split afterwards — the
+    # normalize→shingle→minhash chain is the dominant per-row cost, and at
+    # production scale the corpus side is a precomputed index anyway; two
+    # per-side chains would recompute it for every delta screen
+    is_new_sig = (F.col("doc_id") % NEW_MOD) == NEW_REM
+    sigs = minhash_signatures(docs, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_bipartite_candidates(
-        minhash_signatures(new_docs, "doc_id", "text"),
-        minhash_signatures(corpus, "doc_id", "text"),
+        sigs.filter(is_new_sig),
+        sigs.filter(~is_new_sig),
         "doc_id",
     )
     near = (
