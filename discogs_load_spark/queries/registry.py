@@ -134,6 +134,7 @@ PRIORITY: list[str] = [
     "q121_excess_shippers",
     "q122_forecast_revenue",
     "q123_prefix_filter_jaccard",
+    "q124_vocab_topk",
 ]
 
 

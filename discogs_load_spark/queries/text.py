@@ -235,3 +235,66 @@ def q66_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text") - (RH_K - 1), F.lit(0)
         ).alias("n_windows"),
     )
+
+
+VOCAB_TOP_N = 200
+
+
+@register(
+    "q124_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_D_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS term_freq,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM tok GROUP BY token
+    )
+    SELECT token, term_freq, doc_freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY term_freq DESC, token) AS INT) AS rank
+    FROM counts
+    ORDER BY term_freq DESC, token
+    LIMIT {VOCAB_TOP_N}
+    """,
+    tags=("text", "vocab", "tokenizer"),
+)
+def q124_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder (tokenizer-training precursor): top-N
+    tokens by corpus term frequency with per-token document frequency,
+    deterministic lexical tie-break.
+
+    Scale shape: explode->groupBy is ONE map-side-combinable shuffle keyed
+    by token (partial counts collapse within each scan task, so bytes
+    shuffled ~ |vocab| x partitions, not |corpus tokens|); doc_freq rides
+    the same aggregate via COUNT(DISTINCT doc_id), which Spark expands to
+    a two-phase partial-distinct plan — still token-keyed, never a second
+    corpus scan. The global top-N over |vocab| rows is
+    TakeOrderedAndProject, not a full sort. The corpus-frequency ordering
+    this emits is exactly what the prefix-filter join (q123) consumes as
+    its rarest-first canonical order.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))).alias(
+            "token"
+        ),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    # top-N FIRST (TakeOrderedAndProject over |vocab|), then rank the N
+    # survivors — the single-partition window only ever sees the constant
+    # VOCAB_TOP_N rows, never the vocabulary
+    from pyspark.sql import Window as W
+
+    top = counts.orderBy(F.col("term_freq").desc(), "token").limit(VOCAB_TOP_N)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("term_freq").desc(), F.col("token")))
+        .cast("int"),
+    )

@@ -220,3 +220,11 @@ def test_prefix_filter_join_is_equi_join(spark):
     plan = _plan(spark, "q123_prefix_filter_jaccard")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_topk_bounds_global_window(spark):
+    """q124's global rank window must sit ABOVE the top-N cut: the plan
+    takes TakeOrderedAndProject over the vocabulary first, so the
+    single-partition window only ever sees VOCAB_TOP_N rows."""
+    plan = _plan(spark, "q124_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
