@@ -135,6 +135,7 @@ PRIORITY: list[str] = [
     "q122_forecast_revenue",
     "q123_prefix_filter_jaccard",
     "q124_vocab_topk",
+    "q125_decontaminated_corpus",
 ]
 
 

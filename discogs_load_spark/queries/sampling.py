@@ -406,3 +406,62 @@ def q87_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df", "score")
         .orderBy("doc_id", F.desc("score"), "token")
     )
+
+
+@register(
+    "q125_decontaminated_corpus",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({doc_shingles_sql('text', 8, 'duckdb')}) AS sh
+        FROM documents WHERE {_NIB_SQL} IN ('e', 'f')
+    ),
+    tr AS (
+        SELECT doc_id, source,
+               len({tokens_sql(norm_sql('text', 'duckdb'), 'duckdb')}) AS n_tokens
+        FROM documents WHERE {_NIB_SQL} NOT IN ('c', 'd', 'e', 'f')
+    ),
+    trs AS (
+        SELECT doc_id, unnest({doc_shingles_sql('text', 8, 'duckdb')}) AS sh
+        FROM documents WHERE {_NIB_SQL} NOT IN ('c', 'd', 'e', 'f')
+    ),
+    contam AS (
+        SELECT DISTINCT doc_id FROM trs WHERE sh IN (SELECT sh FROM ev)
+    )
+    SELECT tr.doc_id, tr.source, CAST(tr.n_tokens AS BIGINT) AS n_tokens
+    FROM tr ANTI JOIN contam c ON tr.doc_id = c.doc_id
+    """,
+    tags=("sampling", "documents", "dedup", "pipeline"),
+)
+def q125_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining gate: hash-routed TRAIN split (q84's
+    routing) MINUS every document sharing a word 8-gram with the held-out
+    TEST split (q91's inverted-index screen) — emitted as the per-document
+    training manifest (doc_id, source, n_tokens) a downstream packer
+    (q90) would consume.
+
+    Same scale shape as q91 — the eval shingle set is benchmark-sized and
+    broadcast, train shingles stream through a left_anti equi-join, never
+    doc x doc — but composed end-to-end: route, screen, emit. At 100 TB
+    the only corpus-sized shuffle is the explode->semi-join on shingle.
+    """
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("nib", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        .withColumn("toks", F.expr(tokens_sql(norm_sql("text", "spark"), "spark")))
+    )
+    sh = F.expr(shingles_sql("toks", 8, "spark"))
+    ev_sh = (
+        docs.filter(F.col("nib").isin("e", "f"))
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(~F.col("nib").isin("c", "d", "e", "f"))
+    contam = (
+        train.select("doc_id", F.explode(sh).alias("sh"))
+        .join(F.broadcast(ev_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(contam, "doc_id", "left_anti").select(
+        "doc_id", "source", F.size("toks").cast("bigint").alias("n_tokens")
+    )
