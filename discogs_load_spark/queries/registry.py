@@ -136,6 +136,7 @@ PRIORITY: list[str] = [
     "q123_prefix_filter_jaccard",
     "q124_vocab_topk",
     "q125_decontaminated_corpus",
+    "q126_source_mix",
 ]
 
 

@@ -465,3 +465,82 @@ def q125_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(contam, "doc_id", "left_anti").select(
         "doc_id", "source", F.size("toks").cast("bigint").alias("n_tokens")
     )
+
+
+# keep the md5-first 2/5 of each source's token mass (integer-exact ratio
+# test: cum*5 < total*2 — no float threshold to disagree on)
+MIX_NUM, MIX_DEN = 2, 5
+
+
+@register(
+    "q126_source_mix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len({tokens_sql(norm_sql('text', 'duckdb'), 'duckdb')}) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before,
+               SUM(n_tokens) OVER (PARTITION BY source) AS total_tokens
+        FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(MAX(total_tokens) AS BIGINT) AS source_tokens
+    FROM cum
+    WHERE cum_before * {MIX_DEN} < total_tokens * {MIX_NUM}
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("sampling", "documents", "mixing"),
+)
+def q126_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data mixing: subsample each source to a fixed fraction
+    of its token mass (2/5 here), choosing documents in deterministic
+    md5-of-id order — the shuffle-proof, seed-free way to hit a target
+    mix ratio that stays stable when the corpus regrows.
+
+    Budget test is integer-exact (cum*5 < total*2): no float threshold
+    for two engines to round differently. Scale note: the running sum is
+    one window per source partition — fine while a single source fits a
+    partition's worth of ROWS metadata (the doc rows themselves are
+    skinny: id, count, hash). A web-scale single-source corpus would use
+    the two-phase form: estimate the hash cutoff from a coarse
+    per-hash-bucket token histogram (one groupBy), then exact-scan only
+    the boundary bucket — same answer, no giant window (the q85
+    pre-filter trick restated for quotas).
+    """
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.expr(tokens_sql(norm_sql("text", "spark"), "spark")))
+    )
+    w_ord = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    kept = (
+        docs.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w_ord), F.lit(0))
+        )
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+        .filter(
+            F.col("cum_before") * MIX_DEN < F.col("total_tokens") * MIX_NUM
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.max("total_tokens").cast("bigint").alias("source_tokens"),
+        )
+        .orderBy("source")
+    )
