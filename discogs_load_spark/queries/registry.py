@@ -137,6 +137,7 @@ PRIORITY: list[str] = [
     "q124_vocab_topk",
     "q125_decontaminated_corpus",
     "q126_source_mix",
+    "q127_stream_static_join",
 ]
 
 

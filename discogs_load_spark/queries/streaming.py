@@ -421,3 +421,55 @@ def q116_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@register(
+    "q127_stream_static_join",
+    oracle=f"""
+    SELECT COALESCE(c_mktsegment, 'unknown') AS segment,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value", "total_value")}
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY COALESCE(c_mktsegment, 'unknown')
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def q127_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining Structured Streaming
+    join type after q116's stream-stream: the event stream left-joins a
+    static dimension (customer) per micro-batch, so the dimension is
+    re-broadcast per batch with NO state store involved (the static side
+    is not stateful; unmatched users surface as 'unknown' instead of
+    silently dropping). Aggregated by market segment with the decimal-sum
+    recipe so the drained result is hash-stable against the batch oracle.
+    """
+    tables = load_tables(spark, sf_dir, ["events", "customer"])
+    events, customer = tables["events"], tables["customer"]
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
+
+    enriched = read_event_stream(spark, src).join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("user_id") == F.col("c_custkey"),
+        "left",
+    )
+    agg = (
+        enriched.groupBy(
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+    )
+    name = f"q127_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_drain_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
