@@ -138,6 +138,7 @@ PRIORITY: list[str] = [
     "q125_decontaminated_corpus",
     "q126_source_mix",
     "q127_stream_static_join",
+    "q128_embedding_quantize",
 ]
 
 

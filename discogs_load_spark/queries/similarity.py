@@ -334,3 +334,82 @@ def q113_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_with_centroids(
         emb, queries, cent, "vec_id", "embedding", DIM, TOPK
     )
+
+
+@register(
+    "q128_embedding_quantize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT idx,
+               MIN(CAST(val AS DOUBLE)) AS mn,
+               MAX(CAST(val AS DOUBLE)) AS mx
+        FROM dims GROUP BY idx
+    ),
+    q AS (
+        SELECT d.vec_id, d.idx,
+               CAST(CASE WHEN s.mx = s.mn THEN 0
+                    ELSE ROUND(((CAST(d.val AS DOUBLE) - s.mn) * 255.0)
+                               / (s.mx - s.mn))
+               END AS INT) AS code
+        FROM dims d JOIN stats s ON d.idx = s.idx
+    )
+    SELECT vec_id,
+           list(code ORDER BY idx) AS codes,
+           CAST(SUM(code) AS BIGINT) AS code_l1
+    FROM q GROUP BY vec_id
+    """,
+    tags=("similarity", "quantization", "vector-infra"),
+)
+def q128_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8-range (0..255) quantization of the embedding
+    column — the storage-compression pass a vector index runs before
+    sharding: global per-dim min/max (one skinny aggregate over the
+    posexploded dims, map-side partial), broadcast back, affine scale +
+    round per element.
+
+    Determinism: min/max are exact (order-insensitive), and the quantize
+    expression is the same double arithmetic tree in both engines —
+    identical parenthesization, CAST to DOUBLE before any op, ROUND
+    half-up away from zero on non-negative inputs. The int codes then sum
+    exactly (code_l1). At 100 TB the stats side is 64 rows; the rebuild
+    is one groupBy per vec_id with sorted struct collect — shuffle bytes
+    ~ corpus dims as ints, the same cost as writing the quantized index.
+    """
+    dims = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("idx", "val")
+    )
+    stats = dims.groupBy("idx").agg(
+        F.min(F.col("val").cast("double")).alias("mn"),
+        F.max(F.col("val").cast("double")).alias("mx"),
+    )
+    q = dims.join(F.broadcast(stats), "idx").select(
+        "vec_id",
+        "idx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.round(
+                ((F.col("val").cast("double") - F.col("mn")) * 255.0)
+                / (F.col("mx") - F.col("mn"))
+            )
+        )
+        .cast("int")
+        .alias("code"),
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "code"))).alias("__s"),
+            F.sum("code").cast("bigint").alias("code_l1"),
+        )
+        .select(
+            "vec_id",
+            F.transform("__s", lambda s: s["code"]).alias("codes"),
+            "code_l1",
+        )
+    )
