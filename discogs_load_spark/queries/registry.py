@@ -139,6 +139,7 @@ PRIORITY: list[str] = [
     "q126_source_mix",
     "q127_stream_static_join",
     "q128_embedding_quantize",
+    "q129_ann_recall",
 ]
 
 

@@ -19,7 +19,7 @@ from ..operators.similarity import (
     lsh_topk,
 )
 from ..session import load_tables
-from .registry import register
+from .registry import REGISTRY, register
 
 DIM = 64
 TOPK = 10
@@ -412,4 +412,79 @@ def q128_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("__s", lambda s: s["code"]).alias("codes"),
             "code_l1",
         )
+    )
+
+
+def _recall_oracle() -> str:
+    exact = REGISTRY["q55_ann_bruteforce_topk"].oracle
+    lsh = REGISTRY["q56_ann_lsh_topk"].oracle
+    ivf = REGISTRY["q57_ann_ivf"].oracle
+    legs = []
+    for method, approx in (("ivf", ivf), ("lsh", lsh)):
+        legs.append(f"""
+        SELECT '{method}' AS method, e.query_id,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits
+        FROM exact e LEFT JOIN ({approx}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id""")
+    union = " UNION ALL ".join(legs)
+    return f"""
+    WITH exact AS ({exact})
+    SELECT method, query_id, hits,
+           CAST(hits AS DOUBLE) / {TOPK} AS recall_at_k
+    FROM ({union})
+    """
+
+
+@register(
+    "q129_ann_recall",
+    oracle=_recall_oracle(),
+    tags=("similarity", "evaluation"),
+)
+def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index self-evaluation: recall@k of the LSH and IVF approximate
+    indexes against the brute-force exact top-k, per query — 'measure,
+    don't guess' as a first-class query. The oracle is COMPOSED from the
+    three registered oracles (q55/q56/q57 text reused verbatim), so the
+    referee measures recall over independently-recomputed rankings.
+
+    recall = hits / k is an integer divided by a constant — no float
+    aggregation to destabilize the hash. Scale: both join sides are
+    |queries| x k rows; the expensive parts are the index scans already
+    characterized by q55-q57.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", DIM, TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    approx = {
+        "lsh": lsh_topk(emb, queries, "vec_id", "embedding", DIM, TOPK, ANN_PLANES),
+        "ivf": ivf_topk(emb, queries, "vec_id", "embedding", DIM, TOPK, IVF_CENTROID_IDS),
+    }
+    legs = []
+    for method, a in approx.items():
+        hit = a.select(
+            F.col("query_id").alias("aq"),
+            F.col("neighbor_id").alias("an"),
+            F.lit(1).alias("__hit"),
+        )
+        legs.append(
+            exact.join(
+                hit,
+                (F.col("query_id") == F.col("aq"))
+                & (F.col("neighbor_id") == F.col("an")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits"))
+            .select(F.lit(method).alias("method"), "query_id", "hits")
+        )
+    out = legs[0].unionByName(legs[1])
+    return out.select(
+        "method",
+        "query_id",
+        "hits",
+        (F.col("hits").cast("double") / TOPK).alias("recall_at_k"),
     )
