@@ -29,12 +29,23 @@ def spark():
     spark.stop()
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def duck():
-    """DuckDB connection with the same fixture views the driver registers."""
+    """DuckDB connection with the same fixture views the driver registers.
+
+    Function-scoped + memory-capped: a suite-long shared connection
+    accumulates buffer-pool state across ~125 oracle queries and
+    eventually throws hard bad_alloc on an arbitrary small allocation
+    (observed repeatedly, different victim test each run). A fresh
+    connection per test releases everything; the explicit cap + spill
+    dir bound any single oracle."""
+    import tempfile
+
     import duckdb
 
     con = duckdb.connect()
+    con.execute("SET memory_limit='12GB'")
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'")
     yield con
     con.close()
 

@@ -6,6 +6,8 @@ from collections import Counter
 from datetime import datetime
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e
+import tempfile
+
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -22,6 +24,8 @@ assert n > 0
 
 SF = "/root/testdata/sf0.01"
 con = duckdb.connect()
+con.execute("SET memory_limit='12GB'")  # don't fight the Spark JVM for RAM
+con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
