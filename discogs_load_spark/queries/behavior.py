@@ -198,3 +198,123 @@ def q83_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+PR_SCALE = 1_000_000_000
+PR_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 10-iteration PageRank as chained CTEs (the same shape the
+    Spark side builds declaratively). All arithmetic is BIGINT with
+    integer division, so every iteration is bitwise identical in both
+    engines — no float mass to drift."""
+    head = f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ),
+    edges AS (
+        SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM seq WHERE nxt IS NOT NULL GROUP BY src, nxt
+    ),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    base AS (
+        SELECT CAST(CAST(15 AS BIGINT) * {PR_SCALE} // (100 * COUNT(*)) AS BIGINT) AS b,
+               CAST({PR_SCALE} // COUNT(*) AS BIGINT) AS r0
+        FROM nodes
+    ),
+    pr0 AS (SELECT node, (SELECT r0 FROM base) AS r FROM nodes)"""
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f"""
+    c{i} AS (
+        SELECT e.dst AS node,
+               SUM((p.r * 85 * e.w) // (100 * o.ow)) AS contrib
+        FROM edges e
+        JOIN pr{i} p ON p.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    pr{i + 1} AS (
+        SELECT n.node,
+               CAST((SELECT b FROM base) + COALESCE(c.contrib, 0) AS BIGINT) AS r
+        FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, r AS rank_scaled FROM pr{PR_ITERS} ORDER BY node
+    """
+    )
+
+
+@register(
+    "q130_event_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "events"),
+)
+def q130_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-transition graph (damping 0.85, 10
+    iterations, simplified/no-dangling-redistribution form) — the third
+    iterative algorithm under the value-hash gate after k-means (q99) and
+    connected components (q89), and like them built as ONE declarative
+    plan: the power iteration is unrolled into 10 join+aggregate rounds.
+
+    Exactness: ranks live in integer billionths (PR_SCALE); each edge
+    contribution is (r * 85 * w) div (100 * outw) in BIGINT — integer
+    division makes every round bitwise reproducible in any engine, which
+    a float power iteration cannot promise (its additions reassociate
+    under shuffle). Scale shape: the per-round join is edges ⋈ ranks —
+    ranks is |nodes| rows (broadcast), edges is partitioned by src and
+    REUSED across all rounds from one persisted aggregate; nothing
+    corpus-sized moves after the transition count."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w_seq).alias("nxt")
+    )
+    edges = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    from pyspark.storagelevel import StorageLevel
+
+    graph = edges.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    # node cardinality as a broadcast 1-row aggregate, NOT a driver-side
+    # count() — the whole power iteration stays one declarative plan
+    consts = nodes.agg(
+        F.expr(f"CAST(CAST(15 AS BIGINT) * {PR_SCALE} div (100 * COUNT(*)) AS BIGINT)").alias("b"),
+        F.expr(f"CAST({PR_SCALE} div COUNT(*) AS BIGINT)").alias("r0"),
+    )
+    seeded = nodes.crossJoin(F.broadcast(consts))
+    ranks = seeded.select("node", F.col("r0").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            graph.join(F.broadcast(ranks), F.col("src") == F.col("node"))
+            .select(
+                F.col("dst"),
+                F.expr("(r * 85 * w) div (100 * ow)").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            seeded.join(contrib, seeded.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.col("b") + F.coalesce("contrib", F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled")).orderBy("node")

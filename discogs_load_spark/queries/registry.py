@@ -140,6 +140,7 @@ PRIORITY: list[str] = [
     "q127_stream_static_join",
     "q128_embedding_quantize",
     "q129_ann_recall",
+    "q130_event_pagerank",
 ]
 
 

@@ -23,11 +23,21 @@ print(f"entry(): {n} rows, schema: {[f.name for f in df.schema.fields]}")
 assert n > 0
 
 SF = "/root/testdata/sf0.01"
-con = duckdb.connect()
-con.execute("SET memory_limit='12GB'")  # don't fight the Spark JVM for RAM
-con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'")
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+SPILL = tempfile.mkdtemp(prefix="duck_spill_")
+
+def fresh_duck():
+    """One connection PER ORACLE: a shared connection accumulates
+    buffer-pool state across ~125 oracle queries beside the Spark JVM and
+    eventually dies with a hard bad_alloc on an arbitrary allocation
+    (same failure the pytest duck fixture saw before going
+    function-scoped). Connect cost is milliseconds; views are cheap."""
+    c = duckdb.connect()
+    c.execute("SET memory_limit='12GB'")
+    c.execute(f"SET temp_directory='{SPILL}'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
 
 def norm(v):
     if isinstance(v, float): return "NaN" if math.isnan(v) else v
@@ -43,8 +53,10 @@ for name, fn in sorted(qs.items()):
     srows = [tuple(r) for r in sdf.collect()]
     if name not in oracles:
         print(f"{name}: rows-only, {len(srows)} rows"); continue
+    con = fresh_duck()
     res = con.execute(oracles[name])
     dcols = [d[0] for d in res.description]; drows = res.fetchall()
+    con.close()
     ok_names = sorted(scols) == sorted(dcols)
     sidx = sorted(range(len(scols)), key=lambda i: scols[i])
     didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
