@@ -402,12 +402,22 @@ def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q123_prefix_filter_jaccard",
     oracle=f"""
-    WITH sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents)
-    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {_JACC} AS jaccard
-    FROM sets sa
-    JOIN sets sb ON sa.doc_id < sb.doc_id
-    WHERE len(sa.shset) > 0 AND len(sb.shset) > 0
-      AND {_JACC} >= {JACCARD_THRESHOLD}
+    WITH s AS (
+        SELECT doc_id, unnest(list_distinct({_D_SH})) AS sh FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter)
+          >= {JACCARD_THRESHOLD}
     """,
     tags=("dedup", "jaccard", "prefix-filter", "exact"),
 )
