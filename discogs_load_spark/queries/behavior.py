@@ -309,7 +309,7 @@ def q130_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("share").alias("contrib"))
         )
         ranks = (
-            seeded.join(contrib, seeded.node == contrib.dst, "left")
+            seeded.join(F.broadcast(contrib), seeded.node == contrib.dst, "left")
             .select(
                 "node",
                 (F.col("b") + F.coalesce("contrib", F.lit(0)))

@@ -228,3 +228,29 @@ def test_vocab_topk_bounds_global_window(spark):
     single-partition window only ever sees VOCAB_TOP_N rows."""
     plan = _plan(spark, "q124_vocab_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminated_corpus_broadcasts_screen(spark):
+    """q125's contamination screen must be a broadcast semi/anti pipeline
+    over the train side — never a doc x doc comparison."""
+    plan = _plan(spark, "q125_decontaminated_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_rounds_broadcast_ranks(spark):
+    """q130's unrolled power iteration: every per-round join broadcasts
+    the |nodes|-sized side (rank vector / contributions). The only
+    nested-loop join allowed is the 1-row constants crossJoin; nothing
+    may sort-merge or go cartesian."""
+    from discogs_load_spark.plans import join_kinds
+    from discogs_load_spark.queries import REGISTRY
+
+    from .conftest import SF_SMALL as _SF
+
+    df = REGISTRY["q130_event_pagerank"].fn(spark, _SF)
+    kinds = set(join_kinds(df))
+    assert "CartesianProduct" not in kinds
+    assert "SortMergeJoin" not in kinds
+    assert "BroadcastHashJoin" in kinds
