@@ -74,10 +74,11 @@ def bench_xml_ingest(spark) -> dict:
         return time.monotonic() - t0
 
     cold = one_pass()  # includes parser-path JIT + page-cache fill
-    # steady-state throughput, the comparable figure; min of two passes —
+    # steady-state throughput, the comparable figure; min of three passes —
     # a single warm pass occasionally lands on a GC cycle and reads 2-3x
-    # slow (observed 7.0 s vs 2.4 s for the same work)
-    warm = min(one_pass(), one_pass())
+    # slow (observed 7.0 s vs 2.4 s for the same work; min-of-two still
+    # varied ~2x across bench invocations)
+    warm = min(one_pass(), one_pass(), one_pass())
     n = XML_BENCH_RELEASES // XML_BENCH_SHARDS * XML_BENCH_SHARDS
     return {
         "seconds": round(warm, 3),
