@@ -141,6 +141,7 @@ PRIORITY: list[str] = [
     "q128_embedding_quantize",
     "q129_ann_recall",
     "q130_event_pagerank",
+    "q131_chunked_packing",
 ]
 
 

@@ -544,3 +544,89 @@ def q126_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PACK_CHUNK = 32  # non-overlapping chunks: stride == size, no token duplicated
+
+
+def _chunked_packing_oracle() -> str:
+    from ..operators.chunking import chunk_oracle_sql
+
+    chunk_sql = chunk_oracle_sql(
+        "documents", "doc_id", "text", size=PACK_CHUNK, stride=PACK_CHUNK
+    )
+    return _CHUNKPACK_TEMPLATE.format(chunk_sql=chunk_sql, budget=SEQ_BUDGET)
+
+
+_CHUNKPACK_TEMPLATE = """
+    WITH chunks AS ({chunk_sql}),
+    t AS (
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)) AS h
+        FROM chunks
+    ),
+    c AS (
+        SELECT shard, n_chunk_tokens,
+               COALESCE(SUM(n_chunk_tokens) OVER (
+                   PARTITION BY shard ORDER BY h, doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT shard,
+           CAST(cum_before // {budget} AS BIGINT) AS seq,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY shard, seq
+    ORDER BY shard, seq
+    """
+
+
+@register(
+    "q131_chunked_packing",
+    oracle=_chunked_packing_oracle(),
+    tags=("sampling", "packing", "chunking", "pipeline"),
+)
+def q131_chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-then-pack — the composition real pretraining runs that plain
+    document packing (q90) can't: documents longer than the context
+    budget are first split into NON-overlapping token chunks (stride ==
+    size, so no token is duplicated into the training stream), then the
+    chunks are greedily packed into fixed token-budget sequences per
+    shard in deterministic md5 order.
+
+    Scale shape: chunking is map-side (operators/chunking.py docstring);
+    packing is one running-sum window per shard partition over skinny
+    (shard, hash, count) rows. Integer token counts throughout — the
+    value hash has no float to drift.
+    """
+    from ..operators.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(docs, "doc_id", "text", size=PACK_CHUNK, stride=PACK_CHUNK)
+    t = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0))
+    ).withColumn("seq", F.expr(f"cum_before DIV {SEQ_BUDGET}").cast("bigint"))
+    return (
+        packed.groupBy("shard", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("shard", "seq")
+    )
