@@ -145,3 +145,71 @@ def q111_partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value")
     )
+
+
+@register(
+    "q132_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("lake", "bucketing", "join"),
+)
+def q132_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-fact join off BUCKETED lake tables — the lake
+    analogue of the reference's b-tree join indexes (sql/indexes.sql:7-16)
+    promoted from a test into the declared surface: both sides are
+    written bucketed+sorted by the join key once (cached per fixture
+    mtime), and the merge-hinted join then runs with NO shuffle on
+    either side — the plan shows no hashpartitioning exchange on the
+    join keys (asserted in test_plans). At 100 TB this is the difference
+    between re-shuffling two fact tables per query and reading
+    pre-colocated buckets.
+
+    The oracle joins the raw tables — bucketing must not change a single
+    row, only the plan.
+    """
+    from ..sinks.files import write_bucketed_table
+
+    import re
+
+    mtime = int(os.path.getmtime(os.path.join(sf_dir, "orders.parquet")))
+    key = re.sub(r"[^A-Za-z0-9_]", "_", f"{sf_dir.strip('/')}_{mtime}")
+    db = "q132_bucketed"
+    loc = os.path.join(tempfile.gettempdir(), db)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    ot, lt = f"{db}.orders_b_{key}", f"{db}.lineitem_b_{key}"
+    tables = load_tables(spark, sf_dir, ["orders", "lineitem"])
+
+    def ensure(name: str, df, col: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # a FRESH session's in-memory catalog doesn't know tables a prior
+        # process wrote; the managed location on disk then blocks
+        # saveAsTable — clear it and rewrite (bucket metadata lives in the
+        # catalog, so adopting the bare files would lose the bucketing)
+        leftover = os.path.join(loc, name.split(".", 1)[1])
+        if os.path.exists(leftover):
+            import shutil
+
+            shutil.rmtree(leftover, ignore_errors=True)
+        write_bucketed_table(df, name, col, n_buckets=8)
+
+    ensure(ot, tables["orders"].select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    ensure(lt, tables["lineitem"].select("l_orderkey", "l_quantity"), "l_orderkey")
+    ob, lb = spark.table(ot), spark.table(lt)
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)"
+            ).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

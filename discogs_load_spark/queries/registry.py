@@ -142,6 +142,7 @@ PRIORITY: list[str] = [
     "q129_ann_recall",
     "q130_event_pagerank",
     "q131_chunked_packing",
+    "q132_bucketed_join",
 ]
 
 

@@ -254,3 +254,19 @@ def test_pagerank_rounds_broadcast_ranks(spark):
     assert "CartesianProduct" not in kinds
     assert "SortMergeJoin" not in kinds
     assert "BroadcastHashJoin" in kinds
+
+
+def test_bucketed_join_query_is_exchange_free_on_join_keys(spark):
+    """q132: the declared bucketed fact-fact join must not shuffle either
+    side on the join key — the buckets ARE the shuffle, paid once at
+    write time. (The aggregate after the join may still exchange on its
+    own group key; only the join keys are asserted.)"""
+    from discogs_load_spark.queries import REGISTRY
+
+    from .conftest import SF_SMALL as _SF
+
+    df = REGISTRY["q132_bucketed_join"].fn(spark, _SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "SortMergeJoin" in plan
