@@ -143,6 +143,7 @@ PRIORITY: list[str] = [
     "q130_event_pagerank",
     "q131_chunked_packing",
     "q132_bucketed_join",
+    "q133_shred_multiarray_parent",
 ]
 
 

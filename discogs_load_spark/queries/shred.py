@@ -149,3 +149,48 @@ def q34_bridge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "q133_shred_multiarray_parent",
+    oracle="""
+    SELECT user_id AS id,
+           COALESCE(list_sort(list(DISTINCT event_type)), []) AS types,
+           COALESCE(list_sort(list(DISTINCT CAST(FLOOR(value) AS INT))
+                              FILTER (event_type = 'purchase')), [])
+               AS purchase_buckets,
+           COALESCE(list_sort(list(DISTINCT CAST(FLOOR(value) AS INT))
+                              FILTER (event_type = 'error')), [])
+               AS error_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("shred", "A7", "A8", "array"),
+    doc="Multi-array parent-record extraction: the artist/label record "
+    "shape (reference artist.rs:102-267 collects urls/aliases/members; "
+    "label.rs:97-249 sublabels/urls) — several independent array-collects "
+    "per record with the reference's empty-array-not-NULL defaults "
+    "(SURVEY §1.2: missing fields are ''/0/{}, never NULL).",
+)
+def q133_shred_multiarray_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One record, several array-collects, absent → [] not NULL — the
+    A7/A8 parent shape on the fixtures. Arrays are sorted for the
+    order-insensitive hash; the conditional collects exercise the
+    'array is empty when no child elements exist' default the reference
+    bakes into its struct initializers."""
+    (events,) = _t(spark, sf_dir, "events")
+    empty_int = F.lit(None).cast("array<int>")
+
+    def bucket_set(evt: str):
+        c = F.collect_set(
+            F.when(F.col("event_type") == evt, F.floor("value").cast("int"))
+        )
+        return F.coalesce(F.sort_array(c), empty_int)
+
+    return events.groupBy(F.col("user_id").alias("id")).agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        bucket_set("purchase").alias("purchase_buckets"),
+        bucket_set("error").alias("error_buckets"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
