@@ -202,3 +202,35 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, docs, threshold):
             if jacc >= threshold:
                 want.append((a, b))
     assert got == sorted(want)
+
+
+@SETTINGS
+@given(
+    n_tokens=st.integers(min_value=0, max_value=120),
+    size_stride=st.tuples(
+        st.integers(min_value=2, max_value=20), st.integers(min_value=1, max_value=20)
+    ),
+)
+def test_chunk_layout_matches_bruteforce(spark, n_tokens, size_stride):
+    """chunk_documents' window formula (1 + ceil(max(0, n-size)/stride))
+    vs a brute-force layout: every token covered, the final window reaches
+    the end, no start beyond coverage, per-chunk token counts exact."""
+    from discogs_load_spark.operators.chunking import chunk_documents
+
+    size, stride = size_stride
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    got = {
+        r.chunk_id: r.n_chunk_tokens
+        for r in chunk_documents(df, "doc_id", "text", size, stride).collect()
+    }
+
+    n = len(words)
+    want_starts = [0]
+    while want_starts[-1] + size < n:
+        want_starts.append(want_starts[-1] + stride)
+    want = {
+        i: min(size, n - s) if s < n else 0
+        for i, s in enumerate(want_starts)
+    }
+    assert got == want
