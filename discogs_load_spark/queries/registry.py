@@ -144,6 +144,7 @@ PRIORITY: list[str] = [
     "q131_chunked_packing",
     "q132_bucketed_join",
     "q133_shred_multiarray_parent",
+    "q134_inverted_index",
 ]
 
 

@@ -298,3 +298,50 @@ def q124_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("term_freq").desc(), F.col("token")))
         .cast("int"),
     )
+
+
+MIN_POSTING_DF = 2  # drop hapax tokens: at corpus scale they dominate rows
+
+
+@register(
+    "q134_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST({_D_TOKS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           list_sort(list(doc_id)) AS postings
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) >= {MIN_POSTING_DF}
+    ORDER BY token
+    """,
+    tags=("text", "search", "index-build"),
+)
+def q134_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> sorted posting list + doc
+    frequency, hapax tokens dropped. The classic IR/search build job as
+    one map-side explode + ONE token-keyed shuffle (distinct and the
+    posting collect share the same key, so Catalyst plans a single
+    exchange). At 100 TB the posting lists are the only wide payload and
+    they're exactly the output being built; a production variant would
+    additionally cap postings per token (the q51 bucket-cap discipline)
+    before the collect.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))).alias(
+            "token"
+        ),
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= MIN_POSTING_DF)
+        .orderBy("token")
+    )
