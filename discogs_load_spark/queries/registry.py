@@ -145,6 +145,7 @@ PRIORITY: list[str] = [
     "q132_bucketed_join",
     "q133_shred_multiarray_parent",
     "q134_inverted_index",
+    "q135_conjunctive_search",
 ]
 
 

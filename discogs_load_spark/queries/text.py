@@ -345,3 +345,42 @@ def q134_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_freq") >= MIN_POSTING_DF)
         .orderBy("token")
     )
+
+
+SEARCH_TERMS = ("spark", "window", "vector")
+
+
+@register(
+    "q135_conjunctive_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_D_TOKS} AS t FROM documents)
+    SELECT doc_id, source
+    FROM toks
+    WHERE {" AND ".join(f"list_contains(t, '{w}')" for w in SEARCH_TERMS)}
+    ORDER BY doc_id
+    """,
+    tags=("text", "search", "semi-join"),
+)
+def q135_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) search executed the way an index-backed engine
+    does it — one semi-join per term against the (doc, token) posting
+    relation, cheapest-term-first at scale — while the oracle evaluates
+    the DEFINITION (per-document array membership). Two independent
+    algorithms, one answer: the differential gate at its most honest.
+
+    Scale: each semi-join streams the posting rows for ONE term (index
+    lookup shape); the per-row array-contains scan the oracle runs would
+    read every token of every document.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))).alias(
+            "token"
+        ),
+    )
+    out = docs.select("doc_id", "source")
+    for w in SEARCH_TERMS:
+        postings = tok.filter(F.col("token") == w).select("doc_id").distinct()
+        out = out.join(postings, "doc_id", "left_semi")
+    return out.orderBy("doc_id")
