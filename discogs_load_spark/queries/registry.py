@@ -146,6 +146,7 @@ PRIORITY: list[str] = [
     "q133_shred_multiarray_parent",
     "q134_inverted_index",
     "q135_conjunctive_search",
+    "q136_ranked_search",
 ]
 
 

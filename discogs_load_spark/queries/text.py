@@ -384,3 +384,52 @@ def q135_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings = tok.filter(F.col("token") == w).select("doc_id").distinct()
         out = out.join(postings, "doc_id", "left_semi")
     return out.orderBy("doc_id")
+
+
+@register(
+    "q136_ranked_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_D_TOKS} AS t FROM documents),
+    scored AS (
+        SELECT doc_id, source,
+               {" + ".join(f"CAST(list_contains(t, '{w}') AS INT)" for w in SEARCH_TERMS)}
+                   AS n_matched
+        FROM toks
+    )
+    SELECT doc_id, source, CAST(n_matched AS INT) AS n_matched
+    FROM scored
+    WHERE n_matched > 0
+    ORDER BY n_matched DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("text", "search", "ranking"),
+)
+def q136_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR) search with match-count ranking, top-50 with a
+    deterministic doc_id tie-break — completing the search mini-suite
+    (q134 builds the index, q135 ANDs, this ranks ORs). Spark executes it
+    index-shaped: per-term posting sets union into (doc, term-hit) rows,
+    one groupBy counts matches, TakeOrderedAndProject takes the cut —
+    the oracle again evaluates the per-document definition.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))).alias(
+            "token"
+        ),
+    )
+    hits = (
+        tok.filter(F.col("token").isin(*SEARCH_TERMS))
+        .select("doc_id", "token")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matched"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(hits, "doc_id")
+        .orderBy(F.col("n_matched").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_matched")
+    )
