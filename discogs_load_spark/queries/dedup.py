@@ -159,7 +159,8 @@ _JACC = (
         SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
     ),
     comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
-    SELECT component, COUNT(*) AS n_docs, list_sort(list(node)) AS doc_ids
+    SELECT component, COUNT(*) AS n_docs,
+           COALESCE(array_to_string(list_sort(list(node)), '|'), '') AS doc_ids
     FROM comp GROUP BY component
     """,
     tags=("dedup", "graph", "iterative"),
@@ -169,7 +170,9 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.connected_components docstring explains why pairs
     alone under-merge). Oracle: DuckDB recursive CTE computes the same
     transitive closure by reachability — an independent algorithm, so a
-    propagation bug can't self-confirm."""
+    propagation bug can't self-confirm. The member list ships as a
+    '|'-joined sorted string (driver canonicalizer can't hash list
+    cells; doc ids are ints, so the join is lossless)."""
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(sigs, "doc_id")
@@ -179,7 +182,12 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(verified)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("node")).alias("doc_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+            "|",
+        ).alias("doc_ids"),
     )
 
 
@@ -343,6 +351,9 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q112_BAND = 3  # length-band width; |len diff| <= 2 spans <= 1 adjacent band
+
+
 @register(
     "q112_fuzzy_name_match",
     oracle="""
@@ -357,41 +368,50 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: near-identical part names (edit distance <=
-    2) found by a BLOCKED self-join — the equi-join on brand bounds the
-    candidate set to within-block pairs, so the quadratic Levenshtein
-    never sees the full catalog (the same blocking discipline as the LSH
-    band joins; production adds secondary blocking keys — sorted
-    neighborhood, phonetic — when one block is still too coarse).
-    Levenshtein is classical edit distance in both engines → exact
-    value-hash parity.
+    2) found by a BLOCKED self-join — a composite (brand, length-band)
+    equi-join bounds the candidate set to within-block pairs, so the
+    quadratic Levenshtein never sees the full catalog (the same blocking
+    discipline as the LSH band joins; production adds secondary blocking
+    keys — sorted neighborhood, phonetic — when one block is still too
+    coarse). Levenshtein is classical edit distance in both engines →
+    exact value-hash parity.
 
-    Scale shape: the build side is broadcast, so the probe side is
-    round-robin repartitioned explicitly — a blocked self-join's work is
-    QUADRATIC per block, not proportional to input bytes, so scan splits
-    (sized by bytes) under-parallelize it at every scale (locally: one
-    180 KB file = one task = 16M serialized levenshtein calls). A sound
-    length-band prune (|len(a)-len(b)| <= 2 is necessary for edit
-    distance <= 2) drops candidates before the O(len^2) distance."""
+    Scale shape: NEITHER side is broadcast — the catalog scales with the
+    data, so a broadcast build side would OOM executors at 100× (r02
+    verdict). Length bucketing turns the sound |len(a)-len(b)| <= 2 prune
+    (necessary for edit distance <= 2) into an equi condition: with band
+    width 3, a qualifying pair differs by at most one adjacent band, so
+    the probe side fans out to its 3 neighboring bands and the join key
+    becomes (brand, band) — each (a,b) pair matches exactly once because
+    b keeps its single home band. The shuffle hash-partitions by the
+    composite key, which also spreads the per-block quadratic work across
+    finer blocks than brand alone; AQE picks the physical strategy (and
+    may still broadcast when the catalog is genuinely small — a runtime
+    decision, not a plan-time bet)."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
+    band = (F.length("p_name") / _Q112_BAND).cast("int")
     a = part.select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_brand").alias("brand"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("band"),
+    )
     b = part.select(
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
+        band.alias("band"),
     )
     return (
-        a.join(
-            F.broadcast(b),
-            (a.brand == b.brand)
-            & (F.col("id_a") < F.col("id_b"))
+        a.join(b, ["brand", "band"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
             & (
                 F.abs(F.length(F.col("name_a")) - F.length(F.col("name_b")))
                 <= 2
-            ),
+            )
         )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("edit_dist") <= 2)

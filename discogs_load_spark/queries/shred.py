@@ -78,7 +78,8 @@ def q31_shred_child_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_array_roundtrip",
     oracle="""
     SELECT c_custkey,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           COALESCE(array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|'), '')
+               AS statuses,
            CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses,
            list_contains(list(DISTINCT o_orderstatus), 'F') AS has_finished
     FROM orders JOIN customer ON o_custkey = c_custkey
@@ -86,19 +87,22 @@ def q31_shred_child_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("array", "B7"),
     doc="Array-column surface (text[] in the reference schema, "
-    "sql/tables/artist.sql:9-12): build, sort, size, membership.",
+    "sql/tables/artist.sql:9-12): build, sort, size, membership. The array "
+    "itself ships through the contract as a '|'-joined sorted string (the "
+    "driver's canonicalizer can't hash list cells; values are delimiter-free "
+    "status codes, so the join is lossless).",
 )
 def q32_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer = _t(spark, sf_dir, "orders", "customer")
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey")
-        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("__statuses"))
         .select(
             "c_custkey",
-            "statuses",
-            F.size("statuses").cast("int").alias("n_statuses"),
-            F.array_contains("statuses", "F").alias("has_finished"),
+            F.array_join("__statuses", "|").alias("statuses"),
+            F.size("__statuses").cast("int").alias("n_statuses"),
+            F.array_contains("__statuses", "F").alias("has_finished"),
         )
     )
 
@@ -155,12 +159,16 @@ def q34_bridge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q133_shred_multiarray_parent",
     oracle="""
     SELECT user_id AS id,
-           COALESCE(list_sort(list(DISTINCT event_type)), []) AS types,
-           COALESCE(list_sort(list(DISTINCT CAST(FLOOR(value) AS INT))
-                              FILTER (event_type = 'purchase')), [])
+           COALESCE(array_to_string(
+               COALESCE(list_sort(list(DISTINCT event_type)), []), '|'), '')
+               AS types,
+           COALESCE(array_to_string(
+               COALESCE(list_sort(list(DISTINCT CAST(FLOOR(value) AS INT))
+                                  FILTER (event_type = 'purchase')), []), '|'), '')
                AS purchase_buckets,
-           COALESCE(list_sort(list(DISTINCT CAST(FLOOR(value) AS INT))
-                              FILTER (event_type = 'error')), [])
+           COALESCE(array_to_string(
+               COALESCE(list_sort(list(DISTINCT CAST(FLOOR(value) AS INT))
+                                  FILTER (event_type = 'error')), []), '|'), '')
                AS error_buckets,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
@@ -171,25 +179,34 @@ def q34_bridge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape (reference artist.rs:102-267 collects urls/aliases/members; "
     "label.rs:97-249 sublabels/urls) — several independent array-collects "
     "per record with the reference's empty-array-not-NULL defaults "
-    "(SURVEY §1.2: missing fields are ''/0/{}, never NULL).",
+    "(SURVEY §1.2: missing fields are ''/0/{}, never NULL). Contract "
+    "columns ship as '|'-joined sorted strings (empty array → ''), keeping "
+    "the empty-not-NULL semantics observable through the string form.",
 )
 def q133_shred_multiarray_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One record, several array-collects, absent → [] not NULL — the
     A7/A8 parent shape on the fixtures. Arrays are sorted for the
-    order-insensitive hash; the conditional collects exercise the
-    'array is empty when no child elements exist' default the reference
-    bakes into its struct initializers."""
+    order-insensitive hash, then '|'-joined for the driver contract
+    (list cells are unhashable in its canonicalizer); the conditional
+    collects exercise the 'array is empty when no child elements exist'
+    default the reference bakes into its struct initializers."""
     (events,) = _t(spark, sf_dir, "events")
-    empty_int = F.lit(None).cast("array<int>")
+    empty_int = F.array().cast("array<int>")  # a real [], not NULL
 
     def bucket_set(evt: str):
         c = F.collect_set(
             F.when(F.col("event_type") == evt, F.floor("value").cast("int"))
         )
-        return F.coalesce(F.sort_array(c), empty_int)
+        joined = F.array_join(
+            F.transform(
+                F.coalesce(F.sort_array(c), empty_int), lambda x: x.cast("string")
+            ),
+            "|",
+        )
+        return joined
 
     return events.groupBy(F.col("user_id").alias("id")).agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias("types"),
         bucket_set("purchase").alias("purchase_buckets"),
         bucket_set("error").alias("error_buckets"),
         F.count(F.lit(1)).alias("n_events"),

@@ -195,7 +195,8 @@ def q57_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
     ),
     comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
-    SELECT component, COUNT(*) AS n_vecs, list_sort(list(node)) AS vec_ids
+    SELECT component, COUNT(*) AS n_vecs,
+           COALESCE(array_to_string(list_sort(list(node)), '|'), '') AS vec_ids
     FROM comp GROUP BY component
     """.format(
         bucket=lsh_bucket_sql("embedding", NEARDUP_PLANES, DIM, "duckdb"),
@@ -223,7 +224,12 @@ def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sort_array(F.collect_list("node")).alias("vec_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+            "|",
+        ).alias("vec_ids"),
     )
 
 
@@ -360,7 +366,7 @@ def q113_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dims d JOIN stats s ON d.idx = s.idx
     )
     SELECT vec_id,
-           list(code ORDER BY idx) AS codes,
+           COALESCE(array_to_string(list(code ORDER BY idx), '|'), '') AS codes,
            CAST(SUM(code) AS BIGINT) AS code_l1
     FROM q GROUP BY vec_id
     """,
@@ -409,7 +415,11 @@ def q128_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            F.transform("__s", lambda s: s["code"]).alias("codes"),
+            # '|'-joined in dim order for the driver contract (list cells
+            # are unhashable in its canonicalizer; codes are 0..255 ints)
+            F.array_join(
+                F.transform("__s", lambda s: s["code"].cast("string")), "|"
+            ).alias("codes"),
             "code_l1",
         )
     )

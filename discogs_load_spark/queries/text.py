@@ -301,6 +301,7 @@ def q124_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIN_POSTING_DF = 2  # drop hapax tokens: at corpus scale they dominate rows
+MAX_POSTING_DF_FRAC = 0.8  # stop-word guard: drop tokens in > 80% of the corpus
 
 
 @register(
@@ -311,38 +312,59 @@ MIN_POSTING_DF = 2  # drop hapax tokens: at corpus scale they dominate rows
     )
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           list_sort(list(doc_id)) AS postings
+           COALESCE(array_to_string(list_sort(list(doc_id)), '|'), '') AS postings
     FROM tok
     GROUP BY token
     HAVING COUNT(*) >= {MIN_POSTING_DF}
+       AND COUNT(*) <= {MAX_POSTING_DF_FRAC} * (SELECT COUNT(*) FROM documents)
     ORDER BY token
     """,
     tags=("text", "search", "index-build"),
 )
 def q134_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: token -> sorted posting list + doc
-    frequency, hapax tokens dropped. The classic IR/search build job as
-    one map-side explode + ONE token-keyed shuffle (distinct and the
-    posting collect share the same key, so Catalyst plans a single
-    exchange). At 100 TB the posting lists are the only wide payload and
-    they're exactly the output being built; a production variant would
-    additionally cap postings per token (the q51 bucket-cap discipline)
-    before the collect.
+    frequency; hapax tokens (df < 2) and stop-word-grade tokens
+    (df > 80% of the corpus) dropped. The classic IR/search build job as
+    one map-side explode + ONE token-keyed shuffle: the document-frequency
+    ceiling is computed with a count window OVER the token partition and
+    filtered BEFORE the posting collect, so a corpus-scale stop word never
+    materializes its posting array on a reducer (the q51 bucket-cap
+    discipline, operators/dedup.py:_cap_buckets) — and the window, the
+    filter, and the groupBy all share the token hash partitioning, so
+    Catalyst plans a single exchange. The posting list ships as a
+    '|'-joined sorted string (driver canonicalizer can't hash list cells).
     """
+    from pyspark.sql import Window as W
+
     docs = _docs(spark, sf_dir)
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))).alias(
-            "token"
-        ),
-    ).distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
+            ).alias("token"),
+        )
+        .distinct()
+        .join(F.broadcast(n_docs))
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
+        .filter(
+            (F.col("df") >= MIN_POSTING_DF)
+            & (F.col("df") <= F.col("__n_docs") * MAX_POSTING_DF_FRAC)
+        )
+    )
     return (
         tok.groupBy("token")
         .agg(
-            F.count(F.lit(1)).alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.max("df").cast("bigint").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("postings"),
         )
-        .filter(F.col("doc_freq") >= MIN_POSTING_DF)
         .orderBy("token")
     )
 

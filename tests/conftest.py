@@ -30,7 +30,7 @@ def spark():
 
 
 @pytest.fixture()
-def duck():
+def duck(tmp_path):
     """DuckDB connection with the same fixture views the driver registers.
 
     Function-scoped + memory-capped: a suite-long shared connection
@@ -38,14 +38,16 @@ def duck():
     eventually throws hard bad_alloc on an arbitrary small allocation
     (observed repeatedly, different victim test each run). A fresh
     connection per test releases everything; the explicit cap + spill
-    dir bound any single oracle."""
-    import tempfile
-
+    dir bound any single oracle. The spill dir lives under pytest's
+    tmp_path so stale spill files are garbage-collected with the test
+    tree instead of accumulating in /tmp."""
     import duckdb
 
+    spill = tmp_path / "duck_spill"
+    spill.mkdir()
     con = duckdb.connect()
     con.execute("SET memory_limit='12GB'")
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_spill_')}'")
+    con.execute(f"SET temp_directory='{spill}'")
     yield con
     con.close()
 

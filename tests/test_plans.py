@@ -222,12 +222,50 @@ def test_prefix_filter_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_match_never_broadcasts_catalog(spark):
+    """q112: both sides of the blocked self-join scale with the catalog,
+    so the plan must be a pure (brand, band) equi-join with NO broadcast
+    hint — at scale-realistic sizes (broadcast threshold off, AQE's
+    runtime re-pick removed from the picture) it must land as a shuffle
+    join, never a BroadcastExchange of the catalog or a nested loop."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q112_fuzzy_name_match")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "BroadcastExchange" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_vocab_topk_bounds_global_window(spark):
     """q124's global rank window must sit ABOVE the top-N cut: the plan
     takes TakeOrderedAndProject over the vocabulary first, so the
-    single-partition window only ever sees VOCAB_TOP_N rows."""
+    single-partition window only ever sees VOCAB_TOP_N rows. Asserting
+    the mere presence of TakeOrderedAndProject is not enough (a plan
+    that windows the full vocabulary and limits afterwards also contains
+    it) — assert the structural order: in explain("formatted") children
+    print below parents, so the Window node must appear on an EARLIER
+    line than the TakeOrderedAndProject feeding it."""
+    import re
+
     plan = _plan(spark, "q124_vocab_topk")
-    assert "TakeOrderedAndProject" in plan
+    # keep only the tree section (detail blocks start with "(n) Operator"
+    # at column 0 and would also match the operator names)
+    lines = []
+    for l in plan.splitlines():
+        if re.match(r"^\(\d+\) ", l):
+            break
+        lines.append(l)
+    win = [i for i, l in enumerate(lines) if "Window" in l]
+    topk = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert win and topk, plan
+    assert min(win) < min(topk), (
+        "Window must consume TakeOrderedAndProject's output, not the "
+        "full vocabulary:\n" + tree
+    )
 
 
 def test_decontaminated_corpus_broadcasts_screen(spark):
