@@ -118,27 +118,31 @@ def ivf_topk(
     dim: int,
     k: int = 10,
     centroid_ids: tuple[int, ...] = (),
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi cells
-    around fixed centroid vectors, then search only the query's own cell.
+    around fixed centroid vectors, then search the query's nearest
+    ``n_probe`` cells.
 
     The inverted-file structure (FAISS IVF-Flat shape) as DataFrames: cell
     assignment is a broadcast cross-join against the tiny centroid set +
     argmax-by-cosine (one scan of the corpus, no shuffle besides the final
     window); the probe is an equi-join on cell id. At 100 TB the cell
     column is what you'd partition/bucket the corpus table BY, making each
-    probe touch one partition. nprobe=1 here; recall is tuned by centroid
-    count (and a multi-cell probe is the same join with explode over the
-    q's top-n cells). Centroids here are designated corpus rows (k-means
-    would drift per run; fixed ids keep the operator deterministic and
-    oracle-checkable).
+    probe touch ``n_probe`` partitions. Recall is tuned by centroid count
+    and n_probe (the production knob: probe more cells → higher recall,
+    proportionally more distance computations). Centroids here are
+    designated corpus rows (k-means would drift per run; fixed ids keep
+    the operator deterministic and oracle-checkable).
     """
     cent = corpus.filter(F.col(id_col).isin(*centroid_ids)).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("centvec"),
         F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("centnorm"),
     )
-    return ivf_topk_with_centroids(corpus, queries, cent, id_col, vec_col, dim, k)
+    return ivf_topk_with_centroids(
+        corpus, queries, cent, id_col, vec_col, dim, k, n_probe=n_probe
+    )
 
 
 def ivf_topk_with_centroids(
@@ -149,14 +153,20 @@ def ivf_topk_with_centroids(
     vec_col: str,
     dim: int,
     k: int = 10,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF probe against an arbitrary centroid table (cid, centvec,
     centnorm) — the entry point a LEARNED index uses (k-means centroids
     from operators/clustering.py) while :func:`ivf_topk` keeps the
     fixed-designated-row form. Same plan shape: broadcast cell
-    assignment, equi-join probe on the cell id."""
+    assignment, equi-join probe on the cell id.
 
-    def assign(df: DataFrame) -> DataFrame:
+    Multi-probe: corpus rows live in exactly ONE cell (their nearest);
+    queries carry their ``n_probe`` nearest cells, so the probe equi-join
+    fans each query out to n_probe cells. A neighbor matches at most once
+    (its single home cell), so no dedup step is needed before ranking."""
+
+    def assign(df: DataFrame, probes: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent)).withColumn(
             "__ccos",
             F.expr(dot_sql(vec_col, "centvec", dim, "spark"))
@@ -168,17 +178,20 @@ def ivf_topk_with_centroids(
         w = W.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("cid"))
         return (
             scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(F.col("__rn") <= probes)
             .select(F.col(id_col), F.col(vec_col), F.col("cid").alias("cell"))
         )
 
-    c = assign(corpus).select(
+    def assign1(df: DataFrame) -> DataFrame:
+        return assign(df, 1)
+
+    c = assign1(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         "cell",
         F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("cnorm"),
     )
-    q = assign(queries).select(
+    q = assign(queries, n_probe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         "cell",

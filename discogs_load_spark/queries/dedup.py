@@ -451,3 +451,97 @@ def q123_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
     )
+
+
+def _consensus_oracle() -> str:
+    from ..functions.vectors import cosine_sql, lsh_bucket_sql
+    from .similarity import DIM, NEARDUP_PLANES, NEARDUP_THRESHOLD
+
+    bucket = lsh_bucket_sql("embedding", NEARDUP_PLANES, DIM, "duckdb")
+    cos = cosine_sql("x.embedding", "y.embedding", DIM, "duckdb")
+    return f"""
+    WITH {_PAIRS_CTE_BODY},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents),
+    tpairs AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sets sa ON p.id_a = sa.doc_id
+        JOIN sets sb ON p.id_b = sb.doc_id
+        WHERE {_JACC} >= {JACCARD_THRESHOLD}
+    ),
+    buck AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    epairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM buck x JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE {cos} >= {NEARDUP_THRESHOLD}
+    )
+    SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+           COALESCE(t.id_b, e.id_b) AS id_b,
+           t.id_a IS NOT NULL AS text_dup,
+           e.id_a IS NOT NULL AS emb_dup,
+           (t.id_a IS NOT NULL AND e.id_a IS NOT NULL) AS consensus
+    FROM tpairs t
+    FULL OUTER JOIN epairs e ON t.id_a = e.id_a AND t.id_b = e.id_b
+    """
+
+
+@register(
+    "q141_dedup_consensus",
+    oracle=_consensus_oracle(),
+    tags=("dedup", "minhash", "embedding", "multi-signal"),
+)
+def q141_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup consensus: the text path (MinHash-LSH →
+    exact-Jaccard verify, q52) and the embedding path (hyperplane-bucket →
+    cosine, q54) vote on the SAME pair space (vec_id == doc_id in the
+    fixtures), full-outer joined into per-pair flags. Pairs both signals
+    agree on are delete-safe; single-signal pairs go to review — the
+    standard curation policy when lexical and semantic dedup disagree
+    (a paraphrase is an embedding-only dup; boilerplate wrapping
+    different facts is a text-only dup). Both inputs are already-blocked
+    pair lists (LSH buckets on each side), so the consensus join is
+    |pairs| x |pairs| only in the worst theoretical case and equi-keyed
+    always."""
+    from .similarity import DIM, NEARDUP_PLANES, NEARDUP_THRESHOLD
+
+    docs = _docs(spark, sf_dir)
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    tpairs = (
+        jaccard_verify(
+            docs,
+            lsh_candidate_pairs(sigs, "doc_id"),
+            "doc_id",
+            "text",
+            threshold=JACCARD_THRESHOLD,
+        )
+        .select("id_a", "id_b")
+        .withColumn("text_dup", F.lit(True))
+    )
+    epairs = (
+        embedding_near_dup_pairs(
+            emb,
+            "vec_id",
+            "embedding",
+            DIM,
+            threshold=NEARDUP_THRESHOLD,
+            n_planes=NEARDUP_PLANES,
+        )
+        .select("id_a", "id_b")
+        .withColumn("emb_dup", F.lit(True))
+    )
+    return (
+        tpairs.join(epairs, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("text_dup", F.lit(False)).alias("text_dup"),
+            F.coalesce("emb_dup", F.lit(False)).alias("emb_dup"),
+            (
+                F.coalesce("text_dup", F.lit(False))
+                & F.coalesce("emb_dup", F.lit(False))
+            ).alias("consensus"),
+        )
+    )

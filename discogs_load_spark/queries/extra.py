@@ -382,7 +382,8 @@ def q106_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+           COALESCE(array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|'), '')
+               AS statuses
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("relational", "map-type"),
@@ -393,7 +394,8 @@ def q107_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL), ``map_keys``, ``size``. The map is an INTERMEDIATE — the
     output flattens to plain columns so the oracle needn't model map
     rendering (DuckDB's map semantics differ; the point is Spark's map
-    functions compute the same facts)."""
+    functions compute the same facts). The key list ships '|'-joined
+    (sorted map keys) — the driver canonicalizer can't hash list cells."""
     orders = _t(spark, sf_dir, "orders")[0]
     counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n")
@@ -409,5 +411,94 @@ def q107_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("status_map", "F").alias("n_f"),
         F.element_at("status_map", "O").alias("n_o"),
         F.element_at("status_map", "P").alias("n_p"),
-        F.map_keys("status_map").alias("statuses"),
+        F.array_join(F.map_keys("status_map"), "|").alias("statuses"),
+    )
+
+
+@register(
+    "q139_table_profile",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_orderstatus) AS status_nulls,
+               COUNT(DISTINCT o_orderstatus) AS status_nd,
+               MIN(o_orderstatus) AS status_mn,
+               MAX(o_orderstatus) AS status_mx,
+               COUNT(*) - COUNT(o_orderpriority) AS prio_nulls,
+               COUNT(DISTINCT o_orderpriority) AS prio_nd,
+               MIN(o_orderpriority) AS prio_mn,
+               MAX(o_orderpriority) AS prio_mx,
+               COUNT(*) - COUNT(o_custkey) AS cust_nulls,
+               COUNT(DISTINCT o_custkey) AS cust_nd,
+               CAST(MIN(o_custkey) AS VARCHAR) AS cust_mn,
+               CAST(MAX(o_custkey) AS VARCHAR) AS cust_mx,
+               COUNT(*) - COUNT(o_totalprice) AS price_nulls,
+               COUNT(DISTINCT o_totalprice) AS price_nd,
+               CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+                   AS price_mn,
+               CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+                   AS price_mx
+        FROM orders
+    )
+    SELECT 'o_orderstatus' AS column_name, n_rows,
+           CAST(status_nulls AS BIGINT) AS n_nulls,
+           CAST(status_nd AS BIGINT) AS n_distinct,
+           status_mn AS min_val, status_mx AS max_val FROM s
+    UNION ALL SELECT 'o_orderpriority', n_rows, CAST(prio_nulls AS BIGINT),
+           CAST(prio_nd AS BIGINT), prio_mn, prio_mx FROM s
+    UNION ALL SELECT 'o_custkey', n_rows, CAST(cust_nulls AS BIGINT),
+           CAST(cust_nd AS BIGINT), cust_mn, cust_mx FROM s
+    UNION ALL SELECT 'o_totalprice', n_rows, CAST(price_nulls AS BIGINT),
+           CAST(price_nd AS BIGINT), price_mn, price_mx FROM s
+    """,
+    tags=("profiling", "data-quality"),
+)
+def q139_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality pass every curation pipeline
+    runs before training on a new source: per column, null count, exact
+    distinct count, min/max, in ONE scan of the table (Spark plans the
+    multi-countDistinct via a single expand + partial aggregates; no
+    per-column rescans). The wide one-row aggregate is then unpivoted
+    with ``stack`` into the long (column_name, stats) shape a catalog
+    stores.
+
+    Determinism: min/max of the double column ship as integer CENTS
+    strings — CAST(double AS string) formats differently across engines,
+    ROUND(x*100) to BIGINT is bitwise-portable. At 100 TB: the aggregate
+    is the whole cost (the expand multiplies rows by #distinct-aggs
+    before partial aggregation — the documented price of exact distinct
+    counts; approximate profiles use q28's HLL path instead)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("status_nulls"),
+        F.countDistinct("o_orderstatus").alias("status_nd"),
+        F.min("o_orderstatus").alias("status_mn"),
+        F.max("o_orderstatus").alias("status_mx"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("prio_nulls"),
+        F.countDistinct("o_orderpriority").alias("prio_nd"),
+        F.min("o_orderpriority").alias("prio_mn"),
+        F.max("o_orderpriority").alias("prio_mx"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("cust_nulls"),
+        F.countDistinct("o_custkey").alias("cust_nd"),
+        F.min("o_custkey").cast("string").alias("cust_mn"),
+        F.max("o_custkey").cast("string").alias("cust_mx"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("price_nulls"),
+        F.countDistinct("o_totalprice").alias("price_nd"),
+        F.round(F.min("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("price_mn"),
+        F.round(F.max("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("price_mx"),
+    )
+    return s.selectExpr(
+        "stack(4, "
+        "'o_orderstatus', n_rows, status_nulls, status_nd, status_mn, status_mx, "
+        "'o_orderpriority', n_rows, prio_nulls, prio_nd, prio_mn, prio_mx, "
+        "'o_custkey', n_rows, cust_nulls, cust_nd, cust_mn, cust_mx, "
+        "'o_totalprice', n_rows, price_nulls, price_nd, price_mn, price_mx) "
+        "AS (column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )

@@ -49,69 +49,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 # listed here FIRST; everything else follows in registration order. Names not
 # in this list keep their relative registration order after the listed ones.
 PRIORITY: list[str] = [
-    # §2.A shred proxies — reference-core semantics (release.rs / master.rs),
-    # never driver-verified in r01 (run truncated at 50 entries).
-    "q30_shred_parent_project",
-    "q31_shred_child_posexplode",
+    # --- r03 top block ---
+    # r02 driver-reds (array-typed outputs broke the harness canonicalizer;
+    # now serialized as '|'-joined sorted strings) — need green rows.
     "q32_array_roundtrip",
-    "q33_first_wins_dedup",
-    "q34_bridge_table",
-    # ANN / similarity — never verified.
-    "q54_embedding_neardup",
-    "q55_ann_bruteforce_topk",
-    "q56_ann_lsh_topk",
-    "q57_ann_ivf",
-    # Text analysis — never verified (q64 lives in dedup and is green).
-    "q60_token_stats",
-    "q61_quality_signals",
-    "q62_langid_confusion",
-    "q63_fingerprint",
-    "q65_corpus_pipeline",
-    "q66_rolling_hash",
-    # TPC-H deep joins — never verified.
-    "q73_local_supplier_volume",
-    "q74_volume_shipping",
-    "q75_market_share",
-    "q76_returned_items",
-    "q77_small_quantity_revenue",
-    "q78_large_volume_customer",
-    "q79_top_supplier",
-    "q80_dormant_customers",
-    # Warehouse — never verified.
-    "q38_disjunctive_predicates",
-    "q39_exists_order_priority",
-    "q48_price_histogram",
-    "q49_argmax_aggregates",
-    # Corpus curation — never verified.
-    "q84_train_test_split",
-    "q85_balanced_sample",
-    "q86_shard_manifest",
-    "q87_tfidf_topk",
-    # Multimodal UDTF — never verified.
-    "q72_frame_sampling",
-    # New this round — never verified.
-    "q88_streaming_tumbling",
     "q89_dedup_components",
-    "q90_sequence_packing",
-    "q91_contamination_check",
-    "q92_streaming_foreachbatch_sink",
-    "q93_udtf_sentences",
-    "q94_udaf_second_largest",
     "q95_embedding_dedup_groups",
-    "q96_doc_chunks",
-    "q97_pii_redaction",
-    "q98_repetition_filter",
-    "q99_kmeans_clusters",
-    "q100_incremental_dedup",
-    "q101_interchange_roundtrip",
-    # r01 hash-reds whose oracle typing was fixed this round — need their
-    # green rows confirmed.
-    "q23_conditional_agg",
-    "q43_json_extraction",
-    "q70_multimodal_meta",
-    "q81_conversion_funnel",
-    # --- entries 51+: past the driver's observed 50-row budget this round;
-    # locally verified now, rotated into the top block next round.
+    # q102-q136: registered in r02 past the driver's 50-row budget — never
+    # driver-verified (locally green). q107/q128/q133/q134 additionally had
+    # their array outputs stringified this round; q112 had its catalog
+    # broadcast replaced with a (brand, length-band) equi-join; q134 gained
+    # the posting-df ceiling; q129 gained the ivf_p2 leg.
     "q102_order_count_distribution",
     "q103_promo_revenue_share",
     "q104_sole_late_supplier",
@@ -147,6 +95,64 @@ PRIORITY: list[str] = [
     "q134_inverted_index",
     "q135_conjunctive_search",
     "q136_ranked_search",
+    # New this round — never verified.
+    "q137_quirk_batch_scoped_dedup",
+    "q138_ann_ivf_multiprobe",
+    "q139_table_profile",
+    "q140_quantized_ann_topk",
+    "q141_dedup_consensus",
+    "q142_boilerplate_ngrams",
+    "q143_length_histogram",
+    "q144_bigram_lm_counts",
+    # --- entries 51+ (driver budget is ~50): everything below here has a
+    # green r01/r02 driver row and keeps local oracle-parity coverage.
+    "q30_shred_parent_project",
+    "q31_shred_child_posexplode",
+    "q33_first_wins_dedup",
+    "q34_bridge_table",
+    "q54_embedding_neardup",
+    "q55_ann_bruteforce_topk",
+    "q56_ann_lsh_topk",
+    "q57_ann_ivf",
+    "q60_token_stats",
+    "q61_quality_signals",
+    "q62_langid_confusion",
+    "q63_fingerprint",
+    "q65_corpus_pipeline",
+    "q66_rolling_hash",
+    "q73_local_supplier_volume",
+    "q74_volume_shipping",
+    "q75_market_share",
+    "q76_returned_items",
+    "q77_small_quantity_revenue",
+    "q78_large_volume_customer",
+    "q79_top_supplier",
+    "q80_dormant_customers",
+    "q38_disjunctive_predicates",
+    "q39_exists_order_priority",
+    "q48_price_histogram",
+    "q49_argmax_aggregates",
+    "q84_train_test_split",
+    "q85_balanced_sample",
+    "q86_shard_manifest",
+    "q87_tfidf_topk",
+    "q72_frame_sampling",
+    "q88_streaming_tumbling",
+    "q90_sequence_packing",
+    "q91_contamination_check",
+    "q92_streaming_foreachbatch_sink",
+    "q93_udtf_sentences",
+    "q94_udaf_second_largest",
+    "q96_doc_chunks",
+    "q97_pii_redaction",
+    "q98_repetition_filter",
+    "q99_kmeans_clusters",
+    "q100_incremental_dedup",
+    "q101_interchange_roundtrip",
+    "q23_conditional_agg",
+    "q43_json_extraction",
+    "q70_multimodal_meta",
+    "q81_conversion_funnel",
 ]
 
 

@@ -155,6 +155,51 @@ def q34_bridge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUIRK_BATCH = 256  # reference loads in fixed-size batches (10k rows/batch)
+
+
+@register(
+    "q137_quirk_batch_scoped_dedup",
+    oracle=f"""
+    SELECT batch_id, user_id, event_id, ts, event_type FROM (
+        SELECT CAST(FLOOR(event_id / {QUIRK_BATCH}) AS INT) AS batch_id,
+               user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST(FLOOR(event_id / {QUIRK_BATCH}) AS INT),
+                                user_id
+                   ORDER BY event_id
+               ) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    tags=("dedup", "quirks", "A11"),
+    doc="FAITHFUL-QUIRKS MODE for A5/A11: the reference's dedup scope is "
+    "one ingest batch, not the dataset (release.rs:184-203 clears its "
+    "HashMap per 10k-row batch), so the same id arriving in two batches "
+    "loads TWICE — quirks.py Q7. This query reproduces that exact "
+    "semantics under the oracle, proving the engine's global first-wins "
+    "(q33) is a deliberate deviation, not a gap.",
+)
+def q137_quirk_batch_scoped_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-scoped first-wins dedup, the reference's ACTUAL semantics:
+    batch id is derived from arrival order (event_id is the ingest
+    sequence in the fixture, so batch = event_id div N is a pure
+    projection — no global ordering shuffle needed), then first-wins is
+    ranked WITHIN (batch, user). A user spanning batches survives once
+    per batch — exactly the duplicate-load behavior quirks.py Q7
+    documents (and the later PK creation would reject). Contrast with
+    q33, the engine's clean global dedup over the same rows."""
+    (events,) = _t(spark, sf_dir, "events")
+    batch = F.floor(F.col("event_id") / QUIRK_BATCH).cast("int")
+    w = W.partitionBy("batch_id", "user_id").orderBy("event_id")
+    return (
+        events.withColumn("batch_id", batch)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("batch_id", "user_id", "event_id", "ts", "event_type")
+    )
+
+
 @register(
     "q133_shred_multiarray_parent",
     oracle="""

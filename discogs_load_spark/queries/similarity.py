@@ -9,7 +9,7 @@ rank ordering agrees exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.vectors import cosine_sql, dot_sql, lsh_bucket_sql, norm2_sql
 from ..operators.similarity import (
@@ -120,25 +120,26 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_CENTROID_IDS = (7, 503, 1009, 1511)
+IVF_N_PROBE = 2
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(n_probe: int = 1) -> str:
     cos_ec = cosine_sql("e.embedding", "c.embedding", DIM, "duckdb")
     cos_qn = cosine_sql("q.embedding", "n.embedding", DIM, "duckdb")
     cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
     return f"""
     WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
                   WHERE vec_id IN ({cids})),
-    assign AS (
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.cid AS cell,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {cos_ec} DESC, c.cid
-                   ) AS rn
-            FROM embeddings e CROSS JOIN cent c
-        ) t WHERE rn = 1
-    )
+    ranked AS (
+        SELECT e.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cos_ec} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    qassign AS (SELECT vec_id, cell FROM ranked WHERE rn <= {n_probe}),
+    nassign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                {cos_qn} AS cosine,
@@ -147,8 +148,8 @@ def _ivf_oracle() -> str:
                    ORDER BY {cos_qn} DESC, n.vec_id
                ) AS rank
         FROM embeddings q
-        JOIN assign qa ON qa.vec_id = q.vec_id
-        JOIN assign na ON na.cell = qa.cell
+        JOIN qassign qa ON qa.vec_id = q.vec_id
+        JOIN nassign na ON na.cell = qa.cell
         JOIN embeddings n ON n.vec_id = na.vec_id AND n.vec_id <> q.vec_id
         WHERE q.vec_id IN ({_QIDS})
     ) t WHERE rank <= {TOPK}
@@ -169,6 +170,33 @@ def q57_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
     return ivf_topk(
         emb, queries, "vec_id", "embedding", DIM, TOPK, IVF_CENTROID_IDS
+    )
+
+
+@register(
+    "q138_ann_ivf_multiprobe",
+    oracle=_ivf_oracle(IVF_N_PROBE),
+    tags=("similarity", "ann", "ivf"),
+)
+def q138_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the production recall knob the single-probe
+    q57 lacks: each query searches its TWO nearest Voronoi cells (query
+    rows fan out to 2 cells before the same cell-id equi-join; corpus
+    rows keep their single home cell, so a neighbor can match at most
+    once and no dedup is needed). Costs ~2× the probed distance
+    computations for strictly-no-worse recall — q129 measures the
+    trade."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        DIM,
+        TOPK,
+        IVF_CENTROID_IDS,
+        n_probe=IVF_N_PROBE,
     )
 
 
@@ -342,10 +370,35 @@ def q113_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q128_embedding_quantize",
-    oracle=f"""
-    WITH dims AS (
+def _quantized_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form (vec_id, idx, code) int8-range quantization: global
+    per-dim min/max (skinny aggregate, broadcast back), affine scale +
+    half-up round — the shared engine side of the _QUANT_CTES oracle
+    body (q128 rebuilds per-vector code arrays, q140 searches them)."""
+    dims = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("idx", "val")
+    )
+    stats = dims.groupBy("idx").agg(
+        F.min(F.col("val").cast("double")).alias("mn"),
+        F.max(F.col("val").cast("double")).alias("mx"),
+    )
+    return dims.join(F.broadcast(stats), "idx").select(
+        "vec_id",
+        "idx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.round(
+                ((F.col("val").cast("double") - F.col("mn")) * 255.0)
+                / (F.col("mx") - F.col("mn"))
+            )
+        )
+        .cast("int")
+        .alias("code"),
+    )
+
+
+# shared quantization CTE body (q128 builds the codes, q140 searches them)
+_QUANT_CTES = """dims AS (
         SELECT vec_id,
                unnest(embedding) AS val,
                generate_subscripts(embedding, 1) AS idx
@@ -364,7 +417,13 @@ def q113_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (s.mx - s.mn))
                END AS INT) AS code
         FROM dims d JOIN stats s ON d.idx = s.idx
-    )
+    )"""
+
+
+@register(
+    "q128_embedding_quantize",
+    oracle=f"""
+    WITH {_QUANT_CTES}
     SELECT vec_id,
            COALESCE(array_to_string(list(code ORDER BY idx), '|'), '') AS codes,
            CAST(SUM(code) AS BIGINT) AS code_l1
@@ -387,28 +446,9 @@ def q128_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one groupBy per vec_id with sorted struct collect — shuffle bytes
     ~ corpus dims as ints, the same cost as writing the quantized index.
     """
-    dims = _emb(spark, sf_dir).select(
-        "vec_id", F.posexplode("embedding").alias("idx", "val")
-    )
-    stats = dims.groupBy("idx").agg(
-        F.min(F.col("val").cast("double")).alias("mn"),
-        F.max(F.col("val").cast("double")).alias("mx"),
-    )
-    q = dims.join(F.broadcast(stats), "idx").select(
-        "vec_id",
-        "idx",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(
-            F.round(
-                ((F.col("val").cast("double") - F.col("mn")) * 255.0)
-                / (F.col("mx") - F.col("mn"))
-            )
-        )
-        .cast("int")
-        .alias("code"),
-    )
     return (
-        q.groupBy("vec_id")
+        _quantized_dims(spark, sf_dir)
+        .groupBy("vec_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("idx", "code"))).alias("__s"),
             F.sum("code").cast("bigint").alias("code_l1"),
@@ -429,8 +469,9 @@ def _recall_oracle() -> str:
     exact = REGISTRY["q55_ann_bruteforce_topk"].oracle
     lsh = REGISTRY["q56_ann_lsh_topk"].oracle
     ivf = REGISTRY["q57_ann_ivf"].oracle
+    ivf_p2 = _ivf_oracle(IVF_N_PROBE)
     legs = []
-    for method, approx in (("ivf", ivf), ("lsh", lsh)):
+    for method, approx in (("ivf", ivf), ("ivf_p2", ivf_p2), ("lsh", lsh)):
         legs.append(f"""
         SELECT '{method}' AS method, e.query_id,
                CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -462,7 +503,9 @@ def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = hits / k is an integer divided by a constant — no float
     aggregation to destabilize the hash. Scale: both join sides are
     |queries| x k rows; the expensive parts are the index scans already
-    characterized by q55-q57.
+    characterized by q55-q57/q138. The ivf vs ivf_p2 rows measure the
+    multi-probe knob: probe=2 recall is structurally >= probe=1 (its
+    candidate set is a superset), asserted in tests/test_llm_ops.py.
     """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
@@ -472,6 +515,16 @@ def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "lsh": lsh_topk(emb, queries, "vec_id", "embedding", DIM, TOPK, ANN_PLANES),
         "ivf": ivf_topk(emb, queries, "vec_id", "embedding", DIM, TOPK, IVF_CENTROID_IDS),
+        "ivf_p2": ivf_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            DIM,
+            TOPK,
+            IVF_CENTROID_IDS,
+            n_probe=IVF_N_PROBE,
+        ),
     }
     legs = []
     for method, a in approx.items():
@@ -491,10 +544,73 @@ def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("hits"))
             .select(F.lit(method).alias("method"), "query_id", "hits")
         )
-    out = legs[0].unionByName(legs[1])
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
     return out.select(
         "method",
         "query_id",
         "hits",
         (F.col("hits").cast("double") / TOPK).alias("recall_at_k"),
+    )
+
+
+@register(
+    "q140_quantized_ann_topk",
+    oracle=f"""
+    WITH {_QUANT_CTES},
+    dot AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(SUM(a.code * b.code) AS BIGINT) AS qdot
+        FROM q a JOIN q b ON a.idx = b.idx AND a.vec_id <> b.vec_id
+        WHERE a.vec_id IN ({_QIDS})
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM (
+        SELECT query_id, neighbor_id, qdot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY qdot DESC, neighbor_id
+               ) AS rank
+        FROM dot
+    ) t WHERE rank <= {TOPK}
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def q140_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the COMPRESSED index: top-k by integer dot product on
+    the q128 uint8 codes — the memory-bound scan a quantized vector store
+    actually executes (4 bytes/dim float → 1 byte/dim code = 4× more
+    corpus per executor-RAM; the dot product stays in int64). Engine
+    shape mirrors q55: rebuild per-vector code arrays (one groupBy),
+    broadcast the 3 query code arrays, zip_with/aggregate integer fold
+    per corpus row, per-query top-k window. EVERY value is an integer →
+    bitwise parity with the oracle's long-form join+SUM formulation, an
+    independently-shaped computation of the same scores.
+    """
+    q = _quantized_dims(spark, sf_dir)
+    codes = (
+        q.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "code"))).alias("__s"))
+        .select(
+            "vec_id",
+            F.transform("__s", lambda s: s["code"].cast("long")).alias("codes"),
+        )
+    )
+    queries = codes.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    scored = (
+        codes.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qcodes, codes, (x, y) -> x * y), 0L,"
+                " (acc, v) -> acc + v)"
+            ).alias("qdot"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
     )

@@ -455,3 +455,155 @@ def q136_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "source", "n_matched")
     )
+
+
+BOILERPLATE_K = 3  # shingle width
+BOILERPLATE_TOP = 5  # per-source survivors
+
+
+@register(
+    "q142_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+        SELECT source, unnest({_D_SH}) AS shingle FROM documents
+    ),
+    c AS (SELECT source, shingle, COUNT(*) AS n FROM sh GROUP BY 1, 2),
+    r AS (
+        SELECT source, shingle, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n DESC, shingle
+               ) AS rn
+        FROM c
+    )
+    SELECT source, shingle, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {BOILERPLATE_TOP}
+    """,
+    tags=("text", "boilerplate", "curation"),
+)
+def q142_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the most-repeated word 3-grams per source —
+    headers/footers/license blurbs repeat verbatim across a crawl source,
+    and this per-source top-k is the candidate list a curation pipeline
+    strips before training. One explode + one (source, shingle) count +
+    a per-source rank window with deterministic (count desc, shingle)
+    tie-break; Spark pushes a partial top-k below the exchange
+    (WindowGroupLimit), so the window never materializes a source's full
+    n-gram vocabulary on one reducer."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.expr(doc_shingles_sql("text", BOILERPLATE_K, "spark"))
+        ).alias("shingle"),
+    )
+    c = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("shingle"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BOILERPLATE_TOP)
+        .select(
+            "source",
+            "shingle",
+            F.col("n").cast("bigint").alias("n_occurrences"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "q143_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(length(bin(n_chars)) AS INT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY lang, log2_bucket
+    """,
+    tags=("text", "histogram", "curation"),
+)
+def q143_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in power-of-two buckets per language —
+    the length-distribution profile that picks truncation/packing
+    budgets. The bucket is floor(log2(n))+1 computed as
+    LENGTH(BIN(n)) — pure integer/string ops, so bucket edges are exact
+    in both engines (float LOG2 at a power-of-two boundary is not).
+    Pure map-side projection + tiny aggregate: at 100 TB this is a scan
+    at parquet speed emitting |langs| x ~20 rows."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(
+            "lang",
+            F.length(F.bin("n_chars")).cast("int").alias("log2_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+BIGRAM_TOP = 100
+
+
+@register(
+    "q144_bigram_lm_counts",
+    oracle=f"""
+    WITH bg AS (
+        SELECT unnest({doc_shingles_sql("text", 2, "duckdb")}) AS bigram
+        FROM documents
+    ),
+    c AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+    w AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1, n,
+               SUM(n) OVER (PARTITION BY string_split(bigram, ' ')[1])
+                   AS n_prefix
+        FROM c
+    )
+    SELECT bigram, CAST(n AS BIGINT) AS n,
+           CAST(n_prefix AS BIGINT) AS n_prefix,
+           CAST(n AS DOUBLE) / n_prefix AS p_cond
+    FROM w
+    ORDER BY n DESC, bigram
+    LIMIT {BIGRAM_TOP}
+    """,
+    tags=("text", "ngram-lm", "curation"),
+)
+def q144_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table build: count(w1 w2), the prefix mass
+    count(w1 *), and the conditional probability P(w2|w1) — the classic
+    KenLM-style count pass (top-{BIGRAM_TOP} by frequency with a bigram
+    tie-break). Bigrams reuse the 2-shingle builder (zip_with, map-side);
+    counts shuffle once on the bigram; the prefix mass is a window over
+    the COUNTS (vocabulary-sized, not corpus-sized) partitioned by w1.
+    P(w2|w1) is one bigint/bigint double division — deterministic, no
+    float aggregation. At 100 TB the count table is the only shuffled
+    payload, which is the job's output anyway."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        F.explode(
+            F.expr(doc_shingles_sql("text", 2, "spark"))
+        ).alias("bigram")
+    )
+    c = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    win = W.partitionBy("w1")
+    return (
+        c.withColumn("w1", w1)
+        .withColumn("n_prefix", F.sum("n").over(win).cast("bigint"))
+        .select(
+            "bigram",
+            F.col("n").cast("bigint").alias("n"),
+            "n_prefix",
+            (F.col("n").cast("double") / F.col("n_prefix")).alias("p_cond"),
+        )
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(BIGRAM_TOP)
+    )

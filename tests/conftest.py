@@ -46,10 +46,21 @@ def duck(tmp_path):
     spill = tmp_path / "duck_spill"
     spill.mkdir()
     con = duckdb.connect()
-    con.execute("SET memory_limit='12GB'")
+    # bounded memory AND threads: DuckDB defaults to one thread per core,
+    # and per-operator buffers scale with thread count — 32 threads beside
+    # the 32-core Spark JVM is exactly the allocation spike that produced
+    # cross-test bad_allocs (a big oracle left the process allocator so
+    # fragmented that the NEXT test's 4 KB connect failed). Oracles here
+    # run over sf0.001/sf0.01 fixtures; 4 threads + 8GB + a spill dir is
+    # generous.
+    con.execute("SET threads=4")
+    con.execute("SET memory_limit='8GB'")
     con.execute(f"SET temp_directory='{spill}'")
     yield con
     con.close()
+    import gc
+
+    gc.collect()  # drop any lingering result buffers before the next test
 
 
 def register_duck_views(con, sf_dir: str) -> None:

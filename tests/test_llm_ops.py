@@ -301,3 +301,39 @@ def test_lsh_bipartite_screens_only_new_side(spark):
         ).collect()
     }
     assert pairs == {(100, 1), (100, 2), (101, 1), (101, 2)}
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 searches a superset of nprobe=1's candidates, so its
+    recall@k against the exact top-k must be >= per query — the knob must
+    actually buy recall, never lose it (q129's ivf vs ivf_p2 rows)."""
+    from discogs_load_spark.operators.similarity import ivf_topk
+    from discogs_load_spark.queries.similarity import (
+        DIM,
+        IVF_CENTROID_IDS,
+        TOPK,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", DIM, TOPK).collect()
+    }
+
+    def hits(n_probe):
+        rows = ivf_topk(
+            emb, queries, "vec_id", "embedding", DIM, TOPK,
+            IVF_CENTROID_IDS, n_probe=n_probe,
+        ).collect()
+        out = {}
+        for r in rows:
+            out[r.query_id] = out.get(r.query_id, 0) + (
+                1 if (r.query_id, r.neighbor_id) in exact else 0
+            )
+        return out
+
+    h1, h2 = hits(1), hits(2)
+    assert h1 and h2
+    for q in h1:
+        assert h2.get(q, 0) >= h1[q], (q, h1, h2)

@@ -32,7 +32,8 @@ def fresh_duck():
     (same failure the pytest duck fixture saw before going
     function-scoped). Connect cost is milliseconds; views are cheap."""
     c = duckdb.connect()
-    c.execute("SET memory_limit='12GB'")
+    c.execute("SET threads=4")  # 32 duck threads beside the JVM = bad_alloc
+    c.execute("SET memory_limit='8GB'")
     c.execute(f"SET temp_directory='{SPILL}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
