@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     dedup,
     events,
     extra,
+    graph,
     lake,
     multimodal,
     rag,

@@ -502,3 +502,47 @@ def q139_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'o_totalprice', n_rows, price_nulls, price_nd, price_mn, price_mx) "
         "AS (column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+HLL_SHARDS = 8
+
+
+@register(
+    "q157_hll_shard_merge",
+    oracle=None,  # DataSketches HLL values are engine-specific → rows-only
+    tags=("agg", "approx", "sketch", "rows-only"),
+)
+def q157_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch workflow over document text: build one
+    DataSketches HLL per shard (the per-partition pre-aggregation a
+    100 TB pipeline stores alongside each output shard), union the shard
+    sketches into a corpus estimate, and compare against (a) the sketch
+    built in one pass and (b) the exact distinct count. The merged and
+    direct estimates need not be bit-identical (DataSketches unions go
+    through a coupon/target-type promotion path, so register states can
+    differ slightly) but both carry the same error bound — asserted here
+    as merged_within_5pct of the exact count. That bounded-error
+    mergeability is WHY sketches scale: cardinality of any shard subset
+    is answerable from stored sketches without touching the data.
+    Rows-only by the q28 rule (sketch internals are engine-specific; the
+    exact dual n_exact is oracle-covered via q12-style countDistincts)."""
+    docs = _t(spark, sf_dir, "documents")[0]
+    shards = docs.groupBy((F.col("doc_id") % HLL_SHARDS).alias("shard")).agg(
+        F.hll_sketch_agg("text").alias("sk")
+    )
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged")
+    )
+    direct = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("text")).alias("n_direct"),
+        F.countDistinct("text").alias("n_exact"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_exact",
+        "n_merged",
+        "n_direct",
+        (
+            F.abs(F.col("n_merged") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("merged_within_5pct"),
+    )

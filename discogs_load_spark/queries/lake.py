@@ -213,3 +213,214 @@ def q132_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- snapshot diff (CDC between two lake snapshots) -----------------------
+
+_SNAP_OLD = "doc_id % 10 <> 7"  # the 7s are new arrivals (absent from old)
+_SNAP_NEW = "doc_id % 10 <> 3"  # the 3s were deleted
+_SNAP_EDIT = "doc_id % 10 = 5"  # the 5s were edited in place
+
+
+@register(
+    "q149_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE {_SNAP_OLD}
+    ),
+    new AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN {_SNAP_EDIT} THEN upper(text) ELSE text END) AS h
+        FROM documents WHERE {_SNAP_NEW}
+    ),
+    d AS (
+        SELECT COALESCE(o.source, n.source) AS source,
+               CASE WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source, status, COUNT(*) AS n
+    FROM d GROUP BY source, status
+    """,
+    tags=("lake", "cdc", "diff"),
+)
+def q149_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot corpus diff — the CDC audit every periodically
+    recrawled training corpus needs: given two snapshots of the documents
+    table (derived deterministically from the fixture: the 7s arrive, the
+    3s are deleted, the 5s are edited), classify every doc_id as
+    added / removed / changed / unchanged via one FULL OUTER join on the
+    key and a content-hash comparison, rolled up per (source, status).
+
+    Scale shape: the join keys on doc_id only and carries (source, hash) —
+    never the text; both snapshots of a 100 TB corpus diff at the width
+    of two skinny columns, and identical doc_id bucketing on both sides
+    makes it an exchange-free sort-merge (the q132 layout). Content
+    equality via md5 keeps the compare O(32 bytes) regardless of doc
+    size."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    old = docs.filter(F.expr(_SNAP_OLD)).select(
+        "doc_id",
+        F.col("source").alias("source_o"),
+        F.md5("text").alias("h_o"),
+    )
+    new = docs.filter(F.expr(_SNAP_NEW)).select(
+        "doc_id",
+        F.col("source").alias("source_n"),
+        F.md5(
+            F.when(F.expr(_SNAP_EDIT), F.upper("text")).otherwise(F.col("text"))
+        ).alias("h_n"),
+    )
+    d = old.join(new, "doc_id", "full_outer").select(
+        F.coalesce("source_o", "source_n").alias("source"),
+        F.when(F.col("h_n").isNull(), "removed")
+        .when(F.col("h_o").isNull(), "added")
+        .when(F.col("h_o") != F.col("h_n"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- Z-order layout (multi-dimensional data skipping) ---------------------
+
+ZORDER_BITS = 8  # per dimension; 16-bit interleaved key, 16 files
+
+
+def _idiv(a: str, b: int, dialect: str) -> str:
+    return f"({a} // {b})" if dialect == "duckdb" else f"({a} div {b})"
+
+
+def _zorder_sql(x: str, y: str, dialect: str) -> str:
+    """Morton (Z-order) interleave of two ZORDER_BITS-bit ints: bit i of x
+    lands at position 2i, bit i of y at 2i+1 — pure integer div/mod/mul,
+    identical values in both dialects."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        bx = f"({_idiv(x, 1 << i, dialect)} % 2)"
+        by = f"({_idiv(y, 1 << i, dialect)} % 2)"
+        terms.append(f"{bx} * {1 << (2 * i)}")
+        terms.append(f"{by} * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    x = "(user_id % 256)"
+    y = "((epoch_us(ts) // 3600000000) % 256)"
+    z = _zorder_sql(x, y, "duckdb")
+    return f"""
+    WITH keyed AS (
+        SELECT CAST({_idiv(z, 4096, "duckdb")} AS INT) AS file_id,
+               CAST({x} AS INT) AS x, CAST({y} AS INT) AS y
+        FROM events
+    )
+    SELECT file_id, COUNT(*) AS n,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM keyed GROUP BY file_id
+    """
+
+
+@register(
+    "q150_zorder_layout",
+    oracle=_zorder_oracle(),
+    tags=("lake", "zorder", "data-skipping"),
+)
+def q150_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key over two query dimensions —
+    user bucket x hour bucket — and the per-file min/max statistics that
+    layout yields when the table is range-split on the key into 16 files
+    (what Delta/Iceberg ``OPTIMIZE ZORDER BY`` does, computed natively
+    with integer div/mod bit interleaving, no UDF).
+
+    Why it matters at 100 TB: a linear sort on user_id gives each file a
+    tight user range but an UNBOUNDED hour range, so time predicates scan
+    every file; the interleaved key bounds BOTH dimensions per file
+    (each of the 16 files covers one 64x64 quadrant — the output's
+    min/max columns show it), so min/max file skipping prunes on either
+    predicate. The whole computation is a map-side projection plus one
+    16-group aggregate: no shuffle beyond the final tiny rollup."""
+    from ..functions.numeric import epoch_us
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    keyed = events.select(
+        (F.col("user_id") % 256).cast("bigint").alias("xk"),
+        epoch_us("ts").alias("ep"),
+    ).select(
+        "xk",
+        # integer div, not double `/`: a double quotient can round UP across
+        # an integer boundary and then truncate differently than DuckDB's //
+        F.expr("(ep div 3600000000) % 256").alias("yk"),
+    )
+    z = _zorder_sql("xk", "yk", "spark")
+    keyed = keyed.select(
+        F.expr(_idiv(z, 4096, "spark")).cast("int").alias("file_id"),
+        F.col("xk").cast("int").alias("x"),
+        F.col("yk").cast("int").alias("y"),
+    )
+    return keyed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+
+
+# --- incremental aggregate (materialized-view) maintenance ----------------
+
+_MV_BASE = "l_orderkey % 10 <> 0"  # yesterday's data
+_MV_DELTA = "l_orderkey % 10 = 0"  # today's arriving batch
+
+
+@register(
+    "q156_incremental_agg_maintenance",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("lake", "matview", "incremental"),
+)
+def q156_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the engine aggregates
+    the BASE partition and the DELTA batch separately and MERGES the
+    partial aggregates (full-outer join on the group key, counts added,
+    decimal sums added while still exact — the double cast happens only
+    after the merge, because double(S1)+double(S2) != double(S1+S2) in
+    the last bit); the oracle recomputes the aggregate directly over the
+    whole table. Identical output proves the algebraic-rollup property a
+    lakehouse relies on to avoid full recomputes when a partition lands —
+    the differential gate at its most useful: two genuinely different
+    computation strategies, one exact answer.
+
+    Scale: each side is one map-side-combinable groupBy to |groups|
+    rows; the merge joins two |groups|-row tables. A 100 TB history is
+    never rescanned — only the delta is."""
+    lineitem = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+
+    def agg(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(25,6)))").alias(
+                f"qty_{suffix}"
+            ),
+        )
+
+    mv = agg(lineitem.filter(F.expr(_MV_BASE)), "base")
+    delta = agg(lineitem.filter(F.expr(_MV_DELTA)), "delta")
+    zero = F.lit(0).cast("decimal(25,6)")
+    return mv.join(delta, "l_returnflag", "full_outer").select(
+        "l_returnflag",
+        (
+            F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0))
+        ).alias("n_items"),
+        (
+            F.coalesce("qty_base", zero) + F.coalesce("qty_delta", zero)
+        ).cast("double").alias("total_qty"),
+    )

@@ -104,6 +104,21 @@ PRIORITY: list[str] = [
     "q142_boilerplate_ngrams",
     "q143_length_histogram",
     "q144_bigram_lm_counts",
+    # r03 additions — never verified; entries past the ~50-row driver budget
+    # wait for the r04 rotation (local oracle parity covers them meanwhile).
+    "q145_bm25_topk",
+    "q146_lm_doc_score",
+    "q147_dup_ngram_fraction",
+    "q148_scd2_dimension",
+    "q149_snapshot_diff",
+    "q150_zorder_layout",
+    "q151_temperature_mixture",
+    "q152_basket_triangles",
+    "q153_brand_jaccard",
+    "q154_semdedup",
+    "q155_matryoshka_energy",
+    "q156_incremental_agg_maintenance",
+    "q157_hll_shard_merge",
     # --- entries 51+ (driver budget is ~50): everything below here has a
     # green r01/r02 driver row and keeps local oracle-parity coverage.
     "q30_shred_parent_project",

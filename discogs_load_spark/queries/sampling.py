@@ -630,3 +630,71 @@ def q131_chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq")
     )
+
+
+# --- temperature-scaled source mixture ------------------------------------
+
+MIX_TEMPERATURE = 2  # weight = n^(1/T) = sqrt(n): upweights small sources
+MIX_TOTAL_DOCS = 1000
+
+
+@register(
+    "q151_temperature_mixture",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(25,9)))
+                    AS DOUBLE) AS total_weight
+        FROM s
+    )
+    SELECT source, n_docs, total_chars,
+           sqrt(CAST(n_docs AS DOUBLE)) AS weight,
+           (sqrt(CAST(n_docs AS DOUBLE)) / total_weight) AS share,
+           CAST(FLOOR((sqrt(CAST(n_docs AS DOUBLE)) / total_weight)
+                      * {MIX_TOTAL_DOCS}) AS INT) AS target_docs
+    FROM s CROSS JOIN tot
+    """,
+    tags=("sampling", "mixture", "curation"),
+)
+def q151_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture planning (the multilingual/
+    multi-source sampling recipe from mBERT/XLM-R and every data-mixture
+    paper since): per-source sampling weight n^(1/T) with T=2 — i.e.
+    sqrt(n), which upweights small sources relative to proportional
+    sampling — normalized into shares and integer per-source target
+    counts for a {MIX_TOTAL_DOCS}-doc budget.
+
+    Determinism under the value-hash gate: sqrt is IEEE-754
+    correctly-rounded (bitwise identical in JVM and C), the share
+    normalizer sums the per-source weights through the exact DECIMAL
+    recipe (order-insensitive), and the final FLOOR sees bitwise-equal
+    doubles in both engines. Scale: one map-side-combined groupBy to
+    |sources| rows, a 1-row broadcast of the normalizer, zero further
+    shuffles. The target_docs column feeds the q85 balanced sampler as
+    its per-class quota."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    tot = s.agg(
+        F.expr(
+            "CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(25,9)))"
+            " AS DOUBLE)"
+        ).alias("total_weight")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.expr("sqrt(CAST(n_docs AS DOUBLE))").alias("weight"),
+        F.expr("sqrt(CAST(n_docs AS DOUBLE)) / total_weight").alias("share"),
+        F.expr(
+            "CAST(FLOOR((sqrt(CAST(n_docs AS DOUBLE)) / total_weight)"
+            f" * {MIX_TOTAL_DOCS}) AS INT)"
+        ).alias("target_docs"),
+    )

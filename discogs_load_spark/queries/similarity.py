@@ -614,3 +614,123 @@ def q140_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOPK
     )
+
+
+# --- SemDeDup: cluster-scoped semantic near-dup --------------------------
+
+SEM_K = 4
+SEM_ITER = 2
+SEM_THRESHOLD = 0.25
+
+
+def _semdedup_oracle() -> str:
+    from ..operators.clustering import kmeans_oracle_ctes
+
+    parts, last_a, _ = kmeans_oracle_ctes(
+        "embeddings", "vec_id", "embedding", DIM, SEM_K, SEM_ITER
+    )
+    cos_ab = cosine_sql("ea.embedding", "eb.embedding", DIM, "duckdb")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cos_ab} AS cos
+    FROM {last_a} a
+    JOIN {last_a} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE {cos_ab} >= {SEM_THRESHOLD}
+    """
+    )
+
+
+@register(
+    "q154_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "similarity", "embedding", "clustering"),
+)
+def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    by k-means clustering the embedding space first and comparing cosines
+    only WITHIN each cluster — the curation-scale answer to "all-pairs
+    cosine doesn't fit": the pair space shrinks from N² to
+    sum-over-clusters(|c|²), and the cluster id is a plain equi-join key.
+    Complements q54 (hyperplane-LSH blocking — randomized buckets) with
+    the learned-partition variant; both rerank with the exact HOF cosine.
+
+    Plan: 2 unrolled Lloyd rounds (broadcast centroids, decimal-exact
+    means — operators/clustering.py), then a cluster-keyed self-join with
+    vec_id < vec_id dedup and the cosine threshold in the join filter.
+    No cross product: the join is hash-partitioned on cluster."""
+    from ..operators.clustering import kmeans
+
+    emb = _emb(spark, sf_dir)
+    assigned = kmeans(emb, "vec_id", "embedding", DIM, SEM_K, SEM_ITER).select(
+        "vec_id", "cluster"
+    )
+    av = assigned.join(emb, "vec_id").select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    bv = assigned.join(emb, "vec_id").select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cos = cosine_sql("ea", "eb", DIM, "spark")
+    return (
+        av.join(
+            bv,
+            (av.cluster == bv.cluster) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            av.cluster.alias("cluster"),
+            "vec_a",
+            "vec_b",
+            F.expr(cos).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_THRESHOLD)
+    )
+
+
+# --- Matryoshka truncation energy ----------------------------------------
+
+MAT_DIM = 16
+
+
+@register(
+    "q155_matryoshka_energy",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(
+               ({norm2_sql("embedding", MAT_DIM, "duckdb")}
+                / {norm2_sql("embedding", DIM, "duckdb")})
+               AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*) AS avg_energy
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("embedding", "matryoshka", "dimension-reduction"),
+)
+def q155_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation diagnostics (Kusupati et al. 2022): how much
+    of each embedding's L2 energy the first {MAT_DIM} of {DIM} dimensions
+    retain — ||v[:16]||² / ||v||², averaged per label. This is the
+    go/no-go metric before serving truncated vectors from an MRL-trained
+    model (cheap ANN at a fraction of the memory): energy ≈ uniform
+    dim/DIM means the embedding is NOT matryoshka-ordered and truncation
+    would destroy recall. Pure map-side per-row array folds (no shuffle
+    before the |labels|-row rollup); the ratio of two left-associated
+    double folds is bitwise stable, and the mean uses the exact DECIMAL
+    sum."""
+    emb = _emb(spark, sf_dir)
+    num = norm2_sql(f"slice(CAST(embedding AS ARRAY<DOUBLE>), 1, {MAT_DIM})", MAT_DIM, "spark")
+    den = norm2_sql("embedding", DIM, "spark")
+    return (
+        emb.select("label", F.expr(f"({num} / {den})").alias("r"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                "CAST(SUM(CAST(r AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_energy"),
+        )
+    )

@@ -548,6 +548,263 @@ def q143_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = "1.2"
+BM25_B_COMPL = "0.25"  # 1 - b with b = 0.75
+BM25_B = "0.75"
+BM25_TOP = 20
+
+
+def _bm25_term_score(tf: str, df: str, dl: str, ndocs: str, total_words: str) -> str:
+    """One BM25 term's score as arithmetic text shared verbatim by both
+    dialects. Rational-IDF variant: idf = (N - df + 0.5)/(df + 0.5) — the
+    log is dropped so the whole score is +,-,*,/ over doubles, which IEEE
+    makes bitwise identical across engines (LN/LOG are libm-dependent and
+    would drift in the last bits, breaking the value-hash gate). Ranking
+    order vs log-IDF is preserved for single-term contributions (the map
+    x -> (N-x+0.5)/(x+0.5) is monotone in df exactly like the log form).
+    """
+    avgdl = f"(CAST({total_words} AS DOUBLE) / {ndocs})"
+    idf = f"((CAST({ndocs} - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+    tfpart = (
+        f"((CAST({tf} AS DOUBLE) * ({BM25_K1} + 1.0)) / "
+        f"(CAST({tf} AS DOUBLE) + ({BM25_K1} * ({BM25_B_COMPL} + "
+        f"(({BM25_B} * CAST({dl} AS DOUBLE)) / {avgdl})))))"
+    )
+    return f"({idf} * {tfpart})"
+
+
+def _bm25_oracle() -> str:
+    tf = {w: f"len(list_filter(toks, t -> t = '{w}'))" for w in SEARCH_TERMS}
+    df = {
+        w: f"(SELECT SUM(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END) FROM d)"
+        for w in SEARCH_TERMS
+    }
+    terms = " + ".join(
+        f"CAST({_bm25_term_score(tf[w], f'df_{w}', 'dl', 'ndocs', 'total_words')}"
+        f" AS DECIMAL(25,9))"
+        for w in SEARCH_TERMS
+    )
+    hits = " + ".join(f"CAST({tf[w]} > 0 AS INT)" for w in SEARCH_TERMS)
+    dfcols = ", ".join(f"{df[w]} AS df_{w}" for w in SEARCH_TERMS)
+    return f"""
+    WITH d AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (
+        SELECT COUNT(*) AS ndocs, CAST(SUM(dl) AS BIGINT) AS total_words,
+               {dfcols}
+        FROM dl
+    )
+    SELECT doc_id,
+           CAST(({terms}) AS DOUBLE) AS score,
+           CAST(({hits}) AS INT) AS n_terms
+    FROM dl CROSS JOIN stats
+    WHERE ({hits}) > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP}
+    """
+
+
+@register(
+    "q145_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "ranking", "bm25"),
+)
+def q145_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval (rational-IDF variant, k1=1.2 b=0.75) for the
+    standing query terms — the scoring layer on top of the q134-q136
+    search suite. Spark runs it index-shaped: term postings with per-doc
+    tf (one explode + one (doc, term)-keyed combiner shuffle restricted to
+    the query terms), document frequency as a tiny per-term aggregate
+    broadcast back, corpus stats (N, avgdl) as a broadcast 1-row
+    aggregate, and the per-term partial scores summed with the exact
+    DECIMAL recipe so the 3-term sum is order-insensitive. The oracle
+    evaluates the per-document definition (array tf via list_filter) with
+    the identical arithmetic text — two algorithms, one bitwise answer.
+    Top-k is TakeOrderedAndProject with a doc_id tie-break.
+
+    At 100 TB: the posting scan is pruned to |query terms| tokens before
+    the shuffle, so shuffled bytes scale with matching docs, not corpus
+    tokens; df/stats are scalar broadcasts; no window over the corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    toks_expr = tokens_sql(norm_sql("text", "spark"), "spark")
+    base = docs.select("doc_id", F.expr(toks_expr).alias("toks"))
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    tok = base.select(
+        "doc_id", F.explode("toks").alias("token")
+    ).filter(F.col("token").isin(*SEARCH_TERMS))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("ndocs"),
+        F.sum("dl").cast("bigint").alias("total_words"),
+    )
+    score_txt = _bm25_term_score("tf", "df", "dl", "ndocs", "total_words")
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({score_txt} AS DECIMAL(25,9))").alias("part"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(CAST(SUM(part) AS DECIMAL(25,9)) AS DOUBLE)").alias(
+                "score"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+LM_MIN_COUNT = 3  # prune rare bigrams from the scoring table (KenLM-style)
+
+_BG2 = doc_shingles_sql("text", 2, "duckdb")
+
+
+@register(
+    "q146_lm_doc_score",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({_BG2}) AS bigram FROM documents
+    ),
+    c AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+    lm AS (
+        SELECT bigram, CAST(n AS DOUBLE) / n_prefix AS p
+        FROM (
+            SELECT bigram, n,
+                   SUM(n) OVER (PARTITION BY string_split(bigram, ' ')[1])
+                       AS n_prefix
+            FROM c
+        )
+        WHERE n >= {LM_MIN_COUNT}
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(COUNT(lm.p) AS BIGINT) AS n_scored,
+           CAST(SUM(CAST(lm.p AS DECIMAL(25,9))) AS DOUBLE) / COUNT(lm.p)
+               AS avg_p
+    FROM bg LEFT JOIN lm ON bg.bigram = lm.bigram
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "ngram-lm", "quality", "curation"),
+)
+def q146_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score under the corpus bigram LM — the
+    perplexity-filter shape every pre-training pipeline runs (score docs
+    with a small LM, drop the tail), kept rational for the value-hash
+    gate: the score is the mean conditional probability P(w2|w1) over the
+    doc's bigrams (log-free; monotone proxy for the standard avg-log-prob
+    at the filtering decision boundary). The LM is count-pruned at
+    n >= {LM_MIN_COUNT}; prefix mass is computed over the UNPRUNED counts
+    (real LM normalization), docs join against the pruned table with a
+    left join so coverage (n_scored/n_bigrams) is part of the output.
+
+    Scale shape: the LM table is vocabulary-sized (bigram types), built
+    with one combiner shuffle; the prefix-mass window runs over the COUNT
+    table, never the corpus; scoring is one (bigram)-keyed join of corpus
+    bigram occurrences against that table — AQE broadcasts the pruned LM
+    when it fits. The mean uses the exact DECIMAL sum, so partitioning
+    never changes a score.
+    """
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.expr(doc_shingles_sql("text", 2, "spark"))).alias("bigram"),
+    )
+    c = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    lm = (
+        c.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("n_prefix", F.sum("n").over(W.partitionBy("w1")))
+        .filter(F.col("n") >= LM_MIN_COUNT)
+        .select(
+            "bigram",
+            (F.col("n").cast("double") / F.col("n_prefix")).alias("p"),
+        )
+    )
+    return (
+        bg.join(lm, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("p").cast("bigint").alias("n_scored"),
+            F.expr(
+                "CAST(SUM(CAST(p AS DECIMAL(25,9))) AS DOUBLE) / COUNT(p)"
+            ).alias("avg_p"),
+        )
+    )
+
+
+DUPNGRAM_K = 3
+
+
+@register(
+    "q147_dup_ngram_fraction",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_D_SH}) AS shingle FROM documents
+    ),
+    d AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+    ),
+    g AS (
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM d GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_dup,
+           (CAST(n_dup AS DOUBLE) / n_shingles) AS dup_frac
+    FROM g
+    """,
+    tags=("text", "dedup", "substring", "curation"),
+)
+def q147_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document n-gram duplication signal: the fraction of a
+    document's distinct word {DUPNGRAM_K}-grams that appear in at least
+    one other document — the scalable proxy for suffix-array
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): a high dup_frac marks boilerplate and
+    near-copies that MinHash's document-level granularity misses.
+
+    One explode + distinct, then the document-frequency count window OVER
+    the shingle partition (the q134 discipline: the window and the
+    per-doc groupBy share one shingle-keyed exchange, and no per-shingle
+    posting list is ever materialized), then a doc-keyed count rollup.
+    All integer counts; the fraction is one double division.
+    """
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(doc_shingles_sql("text", DUPNGRAM_K, "spark"))
+            ).alias("shingle"),
+        )
+        .distinct()
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    )
+    g = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("df") >= 2).cast("int")).cast("bigint").alias("n_dup"),
+    )
+    return g.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        (F.col("n_dup").cast("double") / F.col("n_shingles")).alias("dup_frac"),
+    )
+
+
 BIGRAM_TOP = 100
 
 

@@ -8,7 +8,7 @@ width_bucket / max_by scalar+aggregate families.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.numeric import dec_sum, dec_sum_sql
 from ..session import load_tables
@@ -164,4 +164,67 @@ def q49_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(o_orderstatus, o_orderkey)").alias("first_status"),
         F.max("o_orderkey").alias("last_order"),
         F.min("o_orderkey").alias("first_order"),
+    )
+
+
+@register(
+    "q148_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_state
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, state, ts AS valid_from, event_id
+        FROM ordered WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           state, valid_from,
+           LEAD(valid_from) OVER w AS valid_to,
+           (LEAD(valid_from) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    tags=("warehouse", "scd2", "cdc"),
+)
+def q148_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event change log:
+    collapse each user's event stream to its state-CHANGE rows (lag
+    window), then derive [valid_from, valid_to) intervals and an
+    is_current flag (lead window) — the standard dimension-history table
+    every warehouse maintains, built in one pass.
+
+    Scale shape: both windows partition by user_id, so Catalyst plans ONE
+    user-keyed exchange and runs lag, the change filter, the version
+    row_number, and lead inside the same sorted partition — no second
+    shuffle, no self-join (the naive interval build joins the change set
+    to itself on version+1). Change rows are a small fraction of events,
+    so the second window's input is already collapsed. Determinism: event
+    ordering ties broken by event_id at both window levels.
+    """
+    events = _t(spark, sf_dir, "events")[0]
+    ordered = events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_state"),
+    )
+    changes = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("int").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )

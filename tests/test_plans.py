@@ -264,7 +264,7 @@ def test_vocab_topk_bounds_global_window(spark):
     assert win and topk, plan
     assert min(win) < min(topk), (
         "Window must consume TakeOrderedAndProject's output, not the "
-        "full vocabulary:\n" + tree
+        "full vocabulary:\n" + "\n".join(lines)
     )
 
 
@@ -308,3 +308,56 @@ def test_bucketed_join_query_is_exchange_free_on_join_keys(spark):
     assert "hashpartitioning(o_orderkey" not in plan
     assert "hashpartitioning(l_orderkey" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """q148: lag → change filter → version row_number → lead are all
+    user_id-partitioned, so Catalyst must plan exactly ONE user-keyed
+    exchange feeding both Window nodes — a second shuffle here would
+    re-move the fact table per window at scale."""
+    plan = _plan(spark, "q148_scd2_dimension")
+    assert plan.count("Window (") == 2, plan
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_zorder_is_map_side_plus_tiny_rollup(spark):
+    """q150: the Morton key is per-row integer math; the only exchange
+    allowed is the 16-group rollup."""
+    plan = _plan(spark, "q150_zorder_layout")
+    assert plan.count("Exchange (") == 1, plan
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_joins_on_key_only(spark):
+    """q149: the CDC diff must be ONE full-outer equi-join on doc_id —
+    no nested loop, and md5 comparison happens post-join on skinny
+    columns."""
+    plan = _plan(spark, "q149_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_thresholds_avoid_fact_window(spark):
+    """q145: df and corpus stats must be aggregates joined back
+    (broadcast), never windows over the posting relation."""
+    plan = _plan(spark, "q145_bm25_topk")
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_graph_joins_are_equi_joins(spark):
+    """q152/q153: edge build and triangle closure must be equi-joins; the
+    only nested-loop joins allowed are the 1-row mean-cut broadcasts."""
+    for q in ("q152_basket_triangles", "q153_brand_jaccard"):
+        kinds = join_kinds(REGISTRY[q].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in kinds, q
+
+
+def test_semdedup_pair_join_is_cluster_equi(spark):
+    """q154: the in-cluster pair join must key on the cluster id (the
+    broadcast nested loops are the k-row centroid fans inside k-means);
+    an all-pairs comparison would defeat SemDeDup's reason to exist."""
+    kinds = join_kinds(REGISTRY["q154_semdedup"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in kinds
+    assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds, kinds
