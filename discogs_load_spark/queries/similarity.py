@@ -618,7 +618,7 @@ def q140_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: cluster-scoped semantic near-dup --------------------------
 
-SEM_K = 4
+SEM_K = 8  # more, smaller cells: in-cluster pair work is sum(|c|²)
 SEM_ITER = 2
 SEM_THRESHOLD = 0.25
 
@@ -662,17 +662,27 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: 2 unrolled Lloyd rounds (broadcast centroids, decimal-exact
     means — operators/clustering.py), then a cluster-keyed self-join with
     vec_id < vec_id dedup and the cosine threshold in the join filter.
-    No cross product: the join is hash-partitioned on cluster."""
+    No cross product: the join is hash-partitioned on cluster. The
+    (cluster, id, vector) frame is persisted — it feeds BOTH sides of
+    the self-join, and without the persist each side re-runs the whole
+    k-means lineage (2x the Lloyd rounds; measured ~2x wall)."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.clustering import kmeans
 
     emb = _emb(spark, sf_dir)
     assigned = kmeans(emb, "vec_id", "embedding", DIM, SEM_K, SEM_ITER).select(
         "vec_id", "cluster"
     )
-    av = assigned.join(emb, "vec_id").select(
+    cv = (
+        assigned.join(emb, "vec_id")
+        .select("cluster", "vec_id", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    av = cv.select(
         "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
-    bv = assigned.join(emb, "vec_id").select(
+    bv = cv.select(
         "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
     cos = cosine_sql("ea", "eb", DIM, "spark")

@@ -357,7 +357,16 @@ def test_graph_joins_are_equi_joins(spark):
 def test_semdedup_pair_join_is_cluster_equi(spark):
     """q154: the in-cluster pair join must key on the cluster id (the
     broadcast nested loops are the k-row centroid fans inside k-means);
-    an all-pairs comparison would defeat SemDeDup's reason to exist."""
-    kinds = join_kinds(REGISTRY["q154_semdedup"].fn(spark, SF_SMALL))
+    an all-pairs comparison would defeat SemDeDup's reason to exist.
+    With the auto-broadcast threshold pinned off (AQE may otherwise
+    broadcast the fixture-sized side at runtime, which is fine live but
+    nondeterministic to assert), the equi key must surface as a shuffle
+    join."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kinds = join_kinds(REGISTRY["q154_semdedup"].fn(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "CartesianProduct" not in kinds
     assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds, kinds
