@@ -119,6 +119,10 @@ PRIORITY: list[str] = [
     "q155_matryoshka_energy",
     "q156_incremental_agg_maintenance",
     "q157_hll_shard_merge",
+    "q158_ivf_cell_balance",
+    "q159_curriculum_budget",
+    "q160_nucleus_vocab",
+    "q161_streaming_matview",
     # --- entries 51+ (driver budget is ~50): everything below here has a
     # green r01/r02 driver row and keeps local oracle-parity coverage.
     "q30_shred_parent_project",

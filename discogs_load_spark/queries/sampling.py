@@ -26,9 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.textfns import (
+    STOPWORDS,
     doc_shingles_sql,
     norm_sql,
     shingles_sql,
+    stopword_hits_sql,
     token_count_sql,
     tokens_sql,
 )
@@ -697,4 +699,89 @@ def q151_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR((sqrt(CAST(n_docs AS DOUBLE)) / total_weight)"
             f" * {MIX_TOTAL_DOCS}) AS INT)"
         ).alias("target_docs"),
+    )
+
+
+# --- quality-ordered curriculum under a token budget ----------------------
+
+CURRICULUM_BUDGET_FRAC = 0.5  # spend half the corpus token budget
+
+
+@register(
+    "q159_curriculum_budget",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               {token_count_sql('text', 'duckdb')} AS n_tokens,
+               CAST(len(list_filter((CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN [] ELSE string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') END), t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE) / GREATEST(len((CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN [] ELSE string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') END)), 1) AS sw_ratio
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(sw_ratio AS DECIMAL(25,9))) AS DOUBLE)
+                   / COUNT(*) AS quality
+        FROM per_doc GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM s),
+    o AS (
+        SELECT s.*, t.corpus_tokens,
+               SUM(total_tokens) OVER (
+                   ORDER BY quality DESC, source
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM s CROSS JOIN t
+    )
+    SELECT source, quality, total_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           ((cum_tokens - total_tokens)
+            < {CURRICULUM_BUDGET_FRAC} * corpus_tokens) AS included
+    FROM o
+    """,
+    tags=("sampling", "curriculum", "curation"),
+)
+def q159_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered curriculum selection under a token budget: rank
+    sources by a quality score (mean per-doc stopword ratio — the q61
+    signal, exact-decimal averaged), walk them best-first, and include a
+    source iff it STARTS below {CURRICULUM_BUDGET_FRAC:.0%} of the corpus
+    token budget — the greedy quality-first data-mixing pass (and the
+    budget is a corpus fraction, so the selection rule is scale-
+    invariant). Integer token cumsum over the |sources|-row aggregate
+    (never the corpus), deterministic (quality, source) ordering, one
+    1-row normalizer broadcast. Complements q151: that sets proportional
+    temperature targets, this makes the greedy quality cut."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = tokens_sql(norm_sql("text", "spark"), "spark")
+    sw = stopword_hits_sql(toks, STOPWORDS["en"], "spark")
+    per_doc = docs.select(
+        "source",
+        F.expr(token_count_sql("text", "spark")).alias("n_tokens"),
+        F.expr(f"CAST({sw} AS DOUBLE) / GREATEST(size({toks}), 1)").alias(
+            "sw_ratio"
+        ),
+    )
+    s = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "CAST(SUM(CAST(sw_ratio AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)"
+        ).alias("quality"),
+    )
+    t = s.agg(F.sum("total_tokens").cast("bigint").alias("corpus_tokens"))
+    w = (
+        Window.orderBy(F.desc("quality"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = s.crossJoin(F.broadcast(t)).withColumn(
+        "cum_tokens", F.sum("total_tokens").over(w)
+    )
+    return o.select(
+        "source",
+        "quality",
+        "total_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        (
+            (F.col("cum_tokens") - F.col("total_tokens"))
+            < CURRICULUM_BUDGET_FRAC * F.col("corpus_tokens")
+        ).alias("included"),
     )

@@ -744,3 +744,59 @@ def q155_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_energy"),
         )
     )
+
+
+# --- IVF index health: cell balance report --------------------------------
+
+
+def _cell_balance_oracle() -> str:
+    from ..operators.clustering import kmeans_oracle_ctes
+
+    parts, last_a, _ = kmeans_oracle_ctes(
+        "embeddings", "vec_id", "embedding", DIM, IVF_LEARN_K, IVF_LEARN_ITERS
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    c AS (SELECT cluster AS cell, COUNT(*) AS n_vecs FROM {last_a} GROUP BY cluster),
+    t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM c)
+    SELECT cell, n_vecs,
+           (CAST(n_vecs AS DOUBLE) / total) AS share,
+           ((CAST(n_vecs AS DOUBLE) / total) * {IVF_LEARN_K}) AS balance_factor
+    FROM c CROSS JOIN t
+    """
+    )
+
+
+@register(
+    "q158_ivf_cell_balance",
+    oracle=_cell_balance_oracle(),
+    tags=("similarity", "ann", "index-health", "clustering"),
+)
+def q158_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report: per-cell vector counts, corpus share, and
+    balance factor (share x k — 1.0 means perfectly balanced) for the
+    SAME learned index q113 queries. The operational metric every vector
+    store watches: a fat cell makes its probes scan a large fraction of
+    the corpus (probe cost is the probed cells' share, q57/q113 plans),
+    and a starved cell wastes a centroid — this report is what triggers
+    re-training k-means or raising k. Two Lloyd rounds + one k-group
+    count + a 1-row broadcast normalizer; integer counts with two
+    deterministic double divisions."""
+    from ..operators.clustering import kmeans
+
+    emb = _emb(spark, sf_dir)
+    assigned = kmeans(emb, "vec_id", "embedding", DIM, IVF_LEARN_K, IVF_LEARN_ITERS)
+    c = assigned.groupBy(F.col("cluster").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    t = c.agg(F.sum("n_vecs").cast("bigint").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "cell",
+        "n_vecs",
+        F.expr("CAST(n_vecs AS DOUBLE) / total").alias("share"),
+        F.expr(f"(CAST(n_vecs AS DOUBLE) / total) * {IVF_LEARN_K}").alias(
+            "balance_factor"
+        ),
+    )

@@ -473,3 +473,70 @@ def q127_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@register(
+    "q161_streaming_matview",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {dec_sum_sql("value", "total_value")}
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "matview", "incremental"),
+)
+def q161_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized view — q156's algebraic-rollup
+    property composed with Structured Streaming: each micro-batch lands
+    its PARTIAL aggregate (count + exact DECIMAL sum per event_type) via
+    ``foreachBatch`` into an append-only parquet ledger, and the view is
+    the re-aggregation of the partials. Appending partials instead of
+    read-modify-writing the view per batch keeps the sink idempotent-
+    append (no write races, replayable from the checkpoint), and the
+    merge stays exact because the partials are stored as DECIMAL(25,6) —
+    the double cast happens once, after the final merge. The oracle
+    aggregates the raw events directly: stream partials must reproduce
+    the direct answer bit-for-bit.
+
+    At 100 TB/day: per batch the ledger gains |event_type| rows; the
+    view query reads partials only — never the event history."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = os.path.join(tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
+
+    ledger = tempfile.mkdtemp(prefix="q161_ledger_")
+
+    def land_partial(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_partial"),
+                F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("v_partial"),
+            )
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    with _stream_drain_conf(spark):
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.foreachBatch(land_partial)
+            .option("checkpointLocation", os.path.join(ledger, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.read.parquet(ledger)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_partial").alias("n"),
+            F.expr(
+                "CAST(CAST(SUM(v_partial) AS DECIMAL(25,6)) AS DOUBLE)"
+            ).alias("total_value"),
+        )
+    )

@@ -864,3 +864,84 @@ def q144_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(BIGRAM_TOP)
     )
+
+
+NUCLEUS_P = "0.9"  # top-p mass kept per prefix (literal: same text both engines)
+NUCLEUS_MIN_PREFIX = 30  # score only prefixes with enough mass
+
+
+@register(
+    "q160_nucleus_vocab",
+    oracle=f"""
+    WITH bg AS (
+        SELECT unnest({_BG2}) AS bigram FROM documents
+    ),
+    c AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+    w AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2, n,
+               SUM(n) OVER (PARTITION BY string_split(bigram, ' ')[1])
+                   AS n_prefix,
+               SUM(n) OVER (
+                   PARTITION BY string_split(bigram, ' ')[1]
+                   ORDER BY n DESC, bigram
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY string_split(bigram, ' ')[1]
+                   ORDER BY n DESC, bigram
+               ) AS rn
+        FROM c
+    )
+    SELECT w1, w2, CAST(n AS BIGINT) AS n,
+           CAST(n_prefix AS BIGINT) AS n_prefix,
+           CAST(rn AS INT) AS rank
+    FROM w
+    WHERE n_prefix >= {NUCLEUS_MIN_PREFIX}
+      AND (cum_n - n) < {NUCLEUS_P} * n_prefix
+    """,
+    tags=("text", "ngram-lm", "nucleus", "curation"),
+)
+def q160_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary pruning per prefix: for every context
+    word w1 (with at least {NUCLEUS_MIN_PREFIX} continuations observed),
+    keep the smallest probability-ranked set of continuations whose
+    cumulative mass reaches p=0.9 — a continuation survives iff the mass
+    BEFORE it is under p x n_prefix, the standard top-p rule (Holtzman et
+    al. 2020) stated entirely in INTEGER arithmetic (cumulative count vs
+    0.9 * prefix count), so the cut is bitwise-identical in both engines
+    with no float summation anywhere.
+
+    Plan shape: one bigram count shuffle (vocabulary-sized output), then
+    prefix mass / cumulative count / rank as three window frames over the
+    SAME w1 partition — one exchange, shared sort — over counts, never
+    the corpus. The (n DESC, bigram) ordering is the q144 deterministic
+    tie-break."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        F.explode(F.expr(doc_shingles_sql("text", 2, "spark"))).alias("bigram")
+    )
+    c = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    sp = F.split(F.col("bigram"), " ")
+    part = W.partitionBy("w1")
+    ordered = part.orderBy(F.desc("n"), F.asc("bigram"))
+    cum = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        c.withColumn("w1", sp.getItem(0))
+        .withColumn("w2", sp.getItem(1))
+        .withColumn("n_prefix", F.sum("n").over(part))
+        .withColumn("cum_n", F.sum("n").over(cum))
+        .withColumn("rn", F.row_number().over(ordered))
+    )
+    return w.filter(
+        (F.col("n_prefix") >= NUCLEUS_MIN_PREFIX)
+        & ((F.col("cum_n") - F.col("n")) < F.expr(f"{NUCLEUS_P} * n_prefix"))
+    ).select(
+        "w1",
+        "w2",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_prefix").cast("bigint").alias("n_prefix"),
+        F.col("rn").cast("int").alias("rank"),
+    )
