@@ -370,3 +370,26 @@ def test_semdedup_pair_join_is_cluster_equi(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "CartesianProduct" not in kinds
     assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds, kinds
+
+
+def test_priority_list_names_are_registered(spark):
+    """A typo'd or stale name in registry.PRIORITY would silently fall out
+    of the driver's top-50 rotation (rank.get defaults past the end) —
+    assert every PRIORITY entry exists and none repeats."""
+    from collections import Counter
+
+    from discogs_load_spark.queries.registry import PRIORITY
+
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    assert not missing, f"PRIORITY names not in REGISTRY: {missing}"
+    dupes = [n for n, c in Counter(PRIORITY).items() if c > 1]
+    assert not dupes, f"duplicate PRIORITY names: {dupes}"
+
+
+def test_nucleus_windows_share_one_partition(spark):
+    """q160: prefix mass, cumulative count, and rank are three frames over
+    the SAME w1 partition — the plan must show exactly two exchanges (the
+    bigram count aggregate + one w1 repartition), never one per frame."""
+    plan = _plan(spark, "q160_nucleus_vocab")
+    assert plan.count("Window (") == 2, plan
+    assert plan.count("Exchange (") == 2, plan
