@@ -252,3 +252,73 @@ def q109_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             total=dec_sum_sql("value", "total_value"), events="q109_events"
         )
     )
+
+
+TRAIL_DAYS = 6  # frame: current day + 6 preceding = trailing week
+
+
+@register(
+    "q163_trailing_window_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS INT) AS day_idx,
+               SUM(CAST(value AS DECIMAL(25,6))) AS day_dec,
+               COUNT(*) AS n_events
+        FROM events GROUP BY day_idx
+    )
+    SELECT day_idx,
+           CAST(day_dec AS DOUBLE) AS day_value,
+           CAST(CAST(SUM(day_dec) OVER w AS DECIMAL(25,6)) AS DOUBLE)
+               AS trailing_value,
+           CAST(COUNT(*) OVER w AS INT) AS n_days_in_frame,
+           n_events
+    FROM daily
+    WINDOW w AS (ORDER BY day_idx
+                 RANGE BETWEEN {TRAIL_DAYS} PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window", "range-frame"),
+)
+def q163_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per day via a RANGE window frame — the
+    physical frame kind the suite's other windows don't exercise (ROWS
+    frames and unbounded partitions): RANGE over the integer day index
+    includes value-neighbors, so missing days genuinely shrink the frame
+    (n_days_in_frame says by how much) instead of sliding a fixed row
+    count. The window's input is the DAILY aggregate (|days| rows), not
+    the event stream — the q144/q160 discipline — and the frame sums
+    DECIMAL day totals, so the trailing sum is exact no matter how the
+    engine associates the frame additions (segment trees vs running
+    sums), then casts to double once."""
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import epoch_us
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        events.select(
+            epoch_us("ts").alias("ep"), F.col("value")
+        )
+        .select(F.expr("CAST(ep div 86400000000 AS INT)").alias("day_idx"), "value")
+        .groupBy("day_idx")
+        .agg(
+            F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("day_dec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = W.orderBy("day_idx").rangeBetween(-TRAIL_DAYS, 0)
+    return daily.select(
+        "day_idx",
+        F.expr("CAST(day_dec AS DOUBLE)").alias("day_value"),
+        F.expr("CAST(day_dec AS DECIMAL(25,6))").alias("_dd"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_days_in_frame"),
+        "n_events",
+    ).withColumn(
+        "trailing_value",
+        F.expr(
+            "CAST(CAST(SUM(_dd) OVER (ORDER BY day_idx RANGE BETWEEN "
+            f"{TRAIL_DAYS} PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) "
+            "AS DOUBLE)"
+        ),
+    ).select(
+        "day_idx", "day_value", "trailing_value", "n_days_in_frame", "n_events"
+    )

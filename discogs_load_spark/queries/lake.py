@@ -424,3 +424,84 @@ def q156_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce("qty_base", zero) + F.coalesce("qty_delta", zero)
         ).cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "q162_orc_roundtrip",
+    oracle=_FP_SQL.format(fmt="orc"),
+    tags=("sources", "sinks", "orc"),
+)
+def q162_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → read-back, fingerprinted per lang like q101's
+    JSON/CSV legs — the third interchange format, and the one whose
+    read path matters most operationally: ORC (like parquet) carries
+    types and per-stripe min/max statistics, so unlike the text formats
+    the read side needs no declared schema and keeps predicate pushdown.
+    (Avro is not bundled in this environment — the external
+    spark-avro module would slot into the same fingerprint harness.)"""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = _roundtrip_dir(sf_dir, "orc")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs.write.mode("overwrite").orc(out)
+    return _fingerprint(spark.read.orc(out), "orc")
+
+
+COMPACTION_SHARDS = 64
+COMPACTION_GROUPS = 8
+
+
+@register(
+    "q164_compaction_plan",
+    oracle=f"""
+    WITH shards AS (
+        SELECT doc_id % {COMPACTION_SHARDS} AS shard_id,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_bytes
+        FROM documents GROUP BY shard_id
+    ),
+    t AS (SELECT CAST(SUM(shard_bytes) AS BIGINT) AS total FROM shards),
+    c AS (
+        SELECT shard_id, shard_bytes, total,
+               SUM(shard_bytes) OVER (
+                   ORDER BY shard_id ROWS UNBOUNDED PRECEDING
+               ) AS cum_bytes
+        FROM shards CROSS JOIN t
+    )
+    SELECT shard_id, shard_bytes,
+           CAST(cum_bytes AS BIGINT) AS cum_bytes,
+           CAST(((cum_bytes - shard_bytes) * {COMPACTION_GROUPS}) // total
+                AS INT) AS group_id
+    FROM c
+    """,
+    tags=("lake", "compaction", "planning"),
+)
+def q164_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the maintenance job every lake
+    runs: given per-shard byte sizes (the q86 manifest grain), assign
+    shards to {COMPACTION_GROUPS} roughly-equal rewrite groups by
+    walking them in order and cutting at every total/{COMPACTION_GROUPS}
+    boundary. The group id is ((cum_before x groups) // total) — pure
+    integer arithmetic, so the plan is bitwise-identical in both engines
+    and across partitionings. Ordered-walk packing (vs size-sorted
+    first-fit) preserves shard adjacency, which is what you want when
+    shards are range-partitioned. The window runs over the |shards|-row
+    aggregate, never the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    shards = docs.groupBy(
+        (F.col("doc_id") % COMPACTION_SHARDS).alias("shard_id")
+    ).agg(F.sum("n_chars").cast("bigint").alias("shard_bytes"))
+    t = shards.agg(F.sum("shard_bytes").cast("bigint").alias("total"))
+    w = W.orderBy("shard_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = shards.crossJoin(F.broadcast(t)).withColumn(
+        "cum_bytes", F.sum("shard_bytes").over(w)
+    )
+    return c.select(
+        "shard_id",
+        "shard_bytes",
+        F.col("cum_bytes").cast("bigint").alias("cum_bytes"),
+        F.expr(
+            f"CAST(((cum_bytes - shard_bytes) * {COMPACTION_GROUPS}) div total"
+            " AS INT)"
+        ).alias("group_id"),
+    )

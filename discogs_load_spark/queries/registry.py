@@ -123,6 +123,9 @@ PRIORITY: list[str] = [
     "q159_curriculum_budget",
     "q160_nucleus_vocab",
     "q161_streaming_matview",
+    "q162_orc_roundtrip",
+    "q163_trailing_window_revenue",
+    "q164_compaction_plan",
     # --- entries 51+ (driver budget is ~50): everything below here has a
     # green r01/r02 driver row and keeps local oracle-parity coverage.
     "q30_shred_parent_project",
