@@ -553,3 +553,107 @@ def q141_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("consensus"),
         )
     )
+
+
+# --- entity resolution: fuzzy matches -> transitive entity clusters -------
+
+
+def _fuzzy_name_pairs(part: DataFrame) -> DataFrame:
+    """(n1, n2) distinct-name pairs with edit distance <= 2, n1 < n2 —
+    the q112 domain-grain banded self-join, reduced to the strict upper
+    triangle for graph building."""
+    names = part.select(F.col("p_name").alias("n1")).distinct()
+    band = (F.length("n1") / _Q112_BAND).cast("int")
+    probe = names.select(
+        "n1", F.explode(F.array(band - 1, band, band + 1)).alias("band")
+    )
+    home = names.select(F.col("n1").alias("n2"), band.alias("band"))
+    return (
+        probe.join(home, "band")
+        .filter(
+            (F.col("n1") < F.col("n2"))
+            & (F.abs(F.length("n1") - F.length("n2")) <= 2)
+            & (F.levenshtein("n1", "n2") <= 2)
+        )
+        .select("n1", "n2")
+    )
+
+
+@register(
+    "q165_entity_clusters",
+    oracle="""
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name AS n FROM part),
+    pairs AS (
+        SELECT a.n AS n1, b.n AS n2
+        FROM names a JOIN names b
+          ON a.n < b.n AND levenshtein(a.n, b.n) <= 2
+    ),
+    edges AS (
+        SELECT n1 AS src, n2 AS dst FROM pairs
+        UNION SELECT n2, n1 FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT n, n FROM names
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS entity_name FROM walk GROUP BY node)
+    SELECT p.p_brand AS brand, c.entity_name,
+           COUNT(*) AS n_parts,
+           CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_name_variants,
+           MIN(p.p_partkey) AS min_partkey,
+           MAX(p.p_partkey) AS max_partkey
+    FROM part p JOIN comp c ON p.p_name = c.node
+    GROUP BY p.p_brand, c.entity_name
+    """,
+    tags=("dedup", "entity-resolution", "graph", "iterative"),
+)
+def q165_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the MDM (master-data-management)
+    pipeline built from parts the suite already verifies one by one:
+    q112's domain-grain fuzzy matcher produces name-pair edges, the q89
+    min-label propagation closes them transitively (A~B and B~C merge
+    even when A~C was never a candidate pair), and every catalog row is
+    assigned its canonical entity — (brand, lexicographically-smallest
+    reachable name) — with per-entity row counts, variant counts, and
+    key ranges. The oracle recomputes the closure with DuckDB's
+    recursive-CTE reachability over a definition-shaped (unblocked) pair
+    join: different candidate generation, different closure algorithm,
+    same entities.
+
+    Scale shape: the name graph lives at the DOMAIN grain (|vocab| nodes
+    — sublinear in the catalog), so propagation rounds are trivially
+    small; catalog rows join the finished component map once, by name.
+    Names map to dense integer ids (one window over the |vocab|-row
+    domain) because the propagation's convergence test sums labels."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    names = part.select(F.col("p_name").alias("n")).distinct()
+    from pyspark.sql import Window as W
+
+    ids = names.withColumn(
+        "nid", F.row_number().over(W.orderBy("n")).cast("bigint")
+    )
+    pairs = (
+        _fuzzy_name_pairs(part)
+        .join(ids.select(F.col("n").alias("n1"), F.col("nid").alias("nid_a")), "n1")
+        .join(ids.select(F.col("n").alias("n2"), F.col("nid").alias("nid_b")), "n2")
+        .select("nid_a", "nid_b")
+    )
+    comp = connected_components(pairs, "nid_a", "nid_b")
+    # singleton names never enter the pair graph: they are their own entity
+    full = ids.join(comp, ids.nid == comp.node, "left").select(
+        "n", F.coalesce("component", "nid").alias("cid")
+    )
+    canon = full.groupBy("cid").agg(F.min("n").alias("entity_name"))
+    name_to_entity = full.join(canon, "cid").select("n", "entity_name")
+    return (
+        part.join(name_to_entity, part.p_name == name_to_entity.n)
+        .groupBy(F.col("p_brand").alias("brand"), "entity_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_name").cast("bigint").alias("n_name_variants"),
+            F.min("p_partkey").alias("min_partkey"),
+            F.max("p_partkey").alias("max_partkey"),
+        )
+    )
