@@ -92,3 +92,31 @@ def epoch_us(col: str | Column) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def dec_corr_sql(x: str, y: str, alias: str, scale: int = 2) -> str:
+    """Order-insensitive Pearson correlation, bitwise-stable across engines.
+
+    Same quantize-to-integer recipe as :func:`dec_var_sql`: both variables
+    quantize to BIGINT at ``scale``, all five sums (Sx, Sy, Sxx, Syy, Sxy)
+    are exact DECIMAL(38,0) integer sums, and the closing formula is one
+    identical IEEE double sequence (multiplies, subtractions, sqrt — all
+    correctly-rounded). The linear quantization scales cancel in Pearson r,
+    so no rescale divide appears; the result is exactly corr of the
+    quantized variables, identical in any engine. Assumes x and y are
+    non-null on the same rows (COUNT is taken over x).
+    """
+    m = 10 ** scale
+    cx = f"CAST(ROUND(({x}) * {m}) AS BIGINT)"
+    cy = f"CAST(ROUND(({y}) * {m}) AS BIGINT)"
+    n = f"COUNT({x})"
+    sx = f"CAST(SUM(CAST({cx} AS DECIMAL(38,0))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({cy} AS DECIMAL(38,0))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({cx} * {cx} AS DECIMAL(38,0))) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({cy} * {cy} AS DECIMAL(38,0))) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({cx} * {cy} AS DECIMAL(38,0))) AS DOUBLE)"
+    return (
+        f"(({n} * {sxy} - {sx} * {sy})"
+        f" / (sqrt({n} * {sxx} - {sx} * {sx})"
+        f" * sqrt({n} * {syy} - {sy} * {sy}))) AS {alias}"
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.numeric import dec_sum_sql, dec_var_sql
+from ..functions.numeric import dec_corr_sql, dec_sum_sql, dec_var_sql
 from ..session import load_tables
 from .registry import register
 
@@ -545,4 +545,105 @@ def q157_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_merged") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact")
         ).alias("merged_within_5pct"),
+    )
+
+
+_CORR = dec_corr_sql("l_quantity", "l_extendedprice", "corr_qty_price")
+
+
+@register(
+    "q166_correlation_profile",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {_CORR}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "statistics", "profiling"),
+)
+def q166_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between quantity and extended price per return
+    flag — the column-pair statistical profiling a feature-engineering
+    pass runs — computed with the dec_var integer recipe extended to
+    five exact sums (functions/numeric.dec_corr_sql): builtin CORR over
+    doubles is order-dependent (partial-aggregate merge order varies with
+    partitioning), which breaks both the oracle hash AND run-to-run
+    reproducibility at cluster scale; the quantized form is exact,
+    order-insensitive, and still one map-side-combinable aggregate."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    expr_no_alias = _CORR.rsplit(" AS ", 1)[0]
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(expr_no_alias).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q167_quality_audit",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_without_items',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'nonpositive_prices',
+           CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'duplicate_order_keys',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'null_order_dates',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+    tags=("warehouse", "data-quality", "audit"),
+)
+def q167_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite (the Deequ/Great-Expectations shape): five
+    constraint checks — referential integrity both directions (anti
+    joins), domain constraint (non-positive prices), key uniqueness
+    (duplicate-excess count), and completeness (null dates) — emitted as
+    one (check_name, n_violations) relation a pipeline gates on. Scans
+    are shared where the checks allow (the two lineitem scalar checks
+    could fuse; the FK checks are anti-joins that AQE turns into
+    broadcast anti when the dim side fits). All counts integer-exact."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    li, orders = t["lineitem"], t["orders"]
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+
+    orphan = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    childless = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+    nonpos = li.agg(
+        F.sum((F.col("l_extendedprice") <= 0).cast("int")).alias("n_violations")
+    )
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_violations"))
+    )
+    nulldates = orders.agg(
+        F.sum(F.col("o_orderdate").isNull().cast("int")).alias("n_violations")
+    )
+    return (
+        row("orphan_lineitems", orphan)
+        .unionByName(row("orders_without_items", childless))
+        .unionByName(row("nonpositive_prices", nonpos))
+        .unionByName(row("duplicate_order_keys", dups))
+        .unionByName(row("null_order_dates", nulldates))
     )

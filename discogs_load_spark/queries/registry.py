@@ -127,6 +127,8 @@ PRIORITY: list[str] = [
     "q163_trailing_window_revenue",
     "q164_compaction_plan",
     "q165_entity_clusters",
+    "q166_correlation_profile",
+    "q167_quality_audit",
     # --- entries 51+ (driver budget is ~50): everything below here has a
     # green r01/r02 driver row and keeps local oracle-parity coverage.
     "q30_shred_parent_project",
