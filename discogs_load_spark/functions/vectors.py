@@ -6,14 +6,27 @@ Determinism strategy: both dialects compute a LEFT-ASSOCIATED double fold
 association are bitwise deterministic in any engine — so Spark and DuckDB
 produce the same double, with no decimal detour in the hot path.
 
-Dialect split: DuckDB gets the sum unrolled as literal SQL text; Spark gets
-``aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)`` — the
-higher-order form codegens as a compact loop. An unrolled 64-dim cosine
-(dot + two norms) inside a join condition blows a single codegen method past
-Janino's 64 KB limit and silently drops the whole stage to interpreted mode;
-the HOF loop stays inside whole-stage codegen. The two forms are bitwise
-equal: the fold is ((0+t1)+t2)+… and x+0.0 == x for every x (the -0.0
-corner changes only the sign of zero, which compares and hashes equal).
+Dialect split: Spark gets ``aggregate(zip_with(a, b, (x,y) -> x*y), 0d,
+(acc,x) -> acc+x)`` — the higher-order form codegens as a compact loop
+(an unrolled 64-dim cosine inside a join condition would blow a single
+codegen method past Janino's 64 KB limit and silently drop the stage to
+interpreted mode). DuckDB gets ``list_sum(list_transform(
+generate_series(1, dim), i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS
+DOUBLE)))`` — its per-row SUM accumulates the list sequentially from a
+zero state, i.e. the same left fold ((0+t1)+t2)+… (verified bitwise over
+250k+ real pairs incl. a truncated-dim norm; kahan_sum differs on 58% of
+them, so the check discriminates). The earlier unrolled-literal DuckDB
+form was bitwise identical too but ~10 KB of text PER USE — an oracle
+composing a few cosines (k-means CTEs, the q129 recall panel) reached
+~150 KB of SQL whose planning alone OOM'ed a memory-squeezed DuckDB.
+
+CONSTRAINT: the DuckDB fold references ``a``/``b`` inside a lambda body,
+and DuckDB re-evaluates non-trivial expressions referenced from lambdas
+PER ELEMENT (see functions/textfns.shingles_sql) — so callers must pass
+plain column references (all current call sites do; asserted here).
+
+x+0.0 == x for every x (the -0.0 corner changes only the sign of zero,
+which compares and hashes equal), so the 0-init and no-init folds agree.
 
 float32 → float64 widening is exact, so casting the parquet float arrays to
 double first costs nothing in precision.
@@ -28,26 +41,29 @@ from __future__ import annotations
 import hashlib
 
 
-def _elem(arr: str, i: int, dialect: str) -> str:
-    """1-based element access in both dialects."""
-    if dialect == "duckdb":
-        return f"{arr}[{i}]"
-    return f"element_at({arr}, {i})"
-
-
 def _fold_sum(mapped: str) -> str:
     """Spark left fold of a double array: ((0+t1)+t2)+… ."""
     return f"aggregate({mapped}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
+def _assert_column_ref(arr: str) -> None:
+    """DuckDB lambda bodies re-evaluate referenced expressions per element;
+    the fold forms below are only cheap for plain (qualified) column refs."""
+    if not arr.replace(".", "").replace("_", "").isalnum():
+        raise ValueError(
+            f"duckdb vector fold needs a plain column reference, got: {arr!r}"
+        )
+
+
 def dot_sql(a: str, b: str, dim: int, dialect: str) -> str:
-    """Dot product of two float arrays as a left-associated double chain."""
+    """Dot product of two float arrays as a left-associated double fold."""
     if dialect == "duckdb":
-        terms = [
-            f"CAST({_elem(a, i, dialect)} AS DOUBLE) * CAST({_elem(b, i, dialect)} AS DOUBLE)"
-            for i in range(1, dim + 1)
-        ]
-        return "(" + " + ".join(terms) + ")"
+        _assert_column_ref(a)
+        _assert_column_ref(b)
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
     return _fold_sum(
         f"zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
         f" (x, y) -> x * y)"
@@ -57,11 +73,11 @@ def dot_sql(a: str, b: str, dim: int, dialect: str) -> str:
 def norm2_sql(a: str, dim: int, dialect: str) -> str:
     """Squared L2 norm, same association as :func:`dot_sql`."""
     if dialect == "duckdb":
-        terms = [
-            f"CAST({_elem(a, i, dialect)} AS DOUBLE) * CAST({_elem(a, i, dialect)} AS DOUBLE)"
-            for i in range(1, dim + 1)
-        ]
-        return "(" + " + ".join(terms) + ")"
+        _assert_column_ref(a)
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))"
+        )
     return _fold_sum(
         f"zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({a} AS ARRAY<DOUBLE>),"
         f" (x, y) -> x * y)"
@@ -96,20 +112,27 @@ def lsh_bucket_sql(vec: str, n_planes: int, dim: int, dialect: str) -> str:
     Cosine-similar vectors land in the same bucket with high probability;
     the bucket key equi-joins candidates so the exact rerank never sees a
     full cross product. Integer coefficients keep every product exact in
-    double → identical signs in both engines. (The Spark fold includes the
-    zero-coefficient terms the DuckDB unroll skips; adding an exact ±0.0
+    double → identical signs in both engines. (Adding an exact ±0.0 term
     never changes a partial sum except the sign of zero, and -0.0 >= 0 is
-    true — the emitted bit is identical.)
+    true — so zero-coefficient terms and fold-order-of-zeros differences
+    between dialects cannot flip the emitted bit.)
+
+    DuckDB folds over ``list_zip(vec, [coeffs])`` — both arguments are
+    evaluated ONCE (lambda bodies re-evaluate referenced expressions per
+    element, and a 64-literal list in the lambda measured 40× slower than
+    this; the zip form is 4× faster than the old unrolled literal text
+    and ~20× smaller).
     """
+    if dialect == "duckdb":
+        _assert_column_ref(vec)
     bits = []
     for coeffs in hyperplanes(n_planes, dim):
         if dialect == "duckdb":
-            terms = [
-                f"CAST({_elem(vec, i + 1, dialect)} AS DOUBLE) * {c}.0"
-                for i, c in enumerate(coeffs)
-                if c != 0
-            ]
-            s = " + ".join(terms) if terms else "0.0"
+            lit = "[" + ", ".join(f"{c}.0" for c in coeffs) + "]"
+            s = (
+                f"list_sum(list_transform(list_zip(CAST({vec} AS DOUBLE[]), "
+                f"{lit}), p -> p[1] * p[2]))"
+            )
         else:
             lit = ", ".join(f"CAST({c} AS DOUBLE)" for c in coeffs)
             s = _fold_sum(
