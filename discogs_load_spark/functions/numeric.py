@@ -66,7 +66,11 @@ def dec_var_sql(expr: str, alias: str, scale: int = 2) -> str:
     c = f"CAST(ROUND(({expr}) * {m}) AS BIGINT)"
     n = f"COUNT({expr})"
     sc = f"CAST(SUM(CAST({c} AS DECIMAL(38,0))) AS DOUBLE)"
-    sc2 = f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,0))) AS DOUBLE)"
+    # one factor widens to DECIMAL(38,0) BEFORE the multiply: a BIGINT
+    # product overflows int64 once |value|*10^scale exceeds ~3e9, and
+    # Spark (non-ANSI) wraps silently where DuckDB errors — a cross-engine
+    # divergence for large-magnitude inputs
+    sc2 = f"CAST(SUM(CAST({c} AS DECIMAL(38,0)) * {c}) AS DOUBLE)"
     return (
         f"(({n} * {sc2} - {sc} * {sc})"
         f" / ({n} * ({n} - 1))) / {m * m}.0 AS {alias}"
@@ -94,6 +98,27 @@ def epoch_us(col: str | Column) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def floordiv_sql(a: str, b: int, dialect: str) -> str:
+    """FLOOR division ``a // b`` for a positive literal divisor, exact for
+    NEGATIVE dividends in both dialects.
+
+    DuckDB's ``//`` floors; Spark's ``div`` truncates toward zero — the
+    pair agrees only for a >= 0 (fine for byte counts and rank scores,
+    NOT for epoch-derived bucket indexes, where a pre-1970 timestamp
+    would silently shift one bucket). The Spark form corrects ``div``
+    with the sign of the remainder (Spark's ``%`` follows the dividend,
+    so a negative non-exact division has remainder < 0 → subtract 1,
+    which is exactly floor).
+    """
+    if b <= 0:
+        raise ValueError("floordiv_sql needs a positive literal divisor")
+    if dialect == "duckdb":
+        return f"(({a}) // {b})"
+    return (
+        f"((({a}) div {b}) - (CASE WHEN ({a}) % {b} < 0 THEN 1 ELSE 0 END))"
+    )
+
+
 def dec_corr_sql(x: str, y: str, alias: str, scale: int = 2) -> str:
     """Order-insensitive Pearson correlation, bitwise-stable across engines.
 
@@ -105,6 +130,15 @@ def dec_corr_sql(x: str, y: str, alias: str, scale: int = 2) -> str:
     so no rescale divide appears; the result is exactly corr of the
     quantized variables, identical in any engine. Assumes x and y are
     non-null on the same rows (COUNT is taken over x).
+
+    Cross-engine edge cases pinned down (same text, same result):
+    - per-row products widen one factor to DECIMAL(38,0) BEFORE the
+      multiply — a BIGINT*BIGINT product overflows int64 past ~3e9
+      quantized units, where Spark (non-ANSI) wraps silently and DuckDB
+      raises (see dec_var_sql);
+    - a zero-variance side makes the denominator 0.0, where Spark's
+      non-ANSI Divide returns NULL but DuckDB's IEEE division yields
+      ±inf/NaN — the CASE guard makes degenerate groups NULL in both.
     """
     m = 10 ** scale
     cx = f"CAST(ROUND(({x}) * {m}) AS BIGINT)"
@@ -112,11 +146,13 @@ def dec_corr_sql(x: str, y: str, alias: str, scale: int = 2) -> str:
     n = f"COUNT({x})"
     sx = f"CAST(SUM(CAST({cx} AS DECIMAL(38,0))) AS DOUBLE)"
     sy = f"CAST(SUM(CAST({cy} AS DECIMAL(38,0))) AS DOUBLE)"
-    sxx = f"CAST(SUM(CAST({cx} * {cx} AS DECIMAL(38,0))) AS DOUBLE)"
-    syy = f"CAST(SUM(CAST({cy} * {cy} AS DECIMAL(38,0))) AS DOUBLE)"
-    sxy = f"CAST(SUM(CAST({cx} * {cy} AS DECIMAL(38,0))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({cx} AS DECIMAL(38,0)) * {cx}) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({cy} AS DECIMAL(38,0)) * {cy}) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({cx} AS DECIMAL(38,0)) * {cy}) AS DOUBLE)"
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
     return (
-        f"(({n} * {sxy} - {sx} * {sy})"
-        f" / (sqrt({n} * {sxx} - {sx} * {sx})"
-        f" * sqrt({n} * {syy} - {sy} * {sy}))) AS {alias}"
+        f"(CASE WHEN {vx} = 0 OR {vy} = 0 THEN NULL ELSE "
+        f"({n} * {sxy} - {sx} * {sy}) / (sqrt({vx}) * sqrt({vy})) END)"
+        f" AS {alias}"
     )

@@ -625,14 +625,19 @@ def q165_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the name graph lives at the DOMAIN grain (|vocab| nodes
     — sublinear in the catalog), so propagation rounds are trivially
     small; catalog rows join the finished component map once, by name.
-    Names map to dense integer ids (one window over the |vocab|-row
-    domain) because the propagation's convergence test sums labels."""
+    Names map to integer ids with ``monotonically_increasing_id`` —
+    propagation needs labels that are distinct and orderable, not dense
+    (components group by min-label; the ids never reach the output,
+    which keys on the lexicographically-smallest member NAME), and a
+    ranked id would funnel the whole domain through one window
+    partition. The id frame is persisted: it feeds three joins, and
+    mono-ids are only stable within a single materialization."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
     names = part.select(F.col("p_name").alias("n")).distinct()
-    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
 
-    ids = names.withColumn(
-        "nid", F.row_number().over(W.orderBy("n")).cast("bigint")
+    ids = names.withColumn("nid", F.monotonically_increasing_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     pairs = (
         _fuzzy_name_pairs(part)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.numeric import dec_sum, dec_sum_sql, epoch_us
+from ..functions.numeric import dec_sum, dec_sum_sql, epoch_us, floordiv_sql
 from ..operators.relational import asof_join, sessionize
 from ..session import load_tables
 from .registry import register
@@ -298,7 +298,12 @@ def q163_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(
             epoch_us("ts").alias("ep"), F.col("value")
         )
-        .select(F.expr("CAST(ep div 86400000000 AS INT)").alias("day_idx"), "value")
+        .select(
+            F.expr(
+                f"CAST({floordiv_sql('ep', 86400000000, 'spark')} AS INT)"
+            ).alias("day_idx"),
+            "value",
+        )
         .groupBy("day_idx")
         .agg(
             F.expr("SUM(CAST(value AS DECIMAL(25,6)))").alias("day_dec"),

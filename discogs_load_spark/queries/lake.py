@@ -291,7 +291,11 @@ ZORDER_BITS = 8  # per dimension; 16-bit interleaved key, 16 files
 
 
 def _idiv(a: str, b: int, dialect: str) -> str:
-    return f"({a} // {b})" if dialect == "duckdb" else f"({a} div {b})"
+    # shared floor-division text: exact for negative dividends too (the
+    # epoch-hour operand goes negative for pre-1970 timestamps)
+    from ..functions.numeric import floordiv_sql
+
+    return floordiv_sql(a, b, dialect)
 
 
 def _zorder_sql(x: str, y: str, dialect: str) -> str:
@@ -343,7 +347,7 @@ def q150_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max columns show it), so min/max file skipping prunes on either
     predicate. The whole computation is a map-side projection plus one
     16-group aggregate: no shuffle beyond the final tiny rollup."""
-    from ..functions.numeric import epoch_us
+    from ..functions.numeric import epoch_us, floordiv_sql
 
     events = load_tables(spark, sf_dir, ["events"])["events"]
     keyed = events.select(
@@ -353,7 +357,7 @@ def q150_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xk",
         # integer div, not double `/`: a double quotient can round UP across
         # an integer boundary and then truncate differently than DuckDB's //
-        F.expr("(ep div 3600000000) % 256").alias("yk"),
+        F.expr(f"({floordiv_sql('ep', 3600000000, 'spark')}) % 256").alias("yk"),
     )
     z = _zorder_sql("xk", "yk", "spark")
     keyed = keyed.select(

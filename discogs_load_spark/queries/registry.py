@@ -49,17 +49,60 @@ REGISTRY: dict[str, QuerySpec] = {}
 # listed here FIRST; everything else follows in registration order. Names not
 # in this list keep their relative registration order after the listed ones.
 PRIORITY: list[str] = [
-    # --- r03 top block ---
-    # r02 driver-reds (array-typed outputs broke the harness canonicalizer;
-    # now serialized as '|'-joined sorted strings) — need green rows.
+    # --- r04 top block: the 35 queries with NO green driver row ---
+    # (34 gate-unverified from r03 — 15 oracle-OOM casualties q129-q143 +
+    # 19 never-rotated r03 additions q149-q167 — plus q168, the new A9
+    # query). Ordered by MEASURED oracle cost at sf0.01, cheapest first:
+    # the r03 OOM block was environmental memory pressure, and
+    # cheapest-first maximizes green rows banked before any pressure can
+    # build. Costs re-measured after this round's oracle slimming
+    # (list_sum vector folds + lambda-bound shingles); every one of these
+    # now passes a 256 MB no-spill 32-thread DuckDB
+    # (tests/test_oracle_memcap.py). tests/test_priority_rotation.py
+    # asserts this block stays unverified-only against the committed
+    # CORRECTNESS_r*.json files.
+    "q157_hll_shard_merge",  # rows-only: no oracle to run at all
+    "q143_length_histogram",
+    "q151_temperature_mixture",
+    "q161_streaming_matview",
+    "q163_trailing_window_revenue",
+    "q164_compaction_plan",
+    "q168_shred_master_defaults",
+    "q149_snapshot_diff",
+    "q150_zorder_layout",
+    "q156_incremental_agg_maintenance",
+    "q162_orc_roundtrip",
+    "q167_quality_audit",
+    "q132_bucketed_join",
+    "q133_shred_multiarray_parent",
+    "q139_table_profile",
+    "q165_entity_clusters",
+    "q166_correlation_profile",
+    "q137_quirk_batch_scoped_dedup",
+    "q131_chunked_packing",
+    "q134_inverted_index",
+    "q155_matryoshka_energy",
+    "q140_quantized_ann_topk",
+    "q153_brand_jaccard",
+    "q160_nucleus_vocab",
+    "q135_conjunctive_search",
+    "q159_curriculum_budget",
+    "q142_boilerplate_ngrams",
+    "q136_ranked_search",
+    "q152_basket_triangles",
+    "q138_ann_ivf_multiprobe",
+    "q158_ivf_cell_balance",
+    "q141_dedup_consensus",
+    "q154_semdedup",
+    "q129_ann_recall",
+    "q130_event_pagerank",
+    # --- entries 36+: everything below here has a green driver row
+    # (CORRECTNESS_r01-r03) or a by-design rows-only row (q28/q71), and
+    # keeps local oracle-parity coverage. The driver's ~50-row budget
+    # re-checks the first ~15 of these as harmless filler.
     "q32_array_roundtrip",
     "q89_dedup_components",
     "q95_embedding_dedup_groups",
-    # q102-q136: registered in r02 past the driver's 50-row budget — never
-    # driver-verified (locally green). q107/q128/q133/q134 additionally had
-    # their array outputs stringified this round; q112 had its catalog
-    # broadcast replaced with a (brand, length-band) equi-join; q134 gained
-    # the posting-df ceiling; q129 gained the ivf_p2 leg.
     "q102_order_count_distribution",
     "q103_promo_revenue_share",
     "q104_sole_late_supplier",
@@ -87,50 +130,11 @@ PRIORITY: list[str] = [
     "q126_source_mix",
     "q127_stream_static_join",
     "q128_embedding_quantize",
-    "q129_ann_recall",
-    "q130_event_pagerank",
-    "q131_chunked_packing",
-    "q132_bucketed_join",
-    "q133_shred_multiarray_parent",
-    "q134_inverted_index",
-    "q135_conjunctive_search",
-    "q136_ranked_search",
-    # New this round — never verified.
-    "q137_quirk_batch_scoped_dedup",
-    "q138_ann_ivf_multiprobe",
-    "q139_table_profile",
-    "q140_quantized_ann_topk",
-    "q141_dedup_consensus",
-    "q142_boilerplate_ngrams",
-    "q143_length_histogram",
     "q144_bigram_lm_counts",
-    # r03 additions — never verified; entries past the ~50-row driver budget
-    # wait for the r04 rotation (local oracle parity covers them meanwhile).
     "q145_bm25_topk",
     "q146_lm_doc_score",
     "q147_dup_ngram_fraction",
     "q148_scd2_dimension",
-    "q149_snapshot_diff",
-    "q150_zorder_layout",
-    "q151_temperature_mixture",
-    "q152_basket_triangles",
-    "q153_brand_jaccard",
-    "q154_semdedup",
-    "q155_matryoshka_energy",
-    "q156_incremental_agg_maintenance",
-    "q157_hll_shard_merge",
-    "q158_ivf_cell_balance",
-    "q159_curriculum_budget",
-    "q160_nucleus_vocab",
-    "q161_streaming_matview",
-    "q162_orc_roundtrip",
-    "q163_trailing_window_revenue",
-    "q164_compaction_plan",
-    "q165_entity_clusters",
-    "q166_correlation_profile",
-    "q167_quality_audit",
-    # --- entries 51+ (driver budget is ~50): everything below here has a
-    # green r01/r02 driver row and keeps local oracle-parity coverage.
     "q30_shred_parent_project",
     "q31_shred_child_posexplode",
     "q33_first_wins_dedup",

@@ -155,6 +155,48 @@ def q34_bridge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q168_shred_master_defaults",
+    oracle="""
+    SELECT CAST(p_partkey AS INT) AS id,
+           COALESCE(p_name, '') AS title,
+           CAST(COALESCE(p_size, 0) AS INT) AS release_id,
+           CAST(0 AS INT) AS year,
+           '' AS notes,
+           '' AS genres,
+           '' AS styles,
+           COALESCE(p_type, '') AS data_quality
+    FROM part
+    """,
+    tags=("shred", "A9"),
+    doc="Master-record extraction (reference master.rs:135-285): "
+    "attribute-id parse, main_release text → release_id int cast, "
+    "title/data_quality strings, and the Q1 quirk — year/notes/genres/"
+    "styles exist in the schema (sql/tables/master.sql) but the parser "
+    "never fills them, so every row carries the struct defaults "
+    "(0/''/empty array). The engine reproduces that observable shape; "
+    "genres/styles ship as the '|'-joined empty-array string.",
+)
+def q168_shred_master_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 on the fixtures, mirroring q30's A4 shape: ``part`` plays the
+    masters dump (p_partkey = the id attribute, p_size = main_release,
+    p_type = data_quality). The four always-default columns are the
+    point — the reference parses year/notes/genres/styles into its
+    Master struct but write_masters never binds them (master.rs:81-94;
+    quirks.py Q1), so a faithful engine emits constants, not NULLs."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").cast("int").alias("id"),
+        F.coalesce(F.col("p_name"), F.lit("")).alias("title"),
+        F.coalesce(F.col("p_size"), F.lit(0)).cast("int").alias("release_id"),
+        F.lit(0).cast("int").alias("year"),
+        F.lit("").alias("notes"),
+        F.lit("").alias("genres"),
+        F.lit("").alias("styles"),
+        F.coalesce(F.col("p_type"), F.lit("")).alias("data_quality"),
+    )
+
+
 QUIRK_BATCH = 256  # reference loads in fixed-size batches (10k rows/batch)
 
 

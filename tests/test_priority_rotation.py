@@ -1,0 +1,66 @@
+"""Rotation-policy guard: the driver's correctness gate checks roughly the
+first 50 registry entries per round, so slots spent re-proving
+already-green queries are slots an unverified query doesn't get (r03 spent
+3 re-proving q32/q89/q95 while 34 queries had no driver row at all).
+
+Derived from the COMMITTED CORRECTNESS_r*.json artifacts, not a
+hand-maintained list: a query is *settled* once any round gave it a fully
+green row (rows/schema/hash all true) or its by-design rows-only row
+(``err: 'no_oracle'`` — the driver's weaker check for oracle-less
+queries, which is all they can ever earn). Everything else is *unsettled*
+and must outrank every settled query inside the gate window.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from discogs_load_spark.queries import REGISTRY
+from discogs_load_spark.queries.registry import PRIORITY
+
+REPO = Path(__file__).resolve().parent.parent
+GATE_BUDGET = 50
+
+
+def _settled_queries() -> set[str]:
+    settled: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            if row.get("err") == "no_oracle":
+                settled.add(name)  # rows-only by design: best possible row
+            elif row.get("err") is None and all(
+                row.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                settled.add(name)
+    return settled
+
+
+def test_unsettled_queries_outrank_settled_in_gate_window():
+    settled = _settled_queries()
+    assert settled, "no CORRECTNESS_r*.json artifacts found"
+    window = [n for n in PRIORITY if n in REGISTRY][:GATE_BUDGET]
+    last_unsettled = max(
+        (i for i, n in enumerate(window) if n not in settled), default=-1
+    )
+    misplaced = [n for n in window[:last_unsettled] if n in settled]
+    assert not misplaced, (
+        "green queries outrank unverified ones in the gate window "
+        f"(re-burning driver slots): {misplaced}"
+    )
+
+
+def test_every_unsettled_query_gets_a_gate_slot():
+    settled = _settled_queries()
+    unsettled = [n for n in REGISTRY if n not in settled]
+    window = set(PRIORITY[:GATE_BUDGET])
+    if len(unsettled) <= GATE_BUDGET:
+        left_out = [n for n in unsettled if n not in window]
+        assert not left_out, (
+            f"unverified queries missing from the gate window: {left_out}"
+        )
+    else:
+        # more debt than budget: at least insist the whole window is debt
+        settled_in_window = [n for n in PRIORITY[:GATE_BUDGET] if n in settled]
+        assert not settled_in_window
