@@ -71,9 +71,13 @@ def dec_var_sql(expr: str, alias: str, scale: int = 2) -> str:
     # Spark (non-ANSI) wraps silently where DuckDB errors — a cross-engine
     # divergence for large-magnitude inputs
     sc2 = f"CAST(SUM(CAST({c} AS DECIMAL(38,0)) * {c}) AS DOUBLE)"
+    # n<=1 guard: sample variance is undefined there, and the engines
+    # disagree on the raw division (ANSI Spark raises DIVIDE_BY_ZERO,
+    # DuckDB's IEEE double division yields inf/NaN) — NULL in both
     return (
+        f"(CASE WHEN {n} <= 1 THEN NULL ELSE "
         f"(({n} * {sc2} - {sc} * {sc})"
-        f" / ({n} * ({n} - 1))) / {m * m}.0 AS {alias}"
+        f" / ({n} * ({n} - 1))) / {m * m}.0 END) AS {alias}"
     )
 
 
@@ -99,24 +103,23 @@ def epoch_us(col: str | Column) -> Column:
 
 
 def floordiv_sql(a: str, b: int, dialect: str) -> str:
-    """FLOOR division ``a // b`` for a positive literal divisor, exact for
-    NEGATIVE dividends in both dialects.
+    """Integer division ``a // b`` (positive literal divisor), the SAME
+    value in both dialects for negative dividends too.
 
-    DuckDB's ``//`` floors; Spark's ``div`` truncates toward zero — the
-    pair agrees only for a >= 0 (fine for byte counts and rank scores,
-    NOT for epoch-derived bucket indexes, where a pre-1970 timestamp
-    would silently shift one bucket). The Spark form corrects ``div``
-    with the sign of the remainder (Spark's ``%`` follows the dividend,
-    so a negative non-exact division has remainder < 0 → subtract 1,
-    which is exactly floor).
+    Both sides truncate toward zero: Spark's ``div`` by definition, and —
+    verified empirically, ``SELECT (-7) // 2`` → ``-3`` — DuckDB's ``//``
+    on INTEGER operands as well (its docs describe ``//`` as flooring,
+    which holds only for its DOUBLE overload; the integer overload
+    truncates). The negative-epoch agreement is pinned by the fuzz test
+    (tests/test_dialect_fuzz.py::test_numeric_expressions_agree…), so a
+    DuckDB upgrade that changed the semantics would fail loudly instead
+    of shifting pre-1970 timestamps one bucket.
     """
     if b <= 0:
         raise ValueError("floordiv_sql needs a positive literal divisor")
     if dialect == "duckdb":
         return f"(({a}) // {b})"
-    return (
-        f"((({a}) div {b}) - (CASE WHEN ({a}) % {b} < 0 THEN 1 ELSE 0 END))"
-    )
+    return f"(({a}) div {b})"
 
 
 def dec_corr_sql(x: str, y: str, alias: str, scale: int = 2) -> str:

@@ -88,3 +88,75 @@ def test_text_expressions_agree_across_engines(spark, duck):
     assert not mismatches, f"{len(mismatches)} dialect divergences: " + str(
         dict(list(mismatches.items())[:3])
     )
+
+
+def test_numeric_expressions_agree_across_engines(spark, duck):
+    """dec_corr / dec_var / floordiv on adversarial numerics: magnitudes
+    whose quantized per-row products exceed int64 (caught by the
+    DECIMAL(38,0) widening — BIGINT*BIGINT would wrap in Spark and error
+    in DuckDB), zero-variance and single-row groups (the CASE guard makes
+    both engines agree on NULL), and negative dividends for the floor
+    division pair (Spark `div` truncates; the helper corrects it)."""
+    import random
+
+    from discogs_load_spark.functions.numeric import (
+        dec_corr_sql,
+        dec_var_sql,
+        floordiv_sql,
+    )
+
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(400):
+        g = i % 8
+        if g == 0:  # zero-variance group: constant x
+            x = 42.5
+            y = rng.uniform(-10, 10)
+        elif g == 1:  # huge magnitudes: quantized products overflow int64
+            x = rng.uniform(-5e7, 5e7)
+            y = rng.uniform(-5e7, 5e7)
+        else:
+            x = rng.uniform(-1000, 1000)
+            y = 3.0 * x + rng.uniform(-50, 50)
+        ep = rng.randint(-10**15, 10**15)  # pre- and post-1970 epochs
+        rows.append((i, g, x, y, ep))
+    rows.append((400, 9, 1.0, 1.0, -86400000000))  # single-row group
+
+    sdf = spark.createDataFrame(rows, "i long, g long, x double, y double, ep long")
+    s_agg = (
+        sdf.groupBy("g")
+        .agg(
+            *[
+                __import__("pyspark.sql.functions", fromlist=["expr"]).expr(e)
+                for e in (
+                    dec_corr_sql("x", "y", "corr_xy"),
+                    dec_var_sql("x", "var_x"),
+                )
+            ]
+        )
+        .collect()
+    )
+    s_div = sdf.selectExpr(
+        "i", f"{floordiv_sql('ep', 86400000000, 'spark')} AS day"
+    ).collect()
+
+    duck.execute("DROP TABLE IF EXISTS numfuzz")
+    duck.execute(
+        "CREATE TABLE numfuzz (i BIGINT, g BIGINT, x DOUBLE, y DOUBLE, ep BIGINT)"
+    )
+    duck.executemany("INSERT INTO numfuzz VALUES (?, ?, ?, ?, ?)", rows)
+    d_agg = duck.execute(
+        f"SELECT g, {dec_corr_sql('x', 'y', 'corr_xy')}, "
+        f"{dec_var_sql('x', 'var_x')} FROM numfuzz GROUP BY g"
+    ).fetchall()
+    d_div = duck.execute(
+        f"SELECT i, {floordiv_sql('ep', 86400000000, 'duckdb')} FROM numfuzz"
+    ).fetchall()
+
+    got_agg = {r["g"]: (r["corr_xy"], r["var_x"]) for r in s_agg}
+    want_agg = {r[0]: (r[1], r[2]) for r in d_agg}
+    assert got_agg == want_agg
+
+    got_div = {r["i"]: r["day"] for r in s_div}
+    want_div = {r[0]: r[1] for r in d_div}
+    assert got_div == want_div
