@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "q154_semdedup",
     "q129_ann_recall",
     "q130_event_pagerank",
+    "q169_curation_pipeline",  # stretch: q154+q89+q159 composed, new r04
     # --- entries 36+: everything below here has a green driver row
     # (CORRECTNESS_r01-r03) or a by-design rows-only row (q28/q71), and
     # keeps local oracle-parity coverage. The driver's ~50-row budget

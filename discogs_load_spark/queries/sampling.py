@@ -785,3 +785,161 @@ def q159_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             < CURRICULUM_BUDGET_FRAC * F.col("corpus_tokens")
         ).alias("included"),
     )
+
+
+# --- end-to-end curation pipeline: SemDeDup -> entities -> budget ----------
+
+TRAIN_BUDGET_TOKENS = 2_000_000  # tokens to allocate across sources
+
+
+def _curation_oracle() -> str:
+    from ..functions.vectors import cosine_sql
+    from ..operators.clustering import kmeans_oracle_ctes
+    from .similarity import DIM, SEM_ITER, SEM_K, SEM_THRESHOLD
+
+    parts, last_a, _ = kmeans_oracle_ctes(
+        "embeddings", "vec_id", "embedding", DIM, SEM_K, SEM_ITER
+    )
+    cos_ab = cosine_sql("ea.embedding", "eb.embedding", DIM, "duckdb")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {body},
+    dpairs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM {last_a} a
+        JOIN {last_a} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {cos_ab} >= {SEM_THRESHOLD}
+    ),
+    -- MATERIALIZED: without the hint DuckDB inlines these into the
+    -- recursive walk and re-executes the whole k-means + cosine pipeline
+    -- EVERY iteration -- 256MB-cap OOM; with it, 0.2s at the same cap
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM dpairs
+        UNION SELECT id_b, id_a FROM dpairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    per_doc AS (
+        SELECT d.source,
+               {token_count_sql('text', 'duckdb')} AS n_tokens,
+               (dr.doc_id IS NOT NULL) AS is_dup
+        FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    ),
+    s AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN is_dup THEN 0 ELSE n_tokens END) AS BIGINT)
+                   AS kept_tokens
+        FROM per_doc GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS total_kept FROM s)
+    SELECT source, n_docs, n_dropped, n_kept, kept_tokens,
+           CAST((kept_tokens * {TRAIN_BUDGET_TOKENS}) // total_kept AS BIGINT)
+               AS budget_tokens
+    FROM s CROSS JOIN t
+    """
+
+
+@register(
+    "q169_curation_pipeline",
+    oracle=_curation_oracle(),
+    tags=("sampling", "curation", "dedup", "clustering", "pipeline"),
+)
+def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation operators composed END TO END under ONE oracle —
+    dedup → entity grouping → budget (VERDICT r03 #8): q154's SemDeDup
+    pair generation (2-round k-means clusters, in-cluster cosine
+    threshold), q89/q165's min-label transitive closure turning pairs
+    into duplicate groups with the min-id member as keeper, then a
+    per-source report — docs total/dropped/kept, kept token mass, and an
+    integer pro-rata share of a {TRAIN_BUDGET_TOKENS:,}-token training
+    budget (floordiv: exact in both engines). The oracle recomputes the
+    whole chain independently (recursive-CTE reachability instead of
+    label propagation), so a bug anywhere in the composition — not just
+    in one stage — breaks the value hash.
+
+    Scale shape is the stages' own: broadcast centroids + cluster-keyed
+    pair join (never all-pairs), domain-sized propagation, and a
+    |sources|-row rollup with one 1-row broadcast normalizer. vec_id ==
+    doc_id in the fixtures (TESTDATA.md), linking the two tables."""
+    from ..functions.vectors import cosine_sql
+    from ..operators.clustering import kmeans
+    from ..operators.dedup import connected_components
+    from .similarity import DIM, SEM_ITER, SEM_K, SEM_THRESHOLD
+
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    assigned = kmeans(emb, "vec_id", "embedding", DIM, SEM_K, SEM_ITER).select(
+        "vec_id", "cluster"
+    )
+    cv = (
+        assigned.join(emb, "vec_id")
+        .select("cluster", "vec_id", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    av = cv.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    bv = cv.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    cos = cosine_sql("ea", "eb", DIM, "spark")
+    pairs = (
+        av.join(bv, (av.cluster == bv.cluster) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.expr(cos) >= SEM_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("is_dup")
+    )
+    per_doc = (
+        docs.join(dropped, "doc_id", "left")
+        .select(
+            "source",
+            F.expr(token_count_sql("text", "spark")).alias("n_tokens"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    s = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias(
+            "n_dropped"
+        ),
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).cast("bigint").alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(F.col("n_tokens")))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    t = s.agg(F.sum("kept_tokens").cast("bigint").alias("total_kept"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_dropped",
+        "n_kept",
+        "kept_tokens",
+        # column divisor: both engines' integer division (`div` / `//`)
+        # truncate identically (tests/test_dialect_fuzz.py pins it), and
+        # every operand here is a non-negative BIGINT
+        F.expr(
+            f"CAST((kept_tokens * {TRAIN_BUDGET_TOKENS}) div total_kept"
+            " AS BIGINT)"
+        ).alias("budget_tokens"),
+    )

@@ -173,31 +173,48 @@ def q57_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROBE_SWEEP = (1, 2, 3)
+
+
 @register(
     "q138_ann_ivf_multiprobe",
-    oracle=_ivf_oracle(IVF_N_PROBE),
+    oracle=" UNION ALL ".join(
+        f"SELECT CAST({p} AS INT) AS probe, * FROM ({_ivf_oracle(p)})"
+        for p in PROBE_SWEEP
+    ),
     tags=("similarity", "ann", "ivf"),
 )
 def q138_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe=2 — the production recall knob the single-probe
-    q57 lacks: each query searches its TWO nearest Voronoi cells (query
-    rows fan out to 2 cells before the same cell-id equi-join; corpus
-    rows keep their single home cell, so a neighbor can match at most
-    once and no dedup is needed). Costs ~2× the probed distance
-    computations for strictly-no-worse recall — q129 measures the
-    trade."""
+    """IVF probe sweep, nprobe ∈ {1,2,3} — the production recall knob the
+    single-probe q57 lacks, measured across its whole useful range on a
+    4-cell index: each query searches its nprobe nearest Voronoi cells
+    (query rows fan out to nprobe cells before the same cell-id
+    equi-join; corpus rows keep their single home cell, so a neighbor
+    can match at most once and no dedup is needed). Cost scales with the
+    probed cells' corpus share for strictly-no-worse recall per added
+    probe — the sweep's rows show exactly where the curve flattens
+    (q129 scores the probe=1 vs probe=2 legs against exact top-k). One
+    declarative plan: the three probe legs reuse the same cell
+    assignment lineage and union."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
-    return ivf_topk(
-        emb,
-        queries,
-        "vec_id",
-        "embedding",
-        DIM,
-        TOPK,
-        IVF_CENTROID_IDS,
-        n_probe=IVF_N_PROBE,
-    )
+    legs = [
+        ivf_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            DIM,
+            TOPK,
+            IVF_CENTROID_IDS,
+            n_probe=p,
+        ).select(F.lit(p).cast("int").alias("probe"), "*")
+        for p in PROBE_SWEEP
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 @register(
