@@ -298,7 +298,7 @@ def q130_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeded = nodes.crossJoin(F.broadcast(consts))
     ranks = seeded.select("node", F.col("r0").alias("r"))
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         contrib = (
             graph.join(F.broadcast(ranks), F.col("src") == F.col("node"))
             .select(
@@ -317,4 +317,12 @@ def q130_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("r"),
             )
         )
+        # truncate lineage every 2 rounds (the connected-components
+        # discipline, operators/dedup.py): without it the 10-round plan
+        # nests 10 broadcast+aggregate stages and Catalyst re-analyzes
+        # the whole tree per round — measured 2x wall on the bench with
+        # identical integer outputs. Each checkpoint materializes only
+        # the |nodes|-row rank vector.
+        if (i + 1) % 2 == 0 and i + 1 < PR_ITERS:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_scaled")).orderBy("node")
