@@ -814,7 +814,7 @@ def _curation_oracle() -> str:
     ),
     -- MATERIALIZED: without the hint DuckDB inlines these into the
     -- recursive walk and re-executes the whole k-means + cosine pipeline
-    -- EVERY iteration -- 256MB-cap OOM; with it, 0.2s at the same cap
+    -- EVERY iteration (256MB-cap OOM) -- with it, 0.2s at the same cap
     edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM dpairs
         UNION SELECT id_b, id_a FROM dpairs

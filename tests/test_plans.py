@@ -393,3 +393,39 @@ def test_nucleus_windows_share_one_partition(spark):
     plan = _plan(spark, "q160_nucleus_vocab")
     assert plan.count("Window (") == 2, plan
     assert plan.count("Exchange (") == 2, plan
+
+
+def test_entity_clusters_has_no_global_window(spark):
+    """q165's name-id assignment must not funnel the whole name domain
+    through one window partition (VERDICT r03 #5): ids come from
+    monotonically_increasing_id, so the plan contains no Window node at
+    all on the id-assignment path (the only windows the query could have
+    would be a partition-less row_number)."""
+    plan = _plan(spark, "q165_entity_clusters")
+    assert "row_number" not in plan.lower()
+    assert "Window" not in plan
+
+
+def test_curation_pipeline_no_cartesian_and_broadcasts(spark):
+    """q169 composes kmeans + pair join + closure + rollup: the pair join
+    must stay a cluster-keyed equi-join (no cross product anywhere except
+    the k-row centroid broadcast and the 1-row budget normalizer, which
+    are broadcast nested loops over literal-sized frames)."""
+    from discogs_load_spark.plans import join_kinds
+
+    df = REGISTRY["q169_curation_pipeline"].fn(spark, SF_SMALL)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_probe_sweep_fans_queries_not_corpus(spark):
+    """q138's three probe legs each fan only QUERY rows to extra cells;
+    the corpus side keeps its single home cell — so the plan must contain
+    no cartesian product and at least one equi hash join per leg."""
+    from discogs_load_spark.plans import join_kinds
+
+    df = REGISTRY["q138_ann_ivf_multiprobe"].fn(spark, SF_SMALL)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds

@@ -64,3 +64,10 @@ def test_every_unsettled_query_gets_a_gate_slot():
         # more debt than budget: at least insist the whole window is debt
         settled_in_window = [n for n in PRIORITY[:GATE_BUDGET] if n in settled]
         assert not settled_in_window
+
+
+def test_every_oracle_is_single_statement():
+    """The driver wraps each oracle in its own execute; a stray semicolon
+    (even inside a SQL comment) could split or abort that wrapper."""
+    bad = [n for n, s in REGISTRY.items() if s.oracle and ";" in s.oracle]
+    assert not bad, f"oracles containing ';': {bad}"
