@@ -801,13 +801,17 @@ def _curation_oracle() -> str:
         "embeddings", "vec_id", "embedding", DIM, SEM_K, SEM_ITER
     )
     cos_ab = cosine_sql("ea.embedding", "eb.embedding", DIM, "duckdb")
+    # materialize the final assignment once: dpairs references it twice,
+    # and at a tight memory cap DuckDB may otherwise re-inline the whole
+    # Lloyd-round pipeline into both sides
+    parts.append(f"lastm AS MATERIALIZED (SELECT * FROM {last_a})")
     body = ",\n    ".join(parts)
     return f"""
     WITH RECURSIVE {body},
     dpairs AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM {last_a} a
-        JOIN {last_a} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        FROM lastm a
+        JOIN lastm b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         JOIN embeddings ea ON ea.vec_id = a.vec_id
         JOIN embeddings eb ON eb.vec_id = b.vec_id
         WHERE {cos_ab} >= {SEM_THRESHOLD}

@@ -176,12 +176,50 @@ def q57_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROBE_SWEEP = (1, 2, 3)
 
 
+def _ivf_sweep_oracle() -> str:
+    """One shared cell-assignment (MATERIALIZED — the probe legs would
+    otherwise each re-run the centroid cross join + ranking window), then
+    one leg per nprobe differing only in the probe-depth predicate."""
+    cos_ec = cosine_sql("e.embedding", "c.embedding", DIM, "duckdb")
+    cos_qn = cosine_sql("q.embedding", "n.embedding", DIM, "duckdb")
+    cids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    legs = " UNION ALL ".join(
+        f"""
+    SELECT probe, query_id, neighbor_id, cosine, rank FROM (
+        SELECT CAST({p} AS INT) AS probe,
+               q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {cos_qn} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cos_qn} DESC, n.vec_id
+               ) AS rank
+        FROM embeddings q
+        JOIN ranked qa ON qa.vec_id = q.vec_id AND qa.rn <= {p}
+        JOIN nassign na ON na.cell = qa.cell
+        JOIN embeddings n ON n.vec_id = na.vec_id AND n.vec_id <> q.vec_id
+        WHERE q.vec_id IN ({_QIDS})
+    ) t WHERE rank <= {TOPK}"""
+        for p in PROBE_SWEEP
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+                  WHERE vec_id IN ({cids})),
+    ranked AS MATERIALIZED (
+        SELECT e.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cos_ec} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    nassign AS MATERIALIZED (SELECT vec_id, cell FROM ranked WHERE rn = 1)
+    {legs}
+    """
+
+
 @register(
     "q138_ann_ivf_multiprobe",
-    oracle=" UNION ALL ".join(
-        f"SELECT CAST({p} AS INT) AS probe, * FROM ({_ivf_oracle(p)})"
-        for p in PROBE_SWEEP
-    ),
+    oracle=_ivf_sweep_oracle(),
     tags=("similarity", "ann", "ivf"),
 )
 def q138_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
