@@ -147,7 +147,10 @@ _JACC = (
         JOIN sets sb ON p.id_b = sb.doc_id
         WHERE {_JACC} >= {JACCARD_THRESHOLD}
     ),
-    edges AS (
+    -- MATERIALIZED: the recursive walk references edges every iteration,
+    -- and at a tight memory cap DuckDB re-inlines the whole
+    -- shingle->minhash->verify feeder into each one (see q169)
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM verified
         UNION
         SELECT id_b, id_a FROM verified
