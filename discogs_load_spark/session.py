@@ -120,14 +120,31 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     # and make sure executors can unpickle our operator closures.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_package_on_executors(spark)
+    app_id = spark.sparkContext.applicationId
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        key = (app_id, os.path.abspath(sf_dir), name)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            if not os.path.exists(path):
+                continue
             df = _read_parquet_normalized(spark, _maybe_reshard(spark, path))
-            df.createOrReplaceTempView(name)
-            out[name] = df
+            _TABLE_CACHE[key] = df
+        # always (re-)register the view: a prior call for a DIFFERENT
+        # sf_dir may own the name in this session
+        df.createOrReplaceTempView(name)
+        out[name] = df
     return out
+
+
+# DataFrame handles per (application, sf_dir, table): building one costs
+# ~90 ms of py4j + parquet-footer work (a stat, a pyarrow metadata read,
+# spark.read, schema normalization), and a 164-query bench calls
+# load_tables per query — ~35 s of pure re-resolution at sf0.1 without
+# this. DataFrames are immutable logical plans, safe to share; fixtures
+# are static, and the app-id key drops the cache with the session.
+_TABLE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 _RESHARD_MIN_BYTES = 256 << 10
