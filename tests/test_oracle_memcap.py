@@ -7,10 +7,11 @@ vector SQL whose planning alone exhausted a 256 MB cap under the gate-like
 worst case (no temp spill + one thread per core), then poisoned the NEXT
 fresh connection's 32 KB allocation — the exact q129→q143 cascade.
 
-This test pins the fix: each top-50 oracle runs on its own connection at a
-256 MB ``memory_limit`` with NO ``temp_directory`` and default threads, at
-the gate's scale factor (sf0.01). Heavier-but-green tail oracles are not
-held to the cap — the gate re-checks them last, if at all.
+This test pins the fix: EVERY registered oracle runs on its own connection
+at a 256 MB ``memory_limit`` with NO ``temp_directory`` and default
+threads, at the gate's scale factor (sf0.01) — the whole registry, not
+just the current top-50, so a future rotation can never promote a latent
+poison pill into the gate window.
 """
 
 from __future__ import annotations
@@ -18,22 +19,18 @@ from __future__ import annotations
 import pytest
 
 from discogs_load_spark.queries import REGISTRY
-from discogs_load_spark.queries.registry import PRIORITY
 
 from .conftest import SF_MEDIUM, register_duck_views
 
-GATE_BUDGET = 50
 MEM_CAP = "256MB"
 
-TOP_ORACLES = [
-    name
-    for name in PRIORITY[:GATE_BUDGET]
-    if REGISTRY[name].oracle is not None
+ALL_ORACLES = [
+    name for name, spec in sorted(REGISTRY.items()) if spec.oracle is not None
 ]
 
 
-@pytest.mark.parametrize("name", TOP_ORACLES)
-def test_top50_oracle_survives_memcap(name):
+@pytest.mark.parametrize("name", ALL_ORACLES)
+def test_oracle_survives_memcap(name):
     import duckdb
 
     con = duckdb.connect()
