@@ -372,9 +372,10 @@ def connected_components(
     SUM(label) strictly decreases until the fixpoint — a 1-row action per
     round instead of a change-count join. ``localCheckpoint`` truncates the
     lineage each round (iterative DataFrame loops otherwise replan from the
-    source every iteration). At extreme diameters the log-round
-    large-star/small-star formulation (Kiveris et al., "Connected
-    Components in MapReduce") drops in behind the same signature.
+    source every iteration). Diameter > ``max_iters`` raises rather than
+    returning silently-unmerged components; for extreme-diameter graphs use
+    :func:`connected_components_star` (same signature, same output,
+    O(log n) rounds).
     """
     edges = pairs.select(
         F.col(src).alias("esrc"), F.col(dst).alias("edst")
@@ -409,8 +410,117 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds the bound) — returning would silently "
+            "under-merge; use connected_components_star for high-diameter "
+            "graphs"
+        )
     edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """(node, component) — identical contract to :func:`connected_components`
+    (component = min reachable id) in O(log n) rounds instead of
+    O(diameter): the alternating large-star/small-star formulation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+
+    Each round rewires the edge set toward a star forest:
+
+    - **large-star**: every node u connects its STRICTLY GREATER neighbors
+      to m(u) = min(N(u) ∪ {u}) — long tails collapse toward local minima;
+    - **small-star**: every node u connects its ≤ neighbors (and itself)
+      to its minimum neighbor — flattening two-level chains.
+
+    Both phases are one groupBy(min) + one equi-join over the edge list —
+    the same shuffle shape as a round of label propagation, but the round
+    COUNT is logarithmic in component size, so a 10k-node path converges
+    in ~15 rounds where min-label propagation needs 10k. Fixpoint when the
+    (count, hash-sum) signature of the directed edge set stops changing —
+    a 1-row action per round; the converged edge set IS the (node → root)
+    star forest, and the paper's invariant makes every root its
+    component's minimum. Deterministic: min/greatest/least over ids only.
+    """
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _sig(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        nbrs = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        # edges arrive directed u -> v with v < u (large-star emits v = m < u)
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            edges.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        return rewired
+
+    prev = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            f"rounds — not expected for any graph below 2^{max_iters} nodes"
+        )
+    # converged edge set is the star forest (child u -> root v); roots and
+    # isolated-in-the-star nodes label themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    out = labels.union(roots)
+    all_nodes.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:

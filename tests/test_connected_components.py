@@ -1,0 +1,87 @@
+"""Connected components: the O(diameter) min-label propagation and the
+O(log n) large-star/small-star variant must produce IDENTICAL (node,
+component=min-reachable-id) labelings — checked against a Python
+union-find ground truth on adversarial graph shapes, including the
+high-diameter case where plain propagation must now fail LOUDLY instead
+of silently returning unmerged components (its pre-r04 behavior)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from discogs_load_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _labels(df) -> dict[int, int]:
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_star_matches_union_find_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 300
+    # sparse ER graph + planted cliques + shuffled non-contiguous id space
+    remap = {i: i * 17 + (i % 7) * 1000 for i in range(n)}
+    edges = [
+        (remap[rng.randrange(n)], remap[rng.randrange(n)]) for _ in range(250)
+    ]
+    for base in (0, 50, 120):
+        ids = [remap[base + k] for k in range(5)]
+        edges += [(ids[i], ids[i + 1]) for i in range(4)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += edges[:20]  # duplicates must not matter
+    want = _union_find_labels(edges)
+    got_star = _labels(connected_components_star(_pairs_df(spark, edges)))
+    got_prop = _labels(connected_components(_pairs_df(spark, edges)))
+    assert got_star == want
+    assert got_prop == want
+
+
+def test_star_converges_on_high_diameter_path(spark):
+    n = 2000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _labels(connected_components_star(_pairs_df(spark, edges)))
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_propagation_raises_instead_of_silently_undermerging(spark):
+    # diameter 200 >> max_iters: pre-r04 this RETURNED wrong components
+    edges = [(i, i + 1) for i in range(200)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs_df(spark, edges), max_iters=10)
+
+
+def test_star_empty_and_single_edge(spark):
+    empty = _pairs_df(spark, [])
+    assert _labels(connected_components_star(empty)) == {}
+    one = _pairs_df(spark, [(7, 3)])
+    assert _labels(connected_components_star(one)) == {7: 3, 3: 3}
