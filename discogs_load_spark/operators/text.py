@@ -20,7 +20,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.textfns import (
     STOPWORDS,
     char_class_count_sql,
-    doc_shingles_sql,
     norm_sql,
     stopword_hits_sql,
     token_count_sql,

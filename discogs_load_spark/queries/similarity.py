@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.vectors import cosine_sql, dot_sql, lsh_bucket_sql, norm2_sql
+from ..functions.vectors import cosine_sql, lsh_bucket_sql, norm2_sql
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
