@@ -12,7 +12,7 @@
   near-duplicate detection.
 
 Dot products are fixed-association double folds (functions/vectors.py —
-zip_with/aggregate loops on the Spark side, unrolled chains in the DuckDB
+zip_with/aggregate loops on the Spark side, list_sum folds in the DuckDB
 oracle) → bitwise identical results, and the loop form keeps the stage
 inside whole-stage codegen at any dim.
 """

@@ -2,9 +2,10 @@
 (array<float> column, dim 64): brute-force exact top-k (baseline), LSH-
 bucketed approximate top-k (scale path), and corpus near-dup pairs.
 
-All cosine math is unrolled fixed-association double arithmetic
-(functions/vectors.py) — bitwise identical in Spark and DuckDB, so even
-rank ordering agrees exactly.
+All cosine math is a fixed-association (left-fold) double chain in both
+dialects (functions/vectors.py: Spark aggregate/zip_with, DuckDB
+list_sum/list_transform) — bitwise identical, so even rank ordering
+agrees exactly.
 """
 
 from __future__ import annotations
