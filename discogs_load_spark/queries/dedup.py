@@ -25,6 +25,7 @@ from ..operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_N_HASHES,
     connected_components,
+    connected_components_star,
     exact_dedup_groups,
     jaccard_verify,
     lsh_bipartite_candidates,
@@ -626,15 +627,19 @@ def q165_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same entities.
 
     Scale shape: the name graph lives at the DOMAIN grain (|vocab| nodes
-    — sublinear in the catalog), so propagation rounds are trivially
-    small; catalog rows join the finished component map once, by name.
-    Names map to integer ids with ``monotonically_increasing_id`` —
-    propagation needs labels that are distinct and orderable, not dense
-    (components group by min-label; the ids never reach the output,
-    which keys on the lexicographically-smallest member NAME), and a
-    ranked id would funnel the whole domain through one window
-    partition. The id frame is persisted: it feeds three joins, and
-    mono-ids are only stable within a single materialization."""
+    — sublinear in the catalog); catalog rows join the finished component
+    map once, by name. The closure uses ``connected_components_star``
+    (O(log n) rounds) rather than min-label propagation: edit-distance
+    graphs are the suite's one UNBOUNDED-diameter case — names chain
+    ("aaa"~"aab"~"abb"~…) arbitrarily far, and a diameter-bound
+    propagation would now raise on such a catalog. Names map to integer
+    ids with ``monotonically_increasing_id`` — the closure needs labels
+    that are distinct and orderable, not dense (components group by
+    min-label; the ids never reach the output, which keys on the
+    lexicographically-smallest member NAME), and a ranked id would
+    funnel the whole domain through one window partition. The id frame
+    is persisted: it feeds three joins, and mono-ids are only stable
+    within a single materialization."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
     names = part.select(F.col("p_name").alias("n")).distinct()
     from pyspark.storagelevel import StorageLevel
@@ -648,7 +653,7 @@ def q165_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("n").alias("n2"), F.col("nid").alias("nid_b")), "n2")
         .select("nid_a", "nid_b")
     )
-    comp = connected_components(pairs, "nid_a", "nid_b")
+    comp = connected_components_star(pairs, "nid_a", "nid_b")
     # singleton names never enter the pair graph: they are their own entity
     full = ids.join(comp, ids.nid == comp.node, "left").select(
         "n", F.coalesce("component", "nid").alias("cid")
