@@ -47,25 +47,33 @@ def shred_releases(raw: DataFrame) -> dict[str, DataFrame]:
       — release.rs:362, quirks.py Q2); fill '' only when absent;
     - every label link is kept (reference's per-batch HashMap keyed by
       label_id drops repeats — release.rs:330, quirks.py Q3).
+
+    Duplicate-id records dedup at the RECORD grain before any table is
+    derived, so child tables carry only the WINNING occurrence's children
+    — a losing duplicate's labels/videos must not leak into the child
+    tables its parent was dropped from (they'd dangle or double). The
+    deduped frame is persisted: all three outputs derive from it, and
+    without the persist each materialization re-runs the dedup window.
     """
-    raw = _order_col(raw)
-    release = first_wins_dedup(
-        raw.select(
-            F.col("_id").cast("int").alias("id"),
-            _s("_status").alias("status"),
-            _s("title").alias("title"),
-            _s("country").alias("country"),
-            _s("released").alias("released"),
-            _s("notes").alias("notes"),
-            _arr("genres.genre").alias("genres"),
-            _arr("styles.style").alias("styles"),
-            _i("master_id").alias("master_id"),
-            _s("data_quality").alias("data_quality"),
-            F.col("__ord"),
-        ).filter(F.col("id").isNotNull()),
-        ["id"],
+    from pyspark.storagelevel import StorageLevel
+
+    raw = first_wins_dedup(
+        _order_col(raw).filter(F.col("_id").isNotNull()),
+        ["_id"],
         [F.col("__ord")],
-    ).drop("__ord")
+    ).drop("__ord").persist(StorageLevel.MEMORY_AND_DISK)
+    release = raw.select(
+        F.col("_id").cast("int").alias("id"),
+        _s("_status").alias("status"),
+        _s("title").alias("title"),
+        _s("country").alias("country"),
+        _s("released").alias("released"),
+        _s("notes").alias("notes"),
+        _arr("genres.genre").alias("genres"),
+        _arr("styles.style").alias("styles"),
+        _i("master_id").alias("master_id"),
+        _s("data_quality").alias("data_quality"),
+    )
 
     labels_exploded = raw.select(
         F.col("_id").cast("int").alias("release_id"),
@@ -143,23 +151,26 @@ def shred_masters(raw: DataFrame) -> dict[str, DataFrame]:
     """masters dump → master, master_artist.
 
     year/notes/genres/styles ARE parsed (the reference never fills them —
-    master.rs:81-94, quirks.py Q1)."""
-    raw = _order_col(raw)
-    master = first_wins_dedup(
-        raw.select(
-            F.col("_id").cast("int").alias("id"),
-            _s("title").alias("title"),
-            _i("main_release").alias("release_id"),
-            _i("year").alias("year"),
-            _s("notes").alias("notes"),
-            _arr("genres.genre").alias("genres"),
-            _arr("styles.style").alias("styles"),
-            _s("data_quality").alias("data_quality"),
-            F.col("__ord"),
-        ).filter(F.col("id").isNotNull()),
-        ["id"],
+    master.rs:81-94, quirks.py Q1). Record-grain first-wins dedup before
+    deriving either table, so master_artist carries only the winning
+    occurrence's artist links (see shred_releases)."""
+    from pyspark.storagelevel import StorageLevel
+
+    raw = first_wins_dedup(
+        _order_col(raw).filter(F.col("_id").isNotNull()),
+        ["_id"],
         [F.col("__ord")],
-    ).drop("__ord")
+    ).drop("__ord").persist(StorageLevel.MEMORY_AND_DISK)
+    master = raw.select(
+        F.col("_id").cast("int").alias("id"),
+        _s("title").alias("title"),
+        _i("main_release").alias("release_id"),
+        _i("year").alias("year"),
+        _s("notes").alias("notes"),
+        _arr("genres.genre").alias("genres"),
+        _arr("styles.style").alias("styles"),
+        _s("data_quality").alias("data_quality"),
+    )
 
     master_artist = (
         raw.select(
