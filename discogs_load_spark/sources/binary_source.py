@@ -1,0 +1,65 @@
+"""Binary-file source: ingest a directory of opaque media files (images /
+audio / video) as a payload table — the missing first stage of the
+multimodal pipeline (operators/multimodal.py starts from an already-built
+payload column; this builds it from a lake directory).
+
+Built on Spark's ``binaryFile`` data source: one row per file with
+(path, modificationTime, length, content), predicate pushdown on the
+path/length metadata (``pathGlobFilter``, length filters prune before any
+byte is read), partition-parallel over files. At 100 TB the same reader
+shape applies — media lakes are many-small-files, so the source's
+file-listing parallelism and an explicit ``recursiveFileLookup`` matter
+more than split tuning (a single media blob is one row, never split).
+
+Modality is derived from the file extension — the standard layout
+convention (s3://lake/images/..jpg) — and payloads above ``max_bytes``
+are left as URI-only rows (content dropped, keep the pointer): the
+parquet-row-group-bloat guard the multimodal module docstring describes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EXT_MODALITY = {
+    "jpg": "image",
+    "jpeg": "image",
+    "png": "image",
+    "gif": "image",
+    "wav": "audio",
+    "mp3": "audio",
+    "flac": "audio",
+    "mp4": "video",
+    "mkv": "video",
+    "webm": "video",
+    "txt": "text",
+    "md": "text",
+}
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Directory of media files → (uri, modality, n_bytes, checksum,
+    payload) with payload NULL (URI-only) beyond ``max_bytes``."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    modality_expr = F.lit("binary")
+    for e, m in EXT_MODALITY.items():
+        modality_expr = F.when(ext == e, m).otherwise(modality_expr)
+    return raw.select(
+        F.col("path").alias("uri"),
+        modality_expr.alias("modality"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("checksum"),
+        F.when(F.col("length") <= max_bytes, F.col("content")).alias("payload"),
+    )
