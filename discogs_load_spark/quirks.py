@@ -35,7 +35,11 @@ Q7  Batch-scoped first-wins dedup. Dedup scope is one 10k batch
     (release.rs:184-203): duplicate ids in different batches BOTH load, and
     the later PK creation (sql/indexes.sql:2) would fail. Engine: global
     first-wins keyed by explicit ingest order
-    (operators/relational.py::first_wins_dedup).
+    (operators/relational.py::first_wins_dedup), applied at the RECORD
+    grain before any table is derived — so a losing duplicate's child
+    rows (labels/videos/artist links) are dropped with their parent
+    rather than leaking into the child tables (q137 reproduces the
+    faithful batch-scoped semantics under the oracle).
 
 Q8  Whitespace-sensitive array parsing. With pretty-printed XML the
     urls/aliases/members sub-states bounce back on whitespace text events and
