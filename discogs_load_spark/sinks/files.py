@@ -1,4 +1,7 @@
-"""Lake-file sink: parquet (primary at scale), CSV/JSON for interchange.
+"""Lake-file sink: parquet (primary at scale) + bucketed tables.
+
+CSV/JSON/ORC interchange is exercised directly by the declared queries
+(q101/q162) through the DataFrame writer API — no wrapper indirection.
 
 At 100 TB the relational store is the *serving* layer; the engine's primary
 output is partitioned parquet that later stages (and the query surface) scan
@@ -8,7 +11,7 @@ downstream consumers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def write_parquet(
@@ -41,19 +44,3 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(name)
     )
-
-
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).option("header", "true").csv(path)
-
-
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).json(path)
-
-
-def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
-    return spark.read.schema(schema).option("header", "true").csv(path)
-
-
-def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
-    return spark.read.schema(schema).json(path)
