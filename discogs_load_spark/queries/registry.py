@@ -49,10 +49,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # listed here FIRST; everything else follows in registration order. Names not
 # in this list keep their relative registration order after the listed ones.
 PRIORITY: list[str] = [
-    # --- r04 top block: the 35 queries with NO green driver row ---
+    # --- r04 top block: the 36 queries with NO green driver row ---
     # (34 gate-unverified from r03 — 15 oracle-OOM casualties q129-q143 +
-    # 19 never-rotated r03 additions q149-q167 — plus q168, the new A9
-    # query). Ordered by MEASURED oracle cost at sf0.01, cheapest first:
+    # 19 never-rotated r03 additions q149-q167 — plus the new q168 A9
+    # query and the q169 composition stretch). Ordered by MEASURED oracle
+    # cost at sf0.01, cheapest first:
     # the r03 OOM block was environmental memory pressure, and
     # cheapest-first maximizes green rows banked before any pressure can
     # build. Costs re-measured after this round's oracle slimming
