@@ -41,8 +41,10 @@ def test_unsettled_queries_outrank_settled_in_gate_window():
     settled = _settled_queries()
     assert settled, "no CORRECTNESS_r*.json artifacts found"
     window = [n for n in PRIORITY if n in REGISTRY][:GATE_BUDGET]
+    # All-settled state: nothing to outrank, the window is free for
+    # regression re-proof rotation (max default=0 keeps the slice empty).
     last_unsettled = max(
-        (i for i, n in enumerate(window) if n not in settled), default=-1
+        (i for i, n in enumerate(window) if n not in settled), default=0
     )
     misplaced = [n for n in window[:last_unsettled] if n in settled]
     assert not misplaced, (
