@@ -443,34 +443,39 @@ def connected_components_star(
     Both phases are one groupBy(min) + one equi-join over the edge list —
     the same shuffle shape as a round of label propagation, but the round
     COUNT is logarithmic in component size, so a 10k-node path converges
-    in ~15 rounds where min-label propagation needs 10k. Fixpoint when the
-    (count, hash-sum) signature of the directed edge set stops changing —
-    a 1-row action per round; the converged edge set IS the (node → root)
+    in ~15 rounds where min-label propagation needs 10k. Fixpoint is an
+    EXACT set-equality check (symmetric difference empty — one cheap
+    anti-join action per round over the converging edge set), not a
+    hash-signature compare: two different consecutive edge sets colliding
+    on a 32-bit-hash sum would otherwise break the loop early and
+    silently under-merge. The converged edge set IS the (node → root)
     star forest, and the paper's invariant makes every root its
     component's minimum. Deterministic: min/greatest/least over ids only.
+    Self-loop-only nodes (pairs where src == dst and the node appears in
+    no other pair) surface as their own components — the same contract as
+    :func:`connected_components`, so callers can swap the two.
     """
+    raw = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node universe BEFORE dropping self-loops: a node whose only pair is
+    # (x, x) still labels itself, matching the propagation variant
+    all_nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     e = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
         .localCheckpoint()
     )
-    all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
 
-    def _sig(edges: DataFrame) -> tuple:
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.hash("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    def _unchanged(new: DataFrame, old: DataFrame) -> bool:
+        diff = new.exceptAll(old).union(old.exceptAll(new))
+        return diff.limit(1).count() == 0
 
     def _large_star(edges: DataFrame) -> DataFrame:
         nbrs = edges.select("u", "v").union(
@@ -500,13 +505,11 @@ def connected_components_star(
         )
         return rewired
 
-    prev = None
     for _ in range(max_iters):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _sig(e)
-        if cur == prev:
+        if _unchanged(e, prev_e):
             break
-        prev = cur
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iters} "

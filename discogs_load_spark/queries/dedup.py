@@ -638,14 +638,17 @@ def q165_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label; the ids never reach the output, which keys on the
     lexicographically-smallest member NAME), and a ranked id would
     funnel the whole domain through one window partition. The id frame
-    is persisted: it feeds three joins, and mono-ids are only stable
-    within a single materialization."""
+    is localCheckpoint'ed (physically materialized): it feeds three
+    joins, and mono-ids are only stable within a single
+    materialization — a persist could silently recompute."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
     names = part.select(F.col("p_name").alias("n")).distinct()
-    from pyspark.storagelevel import StorageLevel
-
-    ids = names.withColumn("nid", F.monotonically_increasing_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # localCheckpoint, not persist: the mono-ids feed three joins, and a
+    # recomputed partition (cache eviction / executor loss) would reassign
+    # nids mid-query and silently mispair names into wrong entity
+    # clusters. Checkpointing materializes them physically.
+    ids = names.withColumn("nid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
     )
     pairs = (
         _fuzzy_name_pairs(part)

@@ -121,6 +121,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_package_on_executors(spark)
     app_id = spark.sparkContext.applicationId
+    # prune entries from dead sessions: the app-id key makes them
+    # unreachable but not collected, and a long-lived process that
+    # restarts Spark sessions would otherwise accumulate stale handles
+    for key in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[key]
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -143,7 +148,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 # spark.read, schema normalization), and a 164-query bench calls
 # load_tables per query — ~35 s of pure re-resolution at sf0.1 without
 # this. DataFrames are immutable logical plans, safe to share; fixtures
-# are static, and the app-id key drops the cache with the session.
+# are static, and entries from dead sessions are pruned on access (the
+# app-id key alone would only orphan them, not free them).
 _TABLE_CACHE: dict[tuple[str, str, str], object] = {}
 
 

@@ -44,22 +44,45 @@ def read_media_dir(
     max_bytes: int = 1 << 20,
 ) -> DataFrame:
     """Directory of media files → (uri, modality, n_bytes, checksum,
-    payload) with payload NULL (URI-only) beyond ``max_bytes``."""
-    reader = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-    )
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    raw = reader.load(path)
+    payload) with checksum and payload NULL (URI-only) beyond
+    ``max_bytes``.
+
+    Two scans unioned so the cap prunes BEFORE any byte is read: the
+    payload scan filters ``length <= max_bytes`` (binaryFile pushes
+    length predicates into the file listing, so over-cap files are
+    skipped, not read-then-dropped), and the metadata scan never selects
+    ``content`` (column pruning — binaryFile only stats the files). On a
+    media lake with a few multi-GB outliers the outliers therefore cost a
+    listing entry, not a full read; the price is that over-cap rows carry
+    no checksum (they carry no bytes either — callers that need one must
+    raise the cap)."""
+
+    def _scan() -> DataFrame:
+        reader = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+        )
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        return reader.load(path)
+
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     modality_expr = F.lit("binary")
     for e, m in EXT_MODALITY.items():
         modality_expr = F.when(ext == e, m).otherwise(modality_expr)
-    return raw.select(
+    meta_cols = [
         F.col("path").alias("uri"),
         modality_expr.alias("modality"),
         F.col("length").cast("bigint").alias("n_bytes"),
+    ]
+    small = _scan().filter(F.col("length") <= max_bytes).select(
+        *meta_cols,
         F.sha2(F.col("content"), 256).alias("checksum"),
-        F.when(F.col("length") <= max_bytes, F.col("content")).alias("payload"),
+        F.col("content").alias("payload"),
     )
+    big = _scan().filter(F.col("length") > max_bytes).select(
+        *meta_cols,
+        F.lit(None).cast("string").alias("checksum"),
+        F.lit(None).cast("binary").alias("payload"),
+    )
+    return small.unionByName(big)

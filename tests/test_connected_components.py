@@ -85,3 +85,12 @@ def test_star_empty_and_single_edge(spark):
     assert _labels(connected_components_star(empty)) == {}
     one = _pairs_df(spark, [(7, 3)])
     assert _labels(connected_components_star(one)) == {7: 3, 3: 3}
+
+
+def test_self_loop_only_nodes_label_themselves_in_both_variants(spark):
+    # node 9's only pair is (9, 9): both variants must surface it as its
+    # own component (same-signature-same-output contract for swapping)
+    edges = [(1, 2), (9, 9), (2, 2)]
+    want = {1: 1, 2: 1, 9: 9}
+    assert _labels(connected_components_star(_pairs_df(spark, edges))) == want
+    assert _labels(connected_components(_pairs_df(spark, edges))) == want
