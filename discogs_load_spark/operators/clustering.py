@@ -95,6 +95,7 @@ def recompute_centroids(
         (dec_sum("val", "s", scale=scale) / F.count("val")).alias("mean")
     )
     return means.groupBy("cluster").agg(
+        # bounded: one struct per embedding dimension (fixed vector dim)
         F.expr("transform(sort_array(collect_list(struct(dim, mean))), x -> x.mean)")
         .alias("centroid")
     )

@@ -42,6 +42,47 @@ DEFAULT_BANDS = 4  # 4 bands x 3 rows: catches jaccard >~ 0.6 reliably
 # bucket's pair output to ~0.5M pairs.
 DEFAULT_MAX_BUCKET = 1024
 
+# Member-list cap for group rollups whose group size is fixture-unbounded
+# (a connected component can be the whole corpus): the contract row ships
+# the MEMBER_CAP smallest member ids; counts stay exact.
+MEMBER_CAP = 32
+
+
+def capped_member_rollup(
+    df: DataFrame, group_col: str, member_col: str, cap: int = MEMBER_CAP
+) -> DataFrame:
+    """(group, n_members, members) — exact group count plus a '|'-joined
+    string of the ``cap`` SMALLEST members.
+
+    The scale discipline for unbounded groups: members are rank-filtered
+    with a row_number window BEFORE the collect, so no reducer ever holds
+    more than ``cap`` elements per group — ``slice(sort_array(...))``
+    after an uncapped collect_list would still materialize a corpus-scale
+    dup family as one in-memory array. The window and the groupBy share
+    the group-key hash partitioning, so Catalyst plans one exchange.
+    Deterministic: members are unique ids, ascending rank, sorted output.
+    Oracle dual: ``list_sort(list(member))[1:cap]``."""
+    from pyspark.sql import Window as W
+
+    ranked = df.withColumn(
+        "__rn", F.row_number().over(W.partitionBy(group_col).orderBy(member_col))
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(
+            F.transform(
+                # bounded: rank-filtered to <= cap elements before collect
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= cap, F.col(member_col))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("members"),
+    )
+
 
 def _cap_buckets(buckets: DataFrame, id_col: str, cap: int) -> DataFrame:
     """Keep at most ``cap`` members per (band, key) bucket — the ``cap``

@@ -24,6 +24,8 @@ from ..functions.textfns import (
 from ..operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_N_HASHES,
+    MEMBER_CAP,
+    capped_member_rollup,
     connected_components,
     connected_components_star,
     exact_dedup_groups,
@@ -164,7 +166,8 @@ _JACC = (
     ),
     comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
     SELECT component, COUNT(*) AS n_docs,
-           COALESCE(array_to_string(list_sort(list(node)), '|'), '') AS doc_ids
+           COALESCE(array_to_string(list_sort(list(node))[1:{MEMBER_CAP}], '|'),
+                    '') AS doc_ids
     FROM comp GROUP BY component
     """,
     tags=("dedup", "graph", "iterative"),
@@ -176,7 +179,12 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure by reachability — an independent algorithm, so a
     propagation bug can't self-confirm. The member list ships as a
     '|'-joined sorted string (driver canonicalizer can't hash list
-    cells; doc ids are ints, so the join is lossless)."""
+    cells; doc ids are ints, so the join is lossless), CAPPED at the
+    MEMBER_CAP smallest ids: a component is fixture-unbounded (a
+    corpus-scale dup family is ONE group), so the rank filter runs
+    before the collect and the reducer never materializes an unbounded
+    array — n_docs still counts every member. The rank window and the
+    groupBy share the component hash partitioning (one exchange)."""
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(sigs, "doc_id")
@@ -184,14 +192,10 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
     ).select("id_a", "id_b")
     comp = connected_components(verified)
-    return comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
-            ),
-            "|",
-        ).alias("doc_ids"),
+    return capped_member_rollup(comp, "component", "node", MEMBER_CAP).select(
+        "component",
+        F.col("n_members").alias("n_docs"),
+        F.col("members").alias("doc_ids"),
     )
 
 

@@ -402,6 +402,7 @@ def q107_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mp = counts.groupBy("o_orderpriority").agg(
         F.map_from_entries(
+            # bounded: o_orderstatus domain is {F, O, P} — <= 3 entries/group
             F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
         ).alias("status_map")
     )

@@ -1,13 +1,18 @@
-"""Multimodal query surface: binary payload metadata (oracle-checked) and
-the mapInPandas feature-extraction pipeline (rows-only: binary decode is not
-SQL-expressible; the driver records the weaker check by design).
+"""Multimodal query surface: binary payload metadata, the mapInPandas
+frame-sampling fan-out, and a REAL BMP decode pipeline — all oracle-checked
+(q71's procedural pixel rule makes even the binary decode SQL-recomputable).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.multimodal import attach_payload, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_payload,
+    decode_image_stats,
+    render_procedural_bmp,
+    sample_frames,
+)
 from ..session import load_tables
 from .registry import register
 
@@ -49,28 +54,44 @@ def q70_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q71_W, _Q71_H = 18, 7  # 18*3 = 54 bytes/row → 2 pad bytes: padding exercised
+
+
 @register(
     "q71_multimodal_features",
-    oracle=None,  # binary decode via mapInPandas — not SQL-expressible
-    tags=("multimodal", "rows-only"),
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({_Q71_W} AS INT) AS width,
+           CAST({_Q71_H} AS INT) AS height,
+           CAST(SUM(CASE WHEN g.k % 3 = 0
+                         THEN (d.doc_id * 31 + g.k) % 256 END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN g.k % 3 = 1
+                         THEN (d.doc_id * 31 + g.k) % 256 END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN g.k % 3 = 2
+                         THEN (d.doc_id * 31 + g.k) % 256 END) AS BIGINT) AS b_sum
+    FROM documents d, generate_series(0, {_Q71_W * _Q71_H * 3 - 1}) AS g(k)
+    WHERE d.doc_id % 3 = 1
+    GROUP BY d.doc_id
+    """,
+    tags=("multimodal",),
 )
 def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (deterministic fake decoder, real
-    Spark plumbing): per-modality mean feature norms."""
-    feats = extract_features(attach_payload(_docs(spark, sf_dir)))
-    norm = F.expr(
-        "aggregate(features, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    """REAL image decode through the Arrow-batched pipeline, end to end:
+    each image-modality doc gets a procedurally-rendered 24-bit BMP
+    (pixel channel k = (doc_id*31 + k) % 256 over the top-down RGB
+    array), and :func:`decode_image_stats` parses the file bytes back —
+    BGR swap, bottom-up row order, 4-byte row padding — into per-doc
+    integer channel sums. The oracle recomputes the sums analytically
+    from the generation rule, so any decoder byte-layout bug (channel
+    order, row direction, padding stride) hash-mismatches. Replaces the
+    pre-r05 sha-fake (the repo's last rows-only-by-stub query)."""
+    images = attach_payload(_docs(spark, sf_dir)).filter(
+        F.col("modality") == "image"
     )
-    return (
-        feats.withColumn("feat_norm2", norm)
-        .groupBy("modality")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "CAST(SUM(CAST(feat_norm2 AS DECIMAL(25,9))) AS DOUBLE)"
-            ).alias("total_norm2"),
-        )
+    rendered = render_procedural_bmp(
+        images.select("doc_id"), _Q71_W, _Q71_H
     )
+    return decode_image_stats(rendered)
 
 
 @register(

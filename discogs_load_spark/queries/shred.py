@@ -97,6 +97,7 @@ def q32_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey")
+        # bounded: o_orderstatus domain is {F, O, P} — <= 3 elements/group
         .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("__statuses"))
         .select(
             "c_custkey",
@@ -281,6 +282,8 @@ def q133_shred_multiarray_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_int = F.array().cast("array<int>")  # a real [], not NULL
 
     def bucket_set(evt: str):
+        # bounded: floor(value) over the metric's fixed range — a few hundred
+        # distinct ints max per group, independent of corpus size
         c = F.collect_set(
             F.when(F.col("event_type") == evt, F.floor("value").cast("int"))
         )
@@ -293,6 +296,7 @@ def q133_shred_multiarray_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         return joined
 
     return events.groupBy(F.col("user_id").alias("id")).agg(
+        # bounded: event_type is a closed enum
         F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias("types"),
         bucket_set("purchase").alias("purchase_buckets"),
         bucket_set("error").alias("error_buckets"),

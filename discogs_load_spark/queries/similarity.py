@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.vectors import cosine_sql, lsh_bucket_sql, norm2_sql
+from ..operators.dedup import MEMBER_CAP
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -280,7 +281,8 @@ def q138_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node)
     SELECT component, COUNT(*) AS n_vecs,
-           COALESCE(array_to_string(list_sort(list(node)), '|'), '') AS vec_ids
+           COALESCE(array_to_string(list_sort(list(node))[1:{MEMBER_CAP}], '|'),
+                    '') AS vec_ids
     FROM comp GROUP BY component
     """.format(
         bucket=lsh_bucket_sql("embedding", NEARDUP_PLANES, DIM, "duckdb"),
@@ -294,8 +296,11 @@ def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine pair graph — the same transitive-closure step q89 applies to
     text near-dups (semantic dup chains A~B~C where A~C is below
     threshold). One min-label propagation joins per round over a
-    pair list that LSH bucketing already made sub-quadratic."""
-    from ..operators.dedup import connected_components
+    pair list that LSH bucketing already made sub-quadratic. Member
+    list capped at the MEMBER_CAP smallest ids via rank-before-collect
+    (see capped_member_rollup: a dup family is fixture-unbounded);
+    n_vecs counts every member."""
+    from ..operators.dedup import capped_member_rollup, connected_components
 
     pairs = embedding_near_dup_pairs(
         _emb(spark, sf_dir),
@@ -306,14 +311,10 @@ def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=NEARDUP_PLANES,
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
-    return comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
-            ),
-            "|",
-        ).alias("vec_ids"),
+    return capped_member_rollup(comp, "component", "node", MEMBER_CAP).select(
+        "component",
+        F.col("n_members").alias("n_vecs"),
+        F.col("members").alias("vec_ids"),
     )
 
 
@@ -506,6 +507,7 @@ def q128_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quantized_dims(spark, sf_dir)
         .groupBy("vec_id")
         .agg(
+            # bounded: one struct per embedding dimension (DIM, fixed)
             F.array_sort(F.collect_list(F.struct("idx", "code"))).alias("__s"),
             F.sum("code").cast("bigint").alias("code_l1"),
         )
@@ -646,6 +648,7 @@ def q140_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized_dims(spark, sf_dir)
     codes = (
         q.groupBy("vec_id")
+        # bounded: one struct per embedding dimension (DIM, fixed)
         .agg(F.array_sort(F.collect_list(F.struct("idx", "code"))).alias("__s"))
         .select(
             "vec_id",

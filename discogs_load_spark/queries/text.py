@@ -302,6 +302,7 @@ def q124_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIN_POSTING_DF = 2  # drop hapax tokens: at corpus scale they dominate rows
 MAX_POSTING_DF_FRAC = 0.8  # stop-word guard: drop tokens in > 80% of the corpus
+POSTING_CAP = 64  # contract row ships a prefix; a real index shards postings
 
 
 @register(
@@ -312,7 +313,8 @@ MAX_POSTING_DF_FRAC = 0.8  # stop-word guard: drop tokens in > 80% of the corpus
     )
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           COALESCE(array_to_string(list_sort(list(doc_id)), '|'), '') AS postings
+           COALESCE(array_to_string(list_sort(list(doc_id))[1:{POSTING_CAP}],
+                                    '|'), '') AS postings
     FROM tok
     GROUP BY token
     HAVING COUNT(*) >= {MIN_POSTING_DF}
@@ -331,9 +333,12 @@ def q134_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes its posting array on a reducer (the q51 bucket-cap
     discipline, operators/dedup.py:_cap_buckets) — and the window, the
     filter, and the groupBy all share the token hash partitioning, so
-    Catalyst plans a single exchange. The posting list ships as a
-    '|'-joined sorted string (driver canonicalizer can't hash list cells).
-    """
+    Catalyst plans a single exchange. The contract row ships the
+    POSTING_CAP smallest doc ids (rank-filtered before the collect — a
+    mid-frequency token's posting list is still corpus-proportional; a
+    real index writes the full list SHARDED, not as one array row);
+    doc_freq stays exact. '|'-joined sorted string (driver canonicalizer
+    can't hash list cells)."""
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
@@ -352,6 +357,10 @@ def q134_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("df") >= MIN_POSTING_DF)
             & (F.col("df") <= F.col("__n_docs") * MAX_POSTING_DF_FRAC)
         )
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("token").orderBy("doc_id")),
+        )
     )
     return (
         tok.groupBy("token")
@@ -359,7 +368,14 @@ def q134_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("df").cast("bigint").alias("doc_freq"),
             F.array_join(
                 F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
+                    # bounded: rank-filtered to <= POSTING_CAP before collect
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= POSTING_CAP, F.col("doc_id")
+                            )
+                        )
+                    ),
                     lambda x: x.cast("string"),
                 ),
                 "|",

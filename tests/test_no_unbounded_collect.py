@@ -1,0 +1,40 @@
+"""Grep-able scale guard: every collect_list/collect_set in the package
+must be provably bounded — either rank-filtered before the collect (the
+``capped_member_rollup`` discipline: a row_number window caps elements per
+group BEFORE any array materializes) or carrying an explicit
+``# bounded:`` comment stating the domain argument (closed enums, fixed
+vector dims). An uncapped collect over a fixture-unbounded key is a
+reducer OOM at 100 TB (a corpus-scale dup family is ONE group)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "discogs_load_spark"
+CALL = re.compile(r"collect_(list|set)\(")
+WINDOW = 3  # a justification may sit up to this many lines above the call
+
+
+def test_every_collect_is_capped_or_bounded():
+    offenders: list[str] = []
+    for path in sorted(PKG.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not CALL.search(line):
+                continue
+            stripped = line.lstrip()
+            if (
+                stripped.startswith("#")
+                or stripped.startswith('"')
+                or "``" in line
+            ):
+                continue  # comment/docstring prose mention, not a call
+            ctx = "\n".join(lines[max(0, i - WINDOW) : i + 1])
+            if "# bounded" in ctx or "__rn" in ctx:
+                continue
+            offenders.append(f"{path.relative_to(PKG.parent)}:{i + 1}")
+    assert not offenders, (
+        "collect without a cap or a '# bounded:' domain argument "
+        f"(reducer OOM risk at scale): {offenders}"
+    )
