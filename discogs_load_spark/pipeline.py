@@ -20,7 +20,12 @@ from .operators.shred import shred
 from .session import get_spark
 from .sinks.files import write_parquet
 from .sinks.postgres import write_jdbc
+from .sources.gzip_shard import preshard_gzip_dump
 from .sources.xml_source import read_dump, read_dump_python, sniff_root_tag
+
+# A single gzip this large is one parse task (gzip is unsplittable); above
+# it, the one-pass record-aligned pre-split pays for itself immediately.
+AUTO_SHARD_MIN_BYTES = 256 << 20
 
 
 def load_dumps(
@@ -29,24 +34,41 @@ def load_dumps(
     parquet_dir: str | None = None,
     jdbc: dict | None = None,
     use_python_reader: bool = False,
+    auto_shard: bool = True,
+    shard_target_bytes: int = 64 << 20,
+    shard_min_bytes: int = AUTO_SHARD_MIN_BYTES,
 ) -> dict[str, DataFrame]:
     """Parse + shred every dump file; optionally persist each table.
 
     Returns {table_name: DataFrame}. Multiple files of the same kind union
     (e.g. a dump split into shards — the scale path for unsplittable gzip).
-    """
+    A MONOLITHIC gzip dump above ``shard_min_bytes`` (compressed) is
+    auto-pre-split into record-aligned gzip shards first
+    (sources/gzip_shard.py), so a 10 GB single-file dump parses with N
+    tasks instead of one."""
+    import tempfile
+
     by_kind: dict[str, list[str]] = {}
     for path in files:
         by_kind.setdefault(sniff_root_tag(path), []).append(path)
+
+    if auto_shard:
+        for kind, paths in by_kind.items():
+            if len(paths) == 1 and paths[0].endswith(".gz"):
+                import os
+
+                if os.path.getsize(paths[0]) >= shard_min_bytes:
+                    shard_dir = tempfile.mkdtemp(prefix=f"preshard_{kind}_")
+                    by_kind[kind] = preshard_gzip_dump(
+                        paths[0], shard_dir, shard_target_bytes, kind
+                    )
 
     tables: dict[str, DataFrame] = {}
     for kind, paths in by_kind.items():
         if use_python_reader:
             raw = read_dump_python(spark, paths, kind)
         else:
-            raw = read_dump(spark, paths[0], kind)
-            for extra in paths[1:]:
-                raw = raw.unionByName(read_dump(spark, extra, kind))
+            raw = read_dump(spark, paths, kind)
         shredded = shred(raw, kind)
         if len(shredded) > 1:
             # releases/masters fan out into 2-3 tables: persist the parsed

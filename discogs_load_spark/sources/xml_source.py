@@ -77,20 +77,23 @@ def sniff_root_tag(path: str) -> str:
     raise ValueError(f"no XML element found in first 64KB of {path}")
 
 
-def read_dump(spark: SparkSession, path: str, kind: str | None = None) -> DataFrame:
+def read_dump(
+    spark: SparkSession, path: str | list[str], kind: str | None = None
+) -> DataFrame:
     """Read a Discogs dump into its nested record shape with the native XML
     source. ``kind`` is one of releases/artists/labels/masters (sniffed from
-    the file when omitted)."""
+    the file when omitted). ``path`` may be one file, a directory, or a
+    list of shard files (one scan over all of them — no union plan)."""
     if kind is None:
-        kind = sniff_root_tag(path)
+        kind = sniff_root_tag(path if isinstance(path, str) else path[0])
     if kind not in _ROOT_TAGS:
         raise ValueError(f"unknown dump kind: {kind}")
-    return (
+    reader = (
         spark.read.format("xml")
         .option("rowTag", ROW_TAGS[kind])
         .schema(XML_SCHEMAS[kind])
-        .load(path)
     )
+    return reader.load(path)
 
 
 # ---------------------------------------------------------------------------
