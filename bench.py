@@ -23,6 +23,67 @@ if str(REPO) not in sys.path:
 
 XML_BENCH_RELEASES = int(os.environ.get("SPARK_GRAFT_XML_ROWS", "240000"))
 
+# --- sf1 scaling tier (VERDICT r04 item 5 / r05 item 3) ---------------------
+# The driver ships sf<=0.1; the 100 TB story needs at least one measured
+# scale-up, so after the sf0.1 sweep the bench generates a 10x tier
+# (tools/gen_sf1.py — same measured structure as the fixtures) and re-times
+# the heaviest queries + the watch-list from the verdict (q64 byte-band
+# pairs, q123 prefix buckets, q89/q95 round counts, pre-shard ingest).
+# scale_x ~ 10 means linear-in-rows; >>10 flags a superlinear term.
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SF1_QUERIES = [
+    "q64_simhash_hamming_pairs",
+    "q71_multimodal_features",
+    "q89_dedup_components",
+    "q95_embedding_dedup_groups",
+    "q100_incremental_dedup",
+    "q104_sole_late_supplier",
+    "q123_prefix_filter_jaccard",
+    "q130_event_pagerank",
+    "q154_semdedup",
+    "q165_entity_clusters",
+    "q169_curation_pipeline",
+    "q170_preshard_ingest",
+]
+
+
+def bench_sf1(spark, REGISTRY, sf01_timings: dict[str, float]) -> dict:
+    import time as _t
+
+    t0 = _t.monotonic()
+    gen_s = 0.0
+    if not all(
+        os.path.exists(os.path.join(SF1_DIR, f"{n}.parquet"))
+        for n in ("documents", "embeddings", "events", "lineitem")
+    ):
+        sys.path.insert(0, str(REPO / "tools"))
+        from gen_sf1 import generate_sf1
+
+        generate_sf1(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), SF1_DIR)
+        gen_s = round(_t.monotonic() - t0, 1)
+
+    from discogs_load_spark.session import load_tables
+
+    for df in load_tables(spark, SF1_DIR).values():  # reshard + page cache
+        _materialize(df)
+
+    timings: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        t0 = _t.monotonic()
+        _materialize(REGISTRY[name].fn(spark, SF1_DIR))
+        timings[name] = round(_t.monotonic() - t0, 2)
+    scale = {
+        n.split("_", 1)[0]: round(timings[n] / sf01_timings[n], 1)
+        for n in SF1_QUERIES
+        if sf01_timings.get(n)
+    }
+    return {
+        "gen_s": gen_s,
+        "rows_x": 10,
+        "queries": {n.split("_", 1)[0]: t for n, t in timings.items()},
+        "scale_x": scale,
+    }
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -141,7 +202,15 @@ def main() -> None:
     # it and BENCH_r03.parsed came back null. Inline only the TOP_N slowest
     # queries (the ones a perf reader acts on; the full map is one line up)
     # and keep the rest of the payload scalar.
-    TOP_N = 25
+    # sf1 scaling tier: only on the standard sf0.1 bench run (a custom
+    # SPARK_GRAFT_SF_DIR means someone is measuring something specific),
+    # opt out with SPARK_GRAFT_SF1=0
+    sf1 = None
+    if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sf1 = bench_sf1(spark, REGISTRY, timings)
+        print(json.dumps({"sf1_full": sf1}), file=sys.stderr)
+
+    TOP_N = 18
     short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     if len(short) != len(timings):  # qNN prefix collision — use full names
         short = {n: round(t, 2) for n, t in timings.items()}
@@ -156,6 +225,8 @@ def main() -> None:
         "n_queries": len(timings),
         "xml_ingest": ingest,
     }
+    if sf1 is not None:
+        payload["sf1"] = sf1
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1500:  # never let the headline line outgrow the tail
         payload.pop("queries")

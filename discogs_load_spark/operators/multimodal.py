@@ -17,14 +17,16 @@ PPM (P6 binary, whitespace/comment header grammar). :func:`encode_bmp` is
 the matching writer. Compressed formats (JPEG/PNG/audio/video) need
 PIL/ffmpeg, absent from this container: for those payloads
 :func:`extract_features` falls back to a deterministic sha256-derived
-vector, clearly flagged by ``decoded = false`` semantics (features[0..1] =
-width/height only on the real path).
+vector and emits an explicit ``decoded = false`` column (the decode
+attempt itself is gated on ``modality == 'image'`` so byte coincidences
+in text/audio payloads can never switch semantics).
 """
 
 from __future__ import annotations
 
 import struct
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 FEATURE_DIM = 8
@@ -55,15 +57,13 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     if len(rgb) != width * height * 3:
         raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
     row_stride = (width * 3 + 3) & ~3
-    pad = b"\x00" * (row_stride - width * 3)
-    pixel_bytes = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up
-        row = rgb[y * width * 3 : (y + 1) * width * 3]
-        for x in range(width):  # RGB -> BGR
-            pixel_bytes += bytes(
-                (row[x * 3 + 2], row[x * 3 + 1], row[x * 3])
-            )
-        pixel_bytes += pad
+    # vectorized layout transform: O(pixels) numpy, no per-pixel Python
+    # (the byte fixtures in tests/test_image_codec.py pin equivalence to
+    # the spec: bottom-up rows, BGR interleave, zero pad to 4-byte stride)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    rows = np.zeros((height, row_stride), dtype=np.uint8)
+    rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)
+    pixel_bytes = rows.tobytes()
     offset = 14 + 40
     file_size = offset + len(pixel_bytes)
     header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
@@ -71,7 +71,7 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes),
         2835, 2835, 0, 0,
     )
-    return header + info + bytes(pixel_bytes)
+    return header + info + pixel_bytes
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
@@ -108,15 +108,16 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     need = offset + row_stride * height
     if len(payload) < need:
         raise ValueError("truncated BMP pixel array")
-    rgb = bytearray(width * height * 3)
-    for y_out in range(height):
-        y_src = (height - 1 - y_out) if bottom_up else y_out
-        base = offset + y_src * row_stride
-        for x in range(width):
-            b, g, r = payload[base + x * 3 : base + x * 3 + 3]
-            o = (y_out * width + x) * 3
-            rgb[o], rgb[o + 1], rgb[o + 2] = r, g, b
-    return width, height, bytes(rgb)
+    # vectorized: pad strip = stride slicing, row flip = [::-1],
+    # BGR -> RGB = [..., ::-1]; per-byte-fixture-tested equivalent of the
+    # per-pixel reference loop (spec: positive height means bottom-up rows)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=offset
+    ).reshape(height, row_stride)
+    arr = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return width, height, arr[:, :, ::-1].tobytes()
 
 
 def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
@@ -154,14 +155,16 @@ def image_features(payload: bytes) -> list[float]:
     images under ~65k pixels (sums stay below 2^24); the oracle-grade
     integer path is :func:`decode_image_stats`, which keeps bigints."""
     width, height, rgb = decode_image(payload)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    sums = arr.sum(axis=0, dtype=np.int64)
     return [
         float(width),
         float(height),
-        float(sum(rgb[0::3])),
-        float(sum(rgb[1::3])),
-        float(sum(rgb[2::3])),
-        float(min(rgb)),
-        float(max(rgb)),
+        float(sums[0]),
+        float(sums[1]),
+        float(sums[2]),
+        float(arr.min()),
+        float(arr.max()),
         float(width * height),
     ]
 
@@ -179,27 +182,39 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     Real plumbing: mapInPandas with an explicit output schema, one Python
-    worker per partition, Arrow transfer both ways. Per payload: a REAL
-    decode (BMP/PPM → width/height/channel-sum features) when the bytes
-    parse, else the deterministic sha256 fallback — compressed codecs
-    aren't in this container (see module docstring)."""
+    worker per partition, Arrow transfer both ways. The decode attempt is
+    GATED on ``modality == 'image'`` (the typed metadata travels with the
+    payload precisely so stages can branch without sniffing bytes — a
+    text/audio payload that happens to start with ``BM`` must not switch
+    feature semantics). Image payloads that parse get REAL BMP/PPM
+    width/height/channel-sum features and ``decoded = true``; everything
+    else gets the deterministic sha256 fallback with ``decoded = false``
+    — compressed codecs aren't in this container (see module docstring)."""
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
     schema = (
-        "doc_id bigint, modality string, n_bytes int, features array<float>"
+        "doc_id bigint, modality string, n_bytes int, "
+        "features array<float>, decoded boolean"
     )
 
-    def one(payload: bytes) -> list[float]:
-        try:
-            return image_features(payload)
-        except (ValueError, IndexError):
-            return _fake_features(payload)
+    def one(modality: str, payload: bytes) -> tuple[list[float], bool]:
+        if modality == "image":
+            try:
+                return image_features(payload), True
+            except (ValueError, IndexError):
+                pass
+        return _fake_features(payload), False
 
     def run(batches):
         for pdf in batches:
             out = pdf[["doc_id", "modality", "n_bytes"]].copy()
-            out["features"] = [one(bytes(p)) for p in pdf["payload"]]
+            pairs = [
+                one(m, bytes(p))
+                for m, p in zip(pdf["modality"], pdf["payload"])
+            ]
+            out["features"] = [f for f, _ in pairs]
+            out["decoded"] = [d for _, d in pairs]
             yield out
 
     return df.mapInPandas(run, schema=schema)
@@ -223,13 +238,14 @@ def render_procedural_bmp(
     n = width * height * 3
 
     def run(batches):
+        ks = np.arange(n, dtype=np.int64)
         for pdf in batches:
             out = pdf[[id_col]].copy()
             out["payload"] = [
                 encode_bmp(
                     width,
                     height,
-                    bytes((int(i) * 31 + k) % 256 for k in range(n)),
+                    ((int(i) * 31 + ks) % 256).astype(np.uint8).tobytes(),
                 )
                 for i in pdf[id_col]
             ]
@@ -263,9 +279,12 @@ def decode_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     w, h, rgb = decode_image(bytes(p))
                 except (ValueError, IndexError):
                     continue
-                rows.append(
-                    (i, w, h, sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]))
+                sums = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .sum(axis=0, dtype=np.int64)
                 )
+                rows.append((i, w, h, int(sums[0]), int(sums[1]), int(sums[2])))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "width", "height", "r_sum", "g_sum", "b_sum"],

@@ -37,7 +37,7 @@ def _order_col(df: DataFrame) -> DataFrame:
     return df.withColumn("__ord", F.monotonically_increasing_id())
 
 
-def shred_releases(raw: DataFrame) -> dict[str, DataFrame]:
+def shred_releases(raw: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
     """releases dump → release, release_label, release_video.
 
     Parity notes (reference release.rs):
@@ -52,8 +52,12 @@ def shred_releases(raw: DataFrame) -> dict[str, DataFrame]:
     derived, so child tables carry only the WINNING occurrence's children
     — a losing duplicate's labels/videos must not leak into the child
     tables its parent was dropped from (they'd dangle or double). The
-    deduped frame is persisted: all three outputs derive from it, and
-    without the persist each materialization re-runs the dedup window.
+    The deduped frame is persisted by default: all three outputs derive
+    from it, and without the persist each materialization re-runs the
+    dedup window. ``persist=False`` opts out for a caller consuming ONE
+    output table once — the cache would pin the FULL record schema and
+    block the XML scan's column pruning (the window itself prunes fine:
+    Catalyst keeps only the dedup keys + consumed fields).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -61,7 +65,9 @@ def shred_releases(raw: DataFrame) -> dict[str, DataFrame]:
         _order_col(raw).filter(F.col("_id").isNotNull()),
         ["_id"],
         [F.col("__ord")],
-    ).drop("__ord").persist(StorageLevel.MEMORY_AND_DISK)
+    ).drop("__ord")
+    if persist:
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     release = raw.select(
         F.col("_id").cast("int").alias("id"),
         _s("_status").alias("status"),
@@ -147,7 +153,7 @@ def shred_labels(raw: DataFrame) -> dict[str, DataFrame]:
     return {"label": label}
 
 
-def shred_masters(raw: DataFrame) -> dict[str, DataFrame]:
+def shred_masters(raw: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
     """masters dump → master, master_artist.
 
     year/notes/genres/styles ARE parsed (the reference never fills them —
@@ -160,7 +166,9 @@ def shred_masters(raw: DataFrame) -> dict[str, DataFrame]:
         _order_col(raw).filter(F.col("_id").isNotNull()),
         ["_id"],
         [F.col("__ord")],
-    ).drop("__ord").persist(StorageLevel.MEMORY_AND_DISK)
+    ).drop("__ord")
+    if persist:
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     master = raw.select(
         F.col("_id").cast("int").alias("id"),
         _s("title").alias("title"),
@@ -196,6 +204,11 @@ SHREDDERS = {
 }
 
 
-def shred(raw: DataFrame, kind: str) -> dict[str, DataFrame]:
+def shred(
+    raw: DataFrame, kind: str, persist: bool = True
+) -> dict[str, DataFrame]:
     """Dispatch: nested dump DataFrame → {table_name: DataFrame}."""
-    return SHREDDERS[kind](raw)
+    fn = SHREDDERS[kind]
+    if fn in (shred_releases, shred_masters):
+        return fn(raw, persist=persist)
+    return fn(raw)

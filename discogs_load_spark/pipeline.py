@@ -13,6 +13,9 @@ by design:
 from __future__ import annotations
 
 import argparse
+import atexit
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,6 +30,11 @@ from .sources.xml_source import read_dump, read_dump_python, sniff_root_tag
 # it, the one-pass record-aligned pre-split pays for itself immediately.
 AUTO_SHARD_MIN_BYTES = 256 << 20
 
+# Introspection for callers/tests that need to assert the pre-shard path
+# actually ran (e.g. q170's lineage guard): {kind: shard paths} from the
+# most recent load_dumps call that auto-sharded anything.
+LAST_PRESHARD: dict[str, list[str]] = {}
+
 
 def load_dumps(
     spark: SparkSession,
@@ -37,31 +45,44 @@ def load_dumps(
     auto_shard: bool = True,
     shard_target_bytes: int = 64 << 20,
     shard_min_bytes: int = AUTO_SHARD_MIN_BYTES,
+    persist_raw: bool = True,
 ) -> dict[str, DataFrame]:
     """Parse + shred every dump file; optionally persist each table.
 
     Returns {table_name: DataFrame}. Multiple files of the same kind union
     (e.g. a dump split into shards — the scale path for unsplittable gzip).
-    A MONOLITHIC gzip dump above ``shard_min_bytes`` (compressed) is
+    A MONOLITHIC local gzip dump above ``shard_min_bytes`` (compressed) is
     auto-pre-split into record-aligned gzip shards first
     (sources/gzip_shard.py), so a 10 GB single-file dump parses with N
-    tasks instead of one."""
+    tasks instead of one; the shard scratch dir is removed at interpreter
+    exit (callers that need the returned lazy DataFrames longer than the
+    process should pass ``auto_shard=False`` or persist the tables)."""
     import tempfile
 
     by_kind: dict[str, list[str]] = {}
     for path in files:
         by_kind.setdefault(sniff_root_tag(path), []).append(path)
 
+    LAST_PRESHARD.clear()
     if auto_shard:
         for kind, paths in by_kind.items():
-            if len(paths) == 1 and paths[0].endswith(".gz"):
-                import os
-
-                if os.path.getsize(paths[0]) >= shard_min_bytes:
-                    shard_dir = tempfile.mkdtemp(prefix=f"preshard_{kind}_")
-                    by_kind[kind] = preshard_gzip_dump(
-                        paths[0], shard_dir, shard_target_bytes, kind
-                    )
+            # local files only: the pre-sharder streams through gzip.open /
+            # os.path.getsize, which don't speak object-store URIs (remote
+            # dumps should be sharded where they live, once, at landing)
+            if (
+                len(paths) == 1
+                and paths[0].endswith(".gz")
+                and os.path.isfile(paths[0])
+                and os.path.getsize(paths[0]) >= shard_min_bytes
+            ):
+                shard_dir = tempfile.mkdtemp(prefix=f"preshard_{kind}_")
+                # shards are scratch (~dump-sized): without cleanup every
+                # load_dumps call would leak a re-compressed copy of the
+                # dump in TMPDIR for the life of the machine
+                atexit.register(shutil.rmtree, shard_dir, True)
+                by_kind[kind] = LAST_PRESHARD[kind] = preshard_gzip_dump(
+                    paths[0], shard_dir, shard_target_bytes, kind
+                )
 
     tables: dict[str, DataFrame] = {}
     for kind, paths in by_kind.items():
@@ -69,12 +90,15 @@ def load_dumps(
             raw = read_dump_python(spark, paths, kind)
         else:
             raw = read_dump(spark, paths, kind)
-        shredded = shred(raw, kind)
-        if len(shredded) > 1:
+        shredded = shred(raw, kind, persist=persist_raw)
+        if persist_raw and len(shredded) > 1:
             # releases/masters fan out into 2-3 tables: persist the parsed
             # records so the XML is parsed once, not once per output table
             # (the reference's single pass, kept — at lake scale prefer
-            # landing the raw parse as parquet and shredding from there)
+            # landing the raw parse as parquet and shredding from there).
+            # persist_raw=False opts out for a caller consuming ONE output
+            # table: the cache would pin the FULL record schema and defeat
+            # the XML scan's column pruning
             raw.persist()
         for name, df in shredded.items():
             tables[name] = (

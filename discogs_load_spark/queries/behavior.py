@@ -93,11 +93,14 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag = p.join(v, "user_id").select(
         (epoch_us("t_purchase") - epoch_us("t_view")).alias("us")
     )
+    # each agg frame is exactly 1 row: hint the broadcast explicitly so
+    # the plan shape (BroadcastNestedLoopJoin) doesn't depend on AQE's
+    # runtime size estimate
     counts = (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
-        .crossJoin(lag.agg(F.sum("us").alias("total_funnel_us")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
+        .crossJoin(F.broadcast(lag.agg(F.sum("us").alias("total_funnel_us"))))
     )
     return counts
 

@@ -106,7 +106,9 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (doc_id % 3) AS modality_code,
            CAST(SUM(n_frames) AS BIGINT) AS total_frames,
            COUNT(*) AS n_docs
-    FROM frames GROUP BY doc_id % 3
+    FROM frames
+    WHERE n_frames > 0
+    GROUP BY doc_id % 3
     """,
     tags=("multimodal", "udtf"),
 )
@@ -115,7 +117,10 @@ def q72_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     up per modality. The oracle can't run the Python stage, but the frame
     COUNT is a pure function of payload length (one frame per 256-byte
     window), so the rollup is fully value-checkable — the distributed
-    fan-out must produce exactly ceil(bytes/256) rows per doc."""
+    fan-out must produce exactly ceil(bytes/256) rows per doc. A doc with
+    an EMPTY payload emits zero frames, so it is absent from the fan-out;
+    the oracle's ``WHERE n_frames > 0`` matches that semantic exactly
+    (tests/test_llm_ops.py pins the empty-payload case)."""
     mm = attach_payload(_docs(spark, sf_dir))
     frames = sample_frames(mm, every_n_bytes=256)
     return (

@@ -49,108 +49,162 @@ REGISTRY: dict[str, QuerySpec] = {}
 # listed here FIRST; everything else follows in registration order. Names not
 # in this list keep their relative registration order after the listed ones.
 PRIORITY: list[str] = [
-    # --- r04 top block: the 36 queries with NO green driver row ---
-    # (34 gate-unverified from r03 — 15 oracle-OOM casualties q129-q143 +
-    # 19 never-rotated r03 additions q149-q167 — plus the new q168 A9
-    # query and the q169 composition stretch). Ordered by MEASURED oracle
-    # cost at sf0.01, cheapest first:
-    # the r03 OOM block was environmental memory pressure, and
-    # cheapest-first maximizes green rows banked before any pressure can
-    # build. Costs re-measured after this round's oracle slimming
-    # (list_sum vector folds + lambda-bound shingles); every one of these
-    # now passes a 256 MB no-spill 32-thread DuckDB
-    # (tests/test_oracle_memcap.py). tests/test_priority_rotation.py
-    # asserts this block stays unverified-only against the committed
-    # CORRECTNESS_r*.json files.
-    "q157_hll_shard_merge",  # rows-only: no oracle to run at all
-    "q143_length_histogram",
-    "q151_temperature_mixture",
-    "q161_streaming_matview",
+    # --- r06 gate window (first 50; the driver checks these) ---
+    # Policy (VERDICT r05 item 1): changed-oracle queries first, then
+    # the stalest greens. r05 burned its whole budget replaying the
+    # r04 window; this block instead banks (a) the two oracles that
+    # changed in r05/r06 (q71 closed-form BMP decode, q72 zero-frame
+    # edge) plus the brand-new q170 pre-shard lineage query, then
+    # (b) the 45 queries whose only driver row dates to ROUND 1 —
+    # three rounds of shared-helper churn (functions/numeric.py,
+    # textfns.py) unverified since — then (c) two composed r02-era
+    # pipelines as regression re-proof. tests/test_priority_rotation.py
+    # enforces the no-replay property against the committed artifacts.
+    "q170_preshard_ingest",
+    "q71_multimodal_features",
+    "q72_frame_sampling",
+    # (b) r01-only greens, registration order:
+    "q82_retention_cohorts",
+    "q83_event_transitions",
+    "q01_pricing_summary",
+    "q02_scan_project",
+    "q03_point_lookup",
+    "q04_range_filter",
+    "q05_revenue_per_customer",
+    "q06_lineitem_orders_priority",
+    "q07_customers_per_region",
+    "q08_brand_supplier_revenue",
+    "q09_left_join_order_counts",
+    "q10_semi_join",
+    "q11_anti_join",
+    "q12_agg_suite",
+    "q13_having",
+    "q14_rollup",
+    "q15_cube",
+    "q16_window_topk_per_group",
+    "q17_window_running",
+    "q18_global_topk",
+    "q19_set_ops",
+    "q20_scalar_functions",
+    "q21_date_functions",
+    "q22_distinct",
+    "q24_case_bucketing",
+    "q37_shipping_priority",
+    "q50_exact_dedup",
+    "q51_minhash_lsh_pairs",
+    "q52_jaccard_neardup",
+    "q53_simhash",
+    "q64_simhash_hamming_pairs",
+    "q40_tumbling_window",
+    "q41_sessionization",
+    "q42_asof_join",
+    "q46_sliding_window",
+    "q25_percentiles_variance",
+    "q26_pivot",
+    "q27_correlated_subquery",
+    "q35_merge_upsert",
+    "q44_time_range_join",
+    "q28_approx_aggregates",
+    "q29_grouping_sets",
+    "q36_window_suite",
+    "q45_bucketized_range_join",
+    "q47_scd2_history",
+    # (c) composed regression re-proof (last checked r02):
+    "q65_corpus_pipeline",
+    "q100_incremental_dedup",
+    # --- entries 51+: green driver rows from r02-r05; kept in a
+    # stalest-first-ish order for future rotations, all covered by the
+    # local 165-query oracle-parity sweep every test run ---
+    "q81_conversion_funnel",
+    "q130_event_pagerank",
+    "q99_kmeans_clusters",
+    "q23_conditional_agg",
+    "q89_dedup_components",
+    "q112_fuzzy_name_match",
+    "q123_prefix_filter_jaccard",
+    "q55_ann_bruteforce_topk",
+    "q56_ann_lsh_topk",
+    "q54_embedding_neardup",
+    "q57_ann_ivf",
+    "q138_ann_ivf_multiprobe",
+    "q95_embedding_dedup_groups",
+    "q108_filtered_ann",
+    "q113_ann_ivf_learned",
+    "q128_embedding_quantize",
+    "q129_ann_recall",
+    "q140_quantized_ann_topk",
+    "q154_semdedup",
+    "q155_matryoshka_energy",
+    "q158_ivf_cell_balance",
+    "q141_dedup_consensus",
+    "q165_entity_clusters",
+    "q43_json_extraction",
+    "q109_recursive_spine",
     "q163_trailing_window_revenue",
-    "q164_compaction_plan",
-    "q168_shred_master_defaults",
+    "q106_unpivot_stats",
+    "q107_map_functions",
+    "q139_table_profile",
+    "q157_hll_shard_merge",
+    "q166_correlation_profile",
+    "q167_quality_audit",
+    "q152_basket_triangles",
+    "q153_brand_jaccard",
+    "q101_interchange_roundtrip",
+    "q111_partitioned_lake",
+    "q132_bucketed_join",
     "q149_snapshot_diff",
     "q150_zorder_layout",
     "q156_incremental_agg_maintenance",
     "q162_orc_roundtrip",
-    "q167_quality_audit",
-    "q132_bucketed_join",
-    "q133_shred_multiarray_parent",
-    "q139_table_profile",
-    "q165_entity_clusters",
-    "q166_correlation_profile",
-    "q137_quirk_batch_scoped_dedup",
+    "q164_compaction_plan",
+    "q70_multimodal_meta",
+    "q96_doc_chunks",
+    "q97_pii_redaction",
+    "q98_repetition_filter",
+    "q84_train_test_split",
+    "q85_balanced_sample",
+    "q86_shard_manifest",
+    "q90_sequence_packing",
+    "q91_contamination_check",
+    "q87_tfidf_topk",
+    "q125_decontaminated_corpus",
+    "q126_source_mix",
     "q131_chunked_packing",
-    "q134_inverted_index",
-    "q155_matryoshka_energy",
-    "q140_quantized_ann_topk",
-    "q153_brand_jaccard",
-    "q160_nucleus_vocab",
-    "q135_conjunctive_search",
+    "q151_temperature_mixture",
     "q159_curriculum_budget",
-    "q142_boilerplate_ngrams",
-    "q136_ranked_search",
-    "q152_basket_triangles",
-    "q138_ann_ivf_multiprobe",
-    "q158_ivf_cell_balance",
-    "q141_dedup_consensus",
-    "q154_semdedup",
-    "q129_ann_recall",
-    "q130_event_pagerank",
-    "q169_curation_pipeline",  # stretch: q154+q89+q159 composed, new r04
-    # --- entries 36+: everything below here has a green driver row
-    # (CORRECTNESS_r01-r03) or a by-design rows-only row (q28/q71), and
-    # keeps local oracle-parity coverage. The driver's ~50-row budget
-    # re-checks the first ~15 of these as harmless filler.
+    "q169_curation_pipeline",
+    "q30_shred_parent_project",
+    "q31_shred_child_posexplode",
     "q32_array_roundtrip",
-    "q89_dedup_components",
-    "q95_embedding_dedup_groups",
-    "q102_order_count_distribution",
-    "q103_promo_revenue_share",
-    "q104_sole_late_supplier",
-    "q105_grouped_map_normalize",
-    "q106_unpivot_stats",
-    "q107_map_functions",
-    "q108_filtered_ann",
-    "q109_recursive_spine",
+    "q33_first_wins_dedup",
+    "q34_bridge_table",
+    "q168_shred_master_defaults",
+    "q137_quirk_batch_scoped_dedup",
+    "q133_shred_multiarray_parent",
+    "q88_streaming_tumbling",
+    "q92_streaming_foreachbatch_sink",
     "q110_streaming_dedup",
-    "q111_partitioned_lake",
-    "q112_fuzzy_name_match",
-    "q113_ann_ivf_learned",
     "q114_streaming_sessions",
     "q115_stateful_running_totals",
     "q116_stream_stream_join",
-    "q117_cheapest_supplier",
-    "q118_product_profit",
-    "q119_important_parts",
-    "q120_supplier_part_counts",
-    "q121_excess_shippers",
-    "q122_forecast_revenue",
-    "q123_prefix_filter_jaccard",
-    "q124_vocab_topk",
-    "q125_decontaminated_corpus",
-    "q126_source_mix",
     "q127_stream_static_join",
-    "q128_embedding_quantize",
-    "q144_bigram_lm_counts",
-    "q145_bm25_topk",
-    "q146_lm_doc_score",
-    "q147_dup_ngram_fraction",
-    "q148_scd2_dimension",
-    "q30_shred_parent_project",
-    "q31_shred_child_posexplode",
-    "q33_first_wins_dedup",
-    "q34_bridge_table",
-    "q54_embedding_neardup",
-    "q55_ann_bruteforce_topk",
-    "q56_ann_lsh_topk",
-    "q57_ann_ivf",
+    "q161_streaming_matview",
     "q60_token_stats",
     "q61_quality_signals",
     "q62_langid_confusion",
     "q63_fingerprint",
-    "q65_corpus_pipeline",
     "q66_rolling_hash",
+    "q124_vocab_topk",
+    "q134_inverted_index",
+    "q135_conjunctive_search",
+    "q136_ranked_search",
+    "q142_boilerplate_ngrams",
+    "q143_length_histogram",
+    "q145_bm25_topk",
+    "q146_lm_doc_score",
+    "q147_dup_ngram_fraction",
+    "q144_bigram_lm_counts",
+    "q160_nucleus_vocab",
     "q73_local_supplier_volume",
     "q74_volume_shipping",
     "q75_market_share",
@@ -159,31 +213,23 @@ PRIORITY: list[str] = [
     "q78_large_volume_customer",
     "q79_top_supplier",
     "q80_dormant_customers",
+    "q102_order_count_distribution",
+    "q103_promo_revenue_share",
+    "q104_sole_late_supplier",
+    "q117_cheapest_supplier",
+    "q118_product_profit",
+    "q119_important_parts",
+    "q120_supplier_part_counts",
+    "q121_excess_shippers",
+    "q122_forecast_revenue",
+    "q93_udtf_sentences",
+    "q94_udaf_second_largest",
+    "q105_grouped_map_normalize",
     "q38_disjunctive_predicates",
     "q39_exists_order_priority",
     "q48_price_histogram",
     "q49_argmax_aggregates",
-    "q84_train_test_split",
-    "q85_balanced_sample",
-    "q86_shard_manifest",
-    "q87_tfidf_topk",
-    "q72_frame_sampling",
-    "q88_streaming_tumbling",
-    "q90_sequence_packing",
-    "q91_contamination_check",
-    "q92_streaming_foreachbatch_sink",
-    "q93_udtf_sentences",
-    "q94_udaf_second_largest",
-    "q96_doc_chunks",
-    "q97_pii_redaction",
-    "q98_repetition_filter",
-    "q99_kmeans_clusters",
-    "q100_incremental_dedup",
-    "q101_interchange_roundtrip",
-    "q23_conditional_agg",
-    "q43_json_extraction",
-    "q70_multimodal_meta",
-    "q81_conversion_funnel",
+    "q148_scd2_dimension",
 ]
 
 

@@ -302,3 +302,94 @@ def q133_shred_multiarray_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_set("error").alias("error_buckets"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def _q170_dump_path(docs: DataFrame, sf_dir: str) -> str:
+    """Build-once monolithic releases .xml.gz rendered from the documents
+    fixture (cached in TMPDIR keyed by fixture dir + row count).
+
+    Harness shim for the pre-shard surface: real dumps arrive as files; here
+    the fixture IS the source of truth, so the XML must be derived from it
+    deterministically. Driver-side render is fixture-bounded (≤ ~50k short
+    records at sf1) and paid once per process per sf_dir. The text rides in
+    <title> wrapped in [ ] sentinels so surrounding-whitespace trim semantics
+    in any XML reader can never change the recovered byte count."""
+    import gzip
+    import os
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    n = docs.count()
+    base = os.path.basename(os.path.abspath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"q170_releases_{base}_{n}.xml.gz"
+    )
+    if os.path.exists(path):
+        return path
+    # bounded: fixture documents table (5k rows at sf0.1), rendered once
+    rows = docs.select("doc_id", "text", "lang").orderBy("doc_id").collect()
+    tmp = f"{path}.part{os.getpid()}"
+    with gzip.open(tmp, "wt", encoding="utf-8", compresslevel=1) as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n<releases>\n')
+        for r in rows:
+            f.write(
+                f'<release id="{int(r["doc_id"])}" status="Accepted">'
+                f"<title>[{escape(r['text'])}]</title>"
+                f"<country>{escape(r['lang'])}</country></release>\n"
+            )
+        f.write("</releases>\n")
+    os.replace(tmp, path)  # atomic: concurrent builders converge
+    return path
+
+
+@register(
+    "q170_preshard_ingest",
+    oracle="""
+    SELECT d.lang AS country,
+           COUNT(*) AS n_releases,
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS text_bytes
+    FROM documents d
+    GROUP BY d.lang
+    """,
+    tags=("shred", "A1", "A3", "preshard"),
+)
+def q170_preshard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monolithic-gzip ingest THROUGH the record-aligned pre-sharder
+    (sources/gzip_shard.py): documents → one monolithic releases .xml.gz →
+    ``load_dumps(auto_shard=True, shard_min_bytes=0)`` forces the
+    depth-tracked shard split → native XML parse over N shards → per-lang
+    rollup the oracle recomputes straight from the parquet. Any shard
+    boundary that cuts a record (or miscounts nesting / self-closing /
+    quoted-'>' forms) either breaks the XML parse or shifts the counts and
+    byte sums. The ≥2-shard assertion (via pipeline.LAST_PRESHARD) makes
+    the sharded lineage load-bearing: a silent fallback to the single-task
+    path fails the query rather than the intent."""
+    import os
+
+    from ..pipeline import LAST_PRESHARD, load_dumps
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    gz = _q170_dump_path(docs, sf_dir)
+    # shard target scaled to the input so EVERY fixture size splits into a
+    # handful of record-aligned shards (fixed targets either don't split
+    # sf0.001 or over-split sf0.1 into hundreds of tiny gzips)
+    target = max(4 << 10, os.path.getsize(gz) * 3 // 8)
+    rel = load_dumps(
+        spark,
+        [gz],
+        auto_shard=True,
+        shard_min_bytes=0,  # always exercise the pre-shard path
+        shard_target_bytes=target,
+        persist_raw=False,  # one consumed table: keep XML column pruning
+    )["release"]
+    if len(LAST_PRESHARD.get("releases", [])) < 2:
+        raise RuntimeError("pre-shard did not split the monolithic dump")
+    return rel.groupBy("country").agg(
+        F.count(F.lit(1)).alias("n_releases"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        # title = '[' + text + ']': two sentinel bytes per record
+        (F.sum(F.octet_length("title")) - 2 * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("text_bytes"),
+    )

@@ -224,10 +224,19 @@ def _read_parquet_normalized(spark: SparkSession, path: str):
     if os.path.isdir(path):  # re-sharded cache dir: all parts share a schema
         peek = os.path.join(path, sorted(os.listdir(path))[0])
     footer = pq.read_schema(peek)
+    # physical INT96 (Spark's legacy timestamp) ALSO surfaces as
+    # timestamp[ns] in the arrow schema, but Spark reads it as a plain
+    # TIMESTAMP — only int64-nanos columns need the DIV-1000 rewrite
+    physical = {
+        c.name: c.physical_type
+        for c in pq.ParquetFile(peek).schema
+        if hasattr(c, "physical_type")
+    }
     nanos_cols = [
         f.name
         for f in footer
         if str(f.type).startswith("timestamp[ns")
+        and physical.get(f.name) == "INT64"
     ]
     if not nanos_cols:
         return spark.read.parquet(path)

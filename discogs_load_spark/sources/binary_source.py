@@ -55,7 +55,14 @@ def read_media_dir(
     media lake with a few multi-GB outliers the outliers therefore cost a
     listing entry, not a full read; the price is that over-cap rows carry
     no checksum (they carry no bytes either — callers that need one must
-    raise the cap)."""
+    raise the cap).
+
+    Assumption: the directory is STATIC for the duration of the read (the
+    two file listings are independent, not atomic — a file created,
+    deleted, or resized across the cap between them can be dropped or
+    double-counted). That holds for fixture dirs and immutable lake
+    drops; for a live landing directory, list once yourself and branch on
+    the cached ``length`` column instead."""
 
     def _scan() -> DataFrame:
         reader = (

@@ -66,6 +66,10 @@ def sniff_root_tag(path: str) -> str:
     """
     with _open_maybe_gzip(path) as f:
         head = f.read(65536).decode("utf-8", errors="replace")
+    # a prologue <!-- comment --> may legally contain element text (e.g. a
+    # commented-out record sample); strip complete comments and any
+    # unterminated trailing one before looking for the root element
+    head = re.sub(r"<!--.*?(?:-->|$)", "", head, flags=re.S)
     for m in re.finditer(r"<([A-Za-z_][\w.-]*)", head):
         tag = m.group(1)
         if tag.startswith("?") or tag.startswith("!"):

@@ -109,3 +109,42 @@ def test_load_dumps_auto_shards_monolithic_gz(spark, tmp_path):
         a = sorted(repr(r) for r in base[name].collect())
         b = sorted(repr(r) for r in auto[name].collect())
         assert a == b, f"table {name} differs between direct and auto-shard"
+
+
+def test_preshard_quotes_and_comments(tmp_path):
+    """ADVICE r05: spec-legal raw '>' (and '/>') inside attribute values
+    must not be misread as the tag end / a self-closing record, and
+    <!-- --> comments containing record tags (prologue AND between
+    records) must stay depth-neutral — every shard stays well-formed and
+    the record multiset is preserved."""
+    src = tmp_path / "releases.xml.gz"
+    with gzip.open(src, "wt", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write("<!-- sample: <release id=\"999\"></release> -->\n<releases>\n")
+        for i in range(1, 201):
+            f.write(
+                f'<release id="{i}" note="a/&gt;b" raw="x/>y" gt="1>0">'
+                f"<title>T {i}</title></release>\n"
+            )
+            if i % 7 == 0:
+                f.write(f"<!-- between records: </release> <release id=\"{i}\"> -->\n")
+            if i % 11 == 0:  # self-closing records, attr with raw '>'
+                f.write(f'<release id="s{i}" empty="yes" tail="a>b"/>\n')
+        f.write("</releases>\n")
+    shards = preshard_gzip_dump(
+        str(src), str(tmp_path / "shards"), target_bytes=4_000
+    )
+    assert len(shards) > 1
+    ids = []
+    for p in shards:
+        with gzip.open(p, "rb") as fh:
+            root = ET.parse(fh).getroot()  # raises if any shard is cut mid-record
+        assert root.tag == "releases"
+        for rec in root:
+            assert rec.tag == "release"
+            assert rec.get("note") == "a/>b" or rec.get("empty") == "yes"
+            ids.append(rec.get("id"))
+    want = [str(i) for i in range(1, 201)] + [
+        f"s{i}" for i in range(11, 201, 11)
+    ]
+    assert sorted(ids) == sorted(want)

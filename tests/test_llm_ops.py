@@ -337,3 +337,42 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     assert h1 and h2
     for q in h1:
         assert h2.get(q, 0) >= h1[q], (q, h1, h2)
+
+
+def test_q72_empty_payload_doc_parity(spark, duck, tmp_path):
+    """A doc with EMPTY text emits zero frames: the Spark fan-out drops it
+    and the oracle's WHERE n_frames > 0 must agree (VERDICT r05 latent
+    edge — previously green only because no fixture doc was empty)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            # doc 3 (modality_code 0) empty; doc 4 exactly one window
+            "text": ["alpha " * 50, "beta", "gamma " * 100, "", "x" * 256, "y"],
+            "lang": ["en"] * 6,
+            "source": ["t"] * 6,
+            "n_chars": [300, 4, 600, 0, 256, 1],
+        }
+    )
+    sf_dir = tmp_path / "sfx"
+    sf_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+
+    spec = REGISTRY["q72_frame_sampling"]
+    sdf = spec.fn(spark, str(sf_dir))
+    srows = {tuple(r) for r in sdf.collect()}
+
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir / 'documents.parquet'}'"
+    )
+    drows = {tuple(r) for r in duck.execute(spec.oracle).fetchall()}
+    assert srows == drows
+    # the empty doc's modality_code bucket (0) still exists via doc 0
+    by_code = {r[0]: r for r in srows}
+    assert by_code[0][2] == 1  # only doc 0; doc 3 dropped

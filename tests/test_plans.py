@@ -429,3 +429,25 @@ def test_probe_sweep_fans_queries_not_corpus(spark):
     df = REGISTRY["q138_ann_ivf_multiprobe"].fn(spark, SF_SMALL)
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds
+
+
+def test_funnel_scalar_crossjoins_are_hinted_broadcasts(spark):
+    """q81 chains three 1-row aggregate crossJoins; the F.broadcast hints
+    must pin BroadcastNestedLoopJoin in the plan itself (not leave the
+    shape to AQE's runtime estimate) and no CartesianProduct may appear."""
+    kinds = join_kinds(REGISTRY["q81_conversion_funnel"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" in kinds
+
+
+def test_preshard_ingest_prunes_to_rollup_columns(spark):
+    """q170: the post-parse rollup needs only (id, title, country) — the
+    XML scan's ReadSchema must prune the other shredded columns (at dump
+    scale that's the difference between parsing 3 fields and 10)."""
+    plan = _plan(spark, "q170_preshard_ingest")
+    assert "CartesianProduct" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, "expected a ReadSchema line for the XML scan"
+    assert "title" in read[0] and "country" in read[0]
+    for col in ("notes", "genres", "styles", "data_quality"):
+        assert col not in read[0], f"unpruned column {col} in XML scan"

@@ -68,6 +68,37 @@ def test_every_unsettled_query_gets_a_gate_slot():
         assert not settled_in_window
 
 
+def test_gate_window_does_not_replay_previous_round():
+    """r05 failure mode (VERDICT r05 item 1): the window shipped unchanged,
+    so the driver re-verified the previous round's exact 50 queries and the
+    round's changed oracles got no row. Encode the rotation policy: at most
+    5 window entries may have been checked in the NEWEST committed
+    CORRECTNESS artifact (slack for deliberately re-proving changed
+    oracles); everything else must rotate to queries the last round did
+    not check."""
+    artifacts = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert artifacts
+    newest = set(json.loads(artifacts[-1].read_text()))
+    window = [n for n in PRIORITY if n in REGISTRY][:GATE_BUDGET]
+    replayed = [n for n in window if n in newest]
+    assert len(replayed) <= 5, (
+        f"{len(replayed)} of {GATE_BUDGET} gate slots replay queries already "
+        f"checked in {artifacts[-1].name} — rebuild PRIORITY: {replayed[:10]}"
+    )
+
+
+def test_gate_window_leads_with_changed_or_new_oracles():
+    """The r06 rebuild puts the round's never-driver-checked deliverables
+    first: q170 (new), q71 (oracle rewritten r05), q72 (oracle fixed r06).
+    Update this list when a future round changes other oracles."""
+    window = [n for n in PRIORITY if n in REGISTRY][:3]
+    assert window == [
+        "q170_preshard_ingest",
+        "q71_multimodal_features",
+        "q72_frame_sampling",
+    ]
+
+
 def test_every_oracle_is_single_statement():
     """The driver wraps each oracle in its own execute; a stray semicolon
     (even inside a SQL comment) could split or abort that wrapper."""
