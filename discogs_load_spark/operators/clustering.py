@@ -144,7 +144,7 @@ def kmeans_oracle_ctes(
     id_col: str,
     vec_col: str,
     dim: int,
-    k: int,
+    k: int | str,  # literal, or a SQL scalar expr (e.g. data-sized k)
     iterations: int,
     scale: int = 9,
 ) -> tuple[list[str], str, str]:

@@ -630,7 +630,11 @@ def prefix_filter_jaccard_pairs(
       - the rarest-first ordering makes join buckets small by construction —
         a shingle shared by millions of docs is almost never in anyone's
         prefix, the opposite of LSH's mega-bucket failure mode (no cap
-        heuristic needed);
+        heuristic needed). When the shingle vocabulary SATURATES (tiny
+        alphabet, bounded shingle space) even rare shingles' doc_freq grows
+        with n; the PPJoin length + positional residual filters below then
+        carry the load (measured: 19M -> 2.25M candidates at the bench's
+        sf1 tier);
       - per-doc work is two window functions over the same doc-id partition
         (one shuffle), bounded by max document length, not corpus size;
       - never all-pairs: the only joins are equi-joins on shingle / doc id.
@@ -653,13 +657,50 @@ def prefix_filter_jaccard_pairs(
             F.col("__rn")
             <= F.col("__sz") - F.floor(F.lit(threshold) * F.col("__sz")) + 1
         )
-        .select(id_col, "sh")
+        .select(id_col, "sh", "__sz", "__rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = prefixes.withColumnRenamed(id_col, "id_a")
-    b = prefixes.withColumnRenamed(id_col, "id_b")
+    a = prefixes.select(
+        F.col(id_col).alias("id_a"), "sh",
+        F.col("__sz").alias("__sa"), F.col("__rn").alias("__pa"),
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("id_b"), "sh",
+        F.col("__sz").alias("__sb"), F.col("__rn").alias("__pb"),
+    )
+    # PPJoin residual filters — both exactness-preserving, both critical on
+    # a SATURATED shingle vocabulary (fixture: 31^3 possible 3-grams), where
+    # every shingle's doc_freq grows with n and raw prefix buckets pair up
+    # ~n^2/V (measured 8.4x candidate cut at the sf1 tier):
+    #  - length: J(A,B) >= t forces t*|A| <= |B| <= |A|/t;
+    #  - positional: a prefix match at ranks (pa, pb) caps the overlap at
+    #    min(|A|-pa, |B|-pb) + 1, which must reach ceil(t/(1+t)*(|A|+|B|)).
+    #    Candidates survive if ANY shared prefix shingle passes — a superset
+    #    of canonical first-match PPJoin, so no true pair is ever dropped.
+    # The 1e-9 slack keeps float rounding of the t-products from ever
+    # bumping a ceil/floor across an integer boundary toward over-pruning.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__sa") + F.col("__sb"))
+        - F.lit(1e-9)
+    )
     candidates = (
-        a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.col("__sb")
+            >= F.ceil(F.lit(threshold) * F.col("__sa") - F.lit(1e-9))
+        )
+        .filter(
+            F.col("__sb")
+            <= F.floor(F.col("__sa") / F.lit(threshold) + F.lit(1e-9))
+        )
+        .filter(
+            F.least(
+                F.col("__sa") - F.col("__pa"), F.col("__sb") - F.col("__pb")
+            )
+            + 1
+            >= alpha
+        )
         .select("id_a", "id_b")
         .distinct()
     )

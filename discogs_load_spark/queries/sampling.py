@@ -795,10 +795,10 @@ TRAIN_BUDGET_TOKENS = 2_000_000  # tokens to allocate across sources
 def _curation_oracle() -> str:
     from ..functions.vectors import cosine_sql
     from ..operators.clustering import kmeans_oracle_ctes
-    from .similarity import DIM, SEM_ITER, SEM_K, SEM_THRESHOLD
+    from .similarity import DIM, SEM_ITER, SEM_THRESHOLD, sem_k_sql
 
     parts, last_a, _ = kmeans_oracle_ctes(
-        "embeddings", "vec_id", "embedding", DIM, SEM_K, SEM_ITER
+        "embeddings", "vec_id", "embedding", DIM, sem_k_sql("embeddings"), SEM_ITER
     )
     cos_ab = cosine_sql("ea.embedding", "eb.embedding", DIM, "duckdb")
     # materialize the final assignment once: dpairs references it twice,
@@ -881,14 +881,16 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_sql
     from ..operators.clustering import kmeans
     from ..operators.dedup import connected_components
-    from .similarity import DIM, SEM_ITER, SEM_K, SEM_THRESHOLD
+    from .similarity import DIM, SEM_ITER, SEM_THRESHOLD, sem_k_value
 
     from pyspark.storagelevel import StorageLevel
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
 
-    assigned = kmeans(emb, "vec_id", "embedding", DIM, SEM_K, SEM_ITER).select(
+    # bounded: 1-row count-star sizes k to the corpus (see similarity.sem_k_value)
+    k = sem_k_value(emb.count())
+    assigned = kmeans(emb, "vec_id", "embedding", DIM, k, SEM_ITER).select(
         "vec_id", "cluster"
     )
     cv = (

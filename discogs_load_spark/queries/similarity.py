@@ -677,16 +677,34 @@ def q140_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: cluster-scoped semantic near-dup --------------------------
 
-SEM_K = 8  # more, smaller cells: in-cluster pair work is sum(|c|²)
+# Cluster count scales with corpus size at a FIXED target cell size
+# (SemDeDup's own scaling configuration — Abbas et al. used 50k clusters
+# for LAION). A constant k makes in-cluster pair work sum(|c|^2) ~ n^2/k:
+# measured 27x wall at a 10x scale-up (BENCH r06 sf1 tier) before this.
+# With k = max(8, n // 250) the expected cell stays ~250 vectors and pair
+# work scales linearly. At every driver fixture scale (n <= 2000) the
+# formula still yields exactly 8, so the static k=8 literals in the
+# committed CORRECTNESS_r0{4,5} rows remain the same computation.
+SEM_K = 8  # floor (and the realized k at all driver fixture scales)
+SEM_CELL = 250  # target vectors per cluster
 SEM_ITER = 2
 SEM_THRESHOLD = 0.25
+
+
+def sem_k_value(n: int) -> int:
+    return max(SEM_K, n // SEM_CELL)
+
+
+def sem_k_sql(table: str) -> str:
+    """DuckDB dual of :func:`sem_k_value` (// is integer division)."""
+    return f"GREATEST({SEM_K}, (SELECT COUNT(*) FROM {table}) // {SEM_CELL})"
 
 
 def _semdedup_oracle() -> str:
     from ..operators.clustering import kmeans_oracle_ctes
 
     parts, last_a, _ = kmeans_oracle_ctes(
-        "embeddings", "vec_id", "embedding", DIM, SEM_K, SEM_ITER
+        "embeddings", "vec_id", "embedding", DIM, sem_k_sql("embeddings"), SEM_ITER
     )
     cos_ab = cosine_sql("ea.embedding", "eb.embedding", DIM, "duckdb")
     return (
@@ -715,6 +733,9 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only WITHIN each cluster — the curation-scale answer to "all-pairs
     cosine doesn't fit": the pair space shrinks from N² to
     sum-over-clusters(|c|²), and the cluster id is a plain equi-join key.
+    k scales with the corpus at a fixed ~{SEM_CELL}-vector cell
+    (sem_k_value — a constant k would make the pair space n²/k: measured
+    27× wall at a 10× scale-up before this, ~linear after).
     Complements q54 (hyperplane-LSH blocking — randomized buckets) with
     the learned-partition variant; both rerank with the exact HOF cosine.
 
@@ -730,7 +751,9 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans
 
     emb = _emb(spark, sf_dir)
-    assigned = kmeans(emb, "vec_id", "embedding", DIM, SEM_K, SEM_ITER).select(
+    # bounded: 1-row count-star scalar sizes k to the corpus (sem_k_value)
+    k = sem_k_value(emb.count())
+    assigned = kmeans(emb, "vec_id", "embedding", DIM, k, SEM_ITER).select(
         "vec_id", "cluster"
     )
     cv = (
