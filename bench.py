@@ -47,7 +47,7 @@ SF1_QUERIES = [
 ]
 
 
-def bench_sf1(spark, REGISTRY, sf01_timings: dict[str, float]) -> dict:
+def bench_sf1(spark, REGISTRY, sf_dir: str) -> dict:
     import time as _t
 
     t0 = _t.monotonic()
@@ -59,7 +59,7 @@ def bench_sf1(spark, REGISTRY, sf01_timings: dict[str, float]) -> dict:
         sys.path.insert(0, str(REPO / "tools"))
         from gen_sf1 import generate_sf1
 
-        generate_sf1(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), SF1_DIR)
+        generate_sf1(spark, sf_dir, SF1_DIR)
         gen_s = round(_t.monotonic() - t0, 1)
 
     from discogs_load_spark.session import load_tables
@@ -67,20 +67,28 @@ def bench_sf1(spark, REGISTRY, sf01_timings: dict[str, float]) -> dict:
     for df in load_tables(spark, SF1_DIR).values():  # reshard + page cache
         _materialize(df)
 
-    timings: dict[str, float] = {}
+    # pair each sf1 timing with a FRESH back-to-back sf0.1 timing of the
+    # same query: the suite-loop sf0.1 numbers run on a session that has
+    # accumulated ~160 queries of listener/GC/Python-worker churn, which
+    # inflates late-alphabet queries 2-10x and would make the scale ratio
+    # meaningless (observed: q71 10.6s in-suite vs 1.0s isolated)
+    t01: dict[str, float] = {}
+    t1: dict[str, float] = {}
     for name in SF1_QUERIES:
         t0 = _t.monotonic()
+        _materialize(REGISTRY[name].fn(spark, sf_dir))
+        t01[name] = round(_t.monotonic() - t0, 2)
+        t0 = _t.monotonic()
         _materialize(REGISTRY[name].fn(spark, SF1_DIR))
-        timings[name] = round(_t.monotonic() - t0, 2)
+        t1[name] = round(_t.monotonic() - t0, 2)
     scale = {
-        n.split("_", 1)[0]: round(timings[n] / sf01_timings[n], 1)
-        for n in SF1_QUERIES
-        if sf01_timings.get(n)
+        n.split("_", 1)[0]: round(t1[n] / t01[n], 1) for n in SF1_QUERIES
     }
     return {
         "gen_s": gen_s,
         "rows_x": 10,
-        "queries": {n.split("_", 1)[0]: t for n, t in timings.items()},
+        "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
+        "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
     }
 
@@ -207,7 +215,7 @@ def main() -> None:
     # opt out with SPARK_GRAFT_SF1=0
     sf1 = None
     if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1 = bench_sf1(spark, REGISTRY, timings)
+        sf1 = bench_sf1(spark, REGISTRY, sf_dir)
         print(json.dumps({"sf1_full": sf1}), file=sys.stderr)
 
     TOP_N = 18

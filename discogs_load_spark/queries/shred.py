@@ -306,7 +306,9 @@ def q133_shred_multiarray_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q170_dump_path(docs: DataFrame, sf_dir: str) -> str:
     """Build-once monolithic releases .xml.gz rendered from the documents
-    fixture (cached in TMPDIR keyed by fixture dir + row count).
+    fixture (cached in TMPDIR keyed by fixture dir + row count + a content
+    fingerprint, so a driver-side fixture regeneration can never serve a
+    stale dump).
 
     Harness shim for the pre-shard surface: real dumps arrive as files; here
     the fixture IS the source of truth, so the XML must be derived from it
@@ -319,10 +321,18 @@ def _q170_dump_path(docs: DataFrame, sf_dir: str) -> str:
     import tempfile
     from xml.sax.saxutils import escape
 
-    n = docs.count()
+    # content fingerprint in the cache key: the driver regenerates fixtures
+    # between rounds, and a stale cached dump with the same ROW COUNT but
+    # different text would silently diverge from the oracle's parquet view
+    fp_row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("doc_id", "text", "lang").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]  # bounded: 1-row scalar
+    n = fp_row["n"]
+    fp = abs(int(fp_row["h"] or 0)) % 10**12
     base = os.path.basename(os.path.abspath(sf_dir))
     path = os.path.join(
-        tempfile.gettempdir(), f"q170_releases_{base}_{n}.xml.gz"
+        tempfile.gettempdir(), f"q170_releases_{base}_{n}_{fp}.xml.gz"
     )
     if os.path.exists(path):
         return path
