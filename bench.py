@@ -47,31 +47,69 @@ SF1_QUERIES = [
 ]
 
 
-def bench_sf1(spark, REGISTRY, sf_dir: str) -> dict:
+def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
+    """Scale measurement on a FRESH SparkSession.
+
+    The suite session is unusable for paired timings after ~165 queries:
+    its CacheManager still plan-matches the suite's persisted frames (the
+    sf0.1 base re-runs came back 4x too fast) while the full storage pool
+    slows the cold sf1 side (q64 43s vs 22s isolated). A fresh session
+    gives both tiers the same clean slate."""
     import time as _t
+
+    from discogs_load_spark.session import get_spark
+
+    suite_spark.stop()
+    spark = get_spark(app_name="discogs_load_spark_bench_sf1")
+    spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    _materialize(
+        spark.range(256)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(lambda it: it, "id long")
+    )
 
     t0 = _t.monotonic()
     gen_s = 0.0
-    if not all(
+    # regenerate when missing OR when the source fixtures changed (the
+    # driver regenerates /root/testdata between rounds; sf1 is derived
+    # from sf0.1, so a stale cache would tile last round's data)
+    src_fp = "|".join(
+        f"{n}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
+        for n in ("documents", "embeddings", "events", "lineitem")
+        for p in [os.path.join(sf_dir, f"{n}.parquet")]
+        if os.path.exists(p)
+    )
+    marker = os.path.join(SF1_DIR, "_source_fp.txt")
+    have = all(
         os.path.exists(os.path.join(SF1_DIR, f"{n}.parquet"))
         for n in ("documents", "embeddings", "events", "lineitem")
-    ):
+    )
+    fresh = (
+        have
+        and os.path.exists(marker)
+        and open(marker).read() == src_fp
+    )
+    if not fresh:
         sys.path.insert(0, str(REPO / "tools"))
         from gen_sf1 import generate_sf1
 
         generate_sf1(spark, sf_dir, SF1_DIR)
+        with open(marker, "w") as f:
+            f.write(src_fp)
         gen_s = round(_t.monotonic() - t0, 1)
 
     from discogs_load_spark.session import load_tables
 
-    for df in load_tables(spark, SF1_DIR).values():  # reshard + page cache
-        _materialize(df)
+    for d in (sf_dir, SF1_DIR):  # reshard + page cache, both tiers
+        for df in load_tables(spark, d).values():
+            _materialize(df)
 
-    # pair each sf1 timing with a FRESH back-to-back sf0.1 timing of the
-    # same query: the suite-loop sf0.1 numbers run on a session that has
-    # accumulated ~160 queries of listener/GC/Python-worker churn, which
-    # inflates late-alphabet queries 2-10x and would make the scale ratio
-    # meaningless (observed: q71 10.6s in-suite vs 1.0s isolated)
+    # pair each sf1 timing with a back-to-back sf0.1 timing of the same
+    # query on this clean session — the suite-loop sf0.1 numbers are not
+    # comparable (session churn inflates some, cache plan-matching
+    # deflates others)
     t01: dict[str, float] = {}
     t1: dict[str, float] = {}
     for name in SF1_QUERIES:
@@ -81,6 +119,9 @@ def bench_sf1(spark, REGISTRY, sf_dir: str) -> dict:
         t0 = _t.monotonic()
         _materialize(REGISTRY[name].fn(spark, SF1_DIR))
         t1[name] = round(_t.monotonic() - t0, 2)
+        # queries share helper lineages (q154/q169 reuse the same kmeans
+        # frame): drop plan-matched caches so every pair starts cold
+        spark.catalog.clearCache()
     scale = {
         n.split("_", 1)[0]: round(t1[n] / t01[n], 1) for n in SF1_QUERIES
     }
@@ -215,7 +256,10 @@ def main() -> None:
     # opt out with SPARK_GRAFT_SF1=0
     sf1 = None
     if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1 = bench_sf1(spark, REGISTRY, sf_dir)
+        try:
+            sf1 = bench_sf1(spark, REGISTRY, sf_dir)
+        except Exception as e:  # never lose the suite line to the sf1 tier
+            sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(json.dumps({"sf1_full": sf1}), file=sys.stderr)
 
     TOP_N = 18

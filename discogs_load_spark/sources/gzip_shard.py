@@ -184,8 +184,8 @@ def preshard_gzip_dump(
                     break
                 need_more = True
             else:
-                i_ev, kind = min(events)
-                if kind == 0:
+                i_ev, ev_kind = min(events)
+                if ev_kind == 0:
                     # comment: depth-neutral even if it contains record
                     # tags; skip it whole (copied verbatim with whichever
                     # record chunk it precedes)
@@ -196,7 +196,7 @@ def preshard_gzip_dump(
                         break  # unterminated trailing comment at EOF: drop
                     else:
                         state["pos"] = e + len(_COMMENT_CLOSE)
-                elif kind == 1:
+                elif ev_kind == 1:
                     # open tag: find its UNQUOTED '>' (a raw '>' or '/>'
                     # inside an attribute value is spec-legal content) to
                     # know where it ends and whether it is self-closing
