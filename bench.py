@@ -38,6 +38,7 @@ SF1_QUERIES = [
     "q95_embedding_dedup_groups",
     "q100_incremental_dedup",
     "q104_sole_late_supplier",
+    "q112_fuzzy_name_match",
     "q123_prefix_filter_jaccard",
     "q130_event_pagerank",
     "q154_semdedup",
