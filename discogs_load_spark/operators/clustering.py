@@ -229,3 +229,85 @@ def kmeans_oracle_sql(
         + ",\n    ".join(parts)
         + f"\n    SELECT {id_col}, cluster, cos FROM {last_a}"
     )
+
+
+def kmeans_two_level(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k1: int,
+    k2: int,
+    iterations: int,
+) -> DataFrame:
+    """(id, cluster) via HIERARCHICAL assignment: k1 coarse Lloyd cells
+    over the full corpus, then k2 sub-cells learned independently INSIDE
+    each coarse cell (seeded by the cell's k2 lowest-id members, same
+    Lloyd/decimal machinery at the (coarse, sub) grain).
+
+    Why this exists: flat k-means assignment is n*k cosine rows through
+    the argmax exchange. SemDeDup-style blocking needs k ~ n/cell to keep
+    in-cluster pair work linear, which makes FLAT assignment n^2/cell —
+    measured 27x wall at a 10x scale-up (sf1 -> sf10 tier) even after the
+    pair stage was fixed. Two-level assignment is n*(k1 + k2*iters) rows:
+    with k1 = k2 = sqrt(n/cell) that's ~2n*sqrt(k) — the standard
+    IVF-style answer, and every join here is a broadcast (level 1) or a
+    coarse-cell equi-join (level 2), never corpus x centroids.
+
+    Engine-only path (activated above the fixture scales): the driver's
+    DuckDB oracle checks the FLAT path, whose clustering this does not
+    reproduce; callers switch on corpus size (queries/similarity.py) so
+    every oracle-checked scale still runs flat.
+    """
+    from pyspark.sql import Window as W
+
+    coarse = kmeans(emb, id_col, vec_col, dim, k1, iterations).select(
+        id_col, F.col("cluster").alias("c1")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    base = coarse.join(emb.select(id_col, vec_col), id_col).select(
+        id_col, "c1", F.expr(_as_double(vec_col)).alias("vec")
+    )
+    # every level-2 round joins base twice (assignment + means); without
+    # the persist each branch re-runs the level-1 Lloyd lineage
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # seeds: each coarse cell's k2 lowest-id members
+    rn = F.row_number().over(W.partitionBy("c1").orderBy(id_col))
+    centroids = (
+        base.withColumn("rn", rn)
+        .filter(F.col("rn") <= k2)
+        .select("c1", (F.col("rn") - 1).alias("c2"), F.col("vec").alias("centroid"))
+    )
+    cos = cosine_sql("vec", "centroid", dim, "spark")
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = base.join(cents, "c1").select(
+            id_col, "c1", F.expr(cos).alias("cos"), "c2"
+        )
+        return (
+            scored.groupBy(id_col, "c1")
+            .agg(F.max(F.struct("cos", "c2")).alias("best"))
+            .select(id_col, "c1", F.col("best.c2").alias("c2"))
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iterations - 1):
+        longf = assigned.join(base, [id_col, "c1"]).select(
+            "c1", "c2", F.posexplode("vec").alias("dim", "val")
+        )
+        means = longf.groupBy("c1", "c2", "dim").agg(
+            (dec_sum("val", "s") / F.count("val")).alias("mean")
+        )
+        cents = means.groupBy("c1", "c2").agg(
+            # bounded: one struct per embedding dimension (fixed vector dim)
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, mean))), x -> x.mean)"
+            ).alias("centroid")
+        )
+        assigned = assign(cents)
+    out = assigned.select(
+        id_col,
+        (F.col("c1") * F.lit(k2) + F.col("c2")).cast("bigint").alias("cluster"),
+    )
+    return out

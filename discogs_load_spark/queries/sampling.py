@@ -879,20 +879,17 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-row rollup with one 1-row broadcast normalizer. vec_id ==
     doc_id in the fixtures (TESTDATA.md), linking the two tables."""
     from ..functions.vectors import cosine_sql
-    from ..operators.clustering import kmeans
     from ..operators.dedup import connected_components
-    from .similarity import DIM, SEM_ITER, SEM_THRESHOLD, sem_k_value
+    from .similarity import DIM, SEM_THRESHOLD, sem_assignments
 
     from pyspark.storagelevel import StorageLevel
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
 
-    # bounded: 1-row count-star sizes k to the corpus (see similarity.sem_k_value)
-    k = sem_k_value(emb.count())
-    assigned = kmeans(emb, "vec_id", "embedding", DIM, k, SEM_ITER).select(
-        "vec_id", "cluster"
-    )
+    # bounded: 1-row count-star sizes the clustering to the corpus
+    # (flat k-means at driver scales, two-level above — similarity.sem_assignments)
+    assigned = sem_assignments(emb, emb.count())
     cv = (
         assigned.join(emb, "vec_id")
         .select("cluster", "vec_id", "embedding")

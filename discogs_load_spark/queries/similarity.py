@@ -700,6 +700,33 @@ def sem_k_sql(table: str) -> str:
     return f"GREATEST({SEM_K}, (SELECT COUNT(*) FROM {table}) // {SEM_CELL})"
 
 
+# Above this corpus size the ENGINE switches from flat k-means to
+# hierarchical (two-level) assignment: flat assignment is n*k cosine rows,
+# and with k ~ n/SEM_CELL that is n^2/SEM_CELL — measured 27x wall at the
+# sf1 -> sf10 tier even after the pair stage was linearized (flat 366 s vs
+# two-level 183 s at 200k vectors, like-for-like session). Two-level is
+# ~2n*sqrt(k) but carries a deeper plan (two Lloyd loops, a per-cell
+# window), so it only pays once flat assignment actually dominates — at
+# 20k vectors the two are within noise and flat stays cheaper per stage.
+# All driver fixture scales (<= 2000 embeddings) run flat with k = 8, the
+# exact computation the static oracle SQL reproduces.
+SEM_TWO_LEVEL_MIN = 50_000
+
+
+def sem_assignments(emb: DataFrame, n: int) -> DataFrame:
+    """(vec_id, cluster) for SemDeDup blocking, flat or two-level by size."""
+    from math import isqrt
+
+    from ..operators.clustering import kmeans, kmeans_two_level
+
+    if n <= SEM_TWO_LEVEL_MIN:
+        return kmeans(emb, "vec_id", "embedding", DIM, sem_k_value(n), SEM_ITER).select(
+            "vec_id", "cluster"
+        )
+    k1 = k2 = max(2, isqrt(max(1, n // SEM_CELL - 1)) + 1)  # k1*k2 >= n/cell
+    return kmeans_two_level(emb, "vec_id", "embedding", DIM, k1, k2, SEM_ITER)
+
+
 def _semdedup_oracle() -> str:
     from ..operators.clustering import kmeans_oracle_ctes
 
@@ -748,14 +775,9 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means lineage (2x the Lloyd rounds; measured ~2x wall)."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..operators.clustering import kmeans
-
     emb = _emb(spark, sf_dir)
-    # bounded: 1-row count-star scalar sizes k to the corpus (sem_k_value)
-    k = sem_k_value(emb.count())
-    assigned = kmeans(emb, "vec_id", "embedding", DIM, k, SEM_ITER).select(
-        "vec_id", "cluster"
-    )
+    # bounded: 1-row count-star scalar sizes the clustering to the corpus
+    assigned = sem_assignments(emb, emb.count())
     cv = (
         assigned.join(emb, "vec_id")
         .select("cluster", "vec_id", "embedding")

@@ -94,3 +94,55 @@ def test_self_loop_only_nodes_label_themselves_in_both_variants(spark):
     want = {1: 1, 2: 1, 9: 9}
     assert _labels(connected_components_star(_pairs_df(spark, edges))) == want
     assert _labels(connected_components(_pairs_df(spark, edges))) == want
+
+
+def test_kmeans_two_level_contract(spark):
+    """Hierarchical assignment: every vector assigned exactly once, cluster
+    ids bounded by k1*k2, and the result is partition-invariant (decimal
+    means keep the Lloyd rounds deterministic)."""
+    from discogs_load_spark.operators.clustering import kmeans_two_level
+    from discogs_load_spark.session import load_tables
+
+    from .conftest import SF_SMALL
+
+    emb = load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+    n = emb.count()
+    out = kmeans_two_level(emb, "vec_id", "embedding", 64, 3, 4, 2)
+    rows = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert len(rows) == n  # every vector exactly once
+    assert all(0 <= c < 3 * 4 for c in rows.values())
+    assert len(set(rows.values())) > 1  # actually partitions the space
+    again = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_two_level(
+            emb.repartition(7), "vec_id", "embedding", 64, 3, 4, 2
+        ).collect()
+    }
+    assert rows == again
+
+
+def test_sem_assignments_flat_at_driver_scales(spark):
+    """The oracle checks the FLAT k=8 path; the two-level switch must not
+    activate at any driver fixture scale (max 2000 embeddings)."""
+    from discogs_load_spark.operators.clustering import kmeans
+    from discogs_load_spark.queries.similarity import (
+        DIM,
+        SEM_ITER,
+        SEM_TWO_LEVEL_MIN,
+        sem_assignments,
+        sem_k_value,
+    )
+    from discogs_load_spark.session import load_tables
+
+    from .conftest import SF_SMALL
+
+    assert SEM_TWO_LEVEL_MIN > 2000  # sf0.1 has 2000 embeddings
+    assert sem_k_value(500) == sem_k_value(2000) == 8
+    emb = load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+    n = emb.count()
+    got = {r["vec_id"]: r["cluster"] for r in sem_assignments(emb, n).collect()}
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(emb, "vec_id", "embedding", DIM, 8, SEM_ITER).collect()
+    }
+    assert got == want
