@@ -61,6 +61,8 @@ PRIORITY: list[str] = [
     # pipelines as regression re-proof. tests/test_priority_rotation.py
     # enforces the no-replay property against the committed artifacts.
     "q170_preshard_ingest",
+    # new in r06, never driver-checked:
+    "q171_bpe_merges",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

@@ -961,3 +961,162 @@ def q160_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_prefix").cast("bigint").alias("n_prefix"),
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+BPE_TOP_WORDS = 300  # word-histogram truncation: training corpus for merges
+BPE_ROUNDS = 8  # unrolled merge-learning rounds under the value-hash gate
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE merge learning as chained CTEs — the DuckDB referee
+    for q171. Each round re-derives pair counts from the word histogram,
+    picks the (freq DESC, lhs, rhs) argmax, and applies the merge with a
+    ``list_reduce`` greedy left-to-right fold over single-element lists
+    (the same non-overlapping semantics as the Spark ``aggregate`` fold:
+    'aaaa' + (a,a) -> [aa, aa]). Every w_i/b_i CTE is MATERIALIZED so
+    DuckDB evaluates each round once, not once per downstream reference."""
+    d_toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+    head = f"""
+    WITH tok AS (
+        SELECT UNNEST({d_toks}) AS w FROM documents
+    ),
+    top_words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY w
+        ORDER BY cnt DESC, w LIMIT {BPE_TOP_WORDS}
+    ),
+    w0 AS MATERIALIZED (
+        SELECT w, cnt,
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)) AS s
+        FROM top_words
+    )"""
+    steps = []
+    for i in range(BPE_ROUNDS):
+        steps.append(f"""
+    pc{i} AS (
+        SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS freq
+        FROM w{i}, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+        SELECT lhs, rhs, freq FROM pc{i} ORDER BY freq DESC, lhs, rhs LIMIT 1
+    ),
+    w{i + 1} AS MATERIALIZED (
+        SELECT w, cnt,
+               list_reduce(list_transform(s, x -> [x]),
+                   (acc, x) -> CASE
+                       WHEN acc[-1] = b.lhs AND x[1] = b.rhs
+                       THEN list_concat(acc[1:-2], [b.lhs || b.rhs])
+                       ELSE list_concat(acc, x) END) AS s
+        FROM w{i}, b{i} b
+    )""")
+    tail = "\n    UNION ALL\n".join(
+        f"    SELECT {i + 1} AS round, lhs, rhs, freq FROM b{i}"
+        for i in range(BPE_ROUNDS)
+    )
+    return (
+        head + "," + ",".join(steps)
+        + f"\n    SELECT * FROM (\n{tail}\n    ) ORDER BY round"
+    )
+
+
+@register(
+    "q171_bpe_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def q171_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+    first {BPE_ROUNDS} merge rules over the corpus word histogram — the
+    fourth unrolled iterative algorithm under the value-hash gate after
+    k-means (q99), connected components (q89), and PageRank (q130).
+
+    The classic formulation trains on word frequencies, not the raw
+    corpus: the ONLY corpus-sized work is the q124-shaped token count
+    (one map-side-combinable shuffle keyed by word), truncated to the
+    top-{BPE_TOP_WORDS} histogram with the (cnt DESC, word) deterministic
+    tie-break. Every merge round then runs on that constant-row frame:
+    pair counts come from exploding adjacent symbol pairs (two slices
+    zipped — no sequence(), whose Spark descending-on-empty edge differs
+    from DuckDB's), the argmax pair is a 1-row TakeOrderedAndProject with
+    a full tie-break, and the merge itself is a greedy left-to-right
+    ``aggregate`` fold (non-overlapping, leftmost-first: 'aaaa' + (a,a)
+    -> [aa, aa] — pinned cross-engine in tests/test_llm_ops.py).
+    ``try_element_at`` keeps the empty-accumulator probe ANSI-safe.
+
+    Scale shape: rounds cost O(top-K) each regardless of corpus size, so
+    at 100 TB the wall time is the token count plus a constant; the 1-row
+    argmax and the histogram are ``localCheckpoint``ed every round (the
+    q130 lineage discipline — without it the 8-round plan re-derives each
+    round once per downstream branch, exponentially)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
+        ).alias("w")
+    )
+    words = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(BPE_TOP_WORDS)
+    )
+    syms = words.select(
+        "w",
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
+    )
+    # bounded: BPE_TOP_WORDS rows; materialized once, every round reuses it
+    syms = syms.localCheckpoint(eager=True)
+    merge_rows = []
+    for i in range(BPE_ROUNDS):
+        pre = syms.select(
+            "cnt",
+            F.expr("slice(s, 1, size(s) - 1)").alias("ls"),
+            F.expr("slice(s, 2, size(s) - 1)").alias("rs"),
+        )
+        pairs = pre.select(
+            "cnt", F.explode(F.arrays_zip("ls", "rs")).alias("p")
+        ).select(F.col("p.ls").alias("lhs"), F.col("p.rs").alias("rhs"), "cnt")
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), "lhs", "rhs")
+            .limit(1)
+            # 1 row, branches twice (merge + output): truncate lineage so
+            # round i+1 doesn't re-run rounds 0..i per branch
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(i + 1).cast("int").alias("round"), "lhs", "rhs", "freq"
+            )
+        )
+        merged = syms.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r")
+                )
+            )
+        )
+        syms = merged.select(
+            "w",
+            "cnt",
+            F.expr(
+                "aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
+                "CASE WHEN try_element_at(acc, -1) = m_l AND x = m_r "
+                "THEN concat(slice(acc, 1, size(acc) - 1), "
+                "            array(concat(m_l, m_r))) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("s"),
+        )
+        if (i + 1) % 2 == 0 and i + 1 < BPE_ROUNDS:
+            # bounded: BPE_TOP_WORDS rows; every 2 rounds suffices — the
+            # eager 1-row best checkpoints already cut the branching, this
+            # only caps the narrow-op chain Catalyst re-analyzes per round
+            syms = syms.localCheckpoint(eager=True)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("round")

@@ -376,3 +376,46 @@ def test_q72_empty_payload_doc_parity(spark, duck, tmp_path):
     # the empty doc's modality_code bucket (0) still exists via doc 0
     by_code = {r[0]: r for r in srows}
     assert by_code[0][2] == 1  # only doc 0; doc 3 dropped
+
+
+def test_q171_bpe_merge_fold_overlap_semantics(spark, duck, tmp_path):
+    """The BPE merge must be the greedy left-to-right NON-overlapping fold
+    in both engines: 'aaaa' + merge (a,a) -> [aa, aa] (pairs 1-2 and 3-4),
+    'aaa' -> [aa, a] — NOT the string-replace semantics, which consumes
+    the shared separator and yields [aa, a, a] for 'aaaa'. A corpus of one
+    repeated all-'a' word forces (a,a) as the round-1 argmax, and round 2's
+    top pair then reveals which fold ran: (aa, aa) under the correct fold
+    (freq = count of 'aaaa'), something else otherwise."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["aaaa " * 40, "aaaa aaa", "aaa"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [200, 8, 3],
+        }
+    )
+    sf_dir = tmp_path / "sfbpe"
+    sf_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+
+    spec = REGISTRY["q171_bpe_merges"]
+    srows = [tuple(r) for r in spec.fn(spark, str(sf_dir)).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir / 'documents.parquet'}'"
+    )
+    drows = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+    assert srows == drows
+    # corpus: 41x 'aaaa', 2x 'aaa'. round 1: (a,a) freq = 41*3 + 2*2 = 127.
+    # correct fold: 'aaaa'->[aa,aa], 'aaa'->[aa,a]; round 2 argmax is
+    # (aa,aa) freq 41. String-replace semantics would leave 'aaaa' as
+    # [aa,a,a] and make round 2 (aa,a) freq 43 — the assert catches it.
+    assert srows[0] == (1, "a", "a", 127)
+    assert srows[1] == (2, "aa", "aa", 41)
