@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "q170_preshard_ingest",
     # new in r06, never driver-checked:
     "q171_bpe_merges",
+    "q172_bpe_encode",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

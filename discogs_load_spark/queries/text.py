@@ -967,14 +967,24 @@ BPE_TOP_WORDS = 300  # word-histogram truncation: training corpus for merges
 BPE_ROUNDS = 8  # unrolled merge-learning rounds under the value-hash gate
 
 
-def _bpe_oracle() -> str:
-    """Unrolled BPE merge learning as chained CTEs — the DuckDB referee
-    for q171. Each round re-derives pair counts from the word histogram,
-    picks the (freq DESC, lhs, rhs) argmax, and applies the merge with a
-    ``list_reduce`` greedy left-to-right fold over single-element lists
-    (the same non-overlapping semantics as the Spark ``aggregate`` fold:
-    'aaaa' + (a,a) -> [aa, aa]). Every w_i/b_i CTE is MATERIALIZED so
-    DuckDB evaluates each round once, not once per downstream reference."""
+def _duck_merge_fold(src_list: str, lhs: str, rhs: str) -> str:
+    """DuckDB greedy left-to-right non-overlapping pair-merge fold:
+    ``list_reduce`` over single-element lists (the same semantics as the
+    Spark ``aggregate`` fold: 'aaaa' + (a,a) -> [aa, aa])."""
+    return f"""list_reduce(list_transform({src_list}, x -> [x]),
+                   (acc, x) -> CASE
+                       WHEN acc[-1] = {lhs} AND x[1] = {rhs}
+                       THEN list_concat(acc[1:-2], [{lhs} || {rhs}])
+                       ELSE list_concat(acc, x) END)"""
+
+
+def _bpe_train_ctes() -> str:
+    """Shared CTE body: unrolled BPE merge learning — the DuckDB referee
+    for q171/q172. Each round re-derives pair counts from the word
+    histogram, picks the (freq DESC, lhs, rhs) argmax into ``b{{i}}``, and
+    applies the merge with the greedy fold. Every w_i/b_i CTE is
+    MATERIALIZED so DuckDB evaluates each round once, not once per
+    downstream reference."""
     d_toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
     head = f"""
     WITH tok AS (
@@ -1004,21 +1014,95 @@ def _bpe_oracle() -> str:
     ),
     w{i + 1} AS MATERIALIZED (
         SELECT w, cnt,
-               list_reduce(list_transform(s, x -> [x]),
-                   (acc, x) -> CASE
-                       WHEN acc[-1] = b.lhs AND x[1] = b.rhs
-                       THEN list_concat(acc[1:-2], [b.lhs || b.rhs])
-                       ELSE list_concat(acc, x) END) AS s
+               {_duck_merge_fold("s", "b.lhs", "b.rhs")} AS s
         FROM w{i}, b{i} b
     )""")
+    return head + "," + ",".join(steps)
+
+
+def _bpe_oracle() -> str:
     tail = "\n    UNION ALL\n".join(
         f"    SELECT {i + 1} AS round, lhs, rhs, freq FROM b{i}"
         for i in range(BPE_ROUNDS)
     )
     return (
-        head + "," + ",".join(steps)
+        _bpe_train_ctes()
         + f"\n    SELECT * FROM (\n{tail}\n    ) ORDER BY round"
     )
+
+
+_SPARK_MERGE_FOLD = (
+    "aggregate({src}, CAST(array() AS array<string>), (acc, x) -> "
+    "CASE WHEN try_element_at(acc, -1) = {lhs} AND x = {rhs} "
+    "THEN concat(slice(acc, 1, size(acc) - 1), "
+    "            array(concat({lhs}, {rhs}))) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+
+def _learn_bpe_merges(docs: DataFrame) -> list[DataFrame]:
+    """Run the unrolled merge-learning loop; return the per-round 1-row
+    argmax frames (lhs, rhs, freq), each eagerly ``localCheckpoint``ed so
+    downstream consumers (the q171 union, the q172 encoder chain) never
+    re-run earlier rounds."""
+    toks = docs.select(
+        F.explode(
+            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
+        ).alias("w")
+    )
+    words = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(BPE_TOP_WORDS)
+    )
+    syms = words.select(
+        "w",
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
+    )
+    # bounded: BPE_TOP_WORDS rows; materialized once, every round reuses it
+    syms = syms.localCheckpoint(eager=True)
+    bests: list[DataFrame] = []
+    for i in range(BPE_ROUNDS):
+        pre = syms.select(
+            "cnt",
+            F.expr("slice(s, 1, size(s) - 1)").alias("ls"),
+            F.expr("slice(s, 2, size(s) - 1)").alias("rs"),
+        )
+        pairs = pre.select(
+            "cnt", F.explode(F.arrays_zip("ls", "rs")).alias("p")
+        ).select(F.col("p.ls").alias("lhs"), F.col("p.rs").alias("rhs"), "cnt")
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), "lhs", "rhs")
+            .limit(1)
+            # 1 row, branches (merge + consumers): truncate lineage so
+            # round i+1 doesn't re-run rounds 0..i per branch
+            .localCheckpoint(eager=True)
+        )
+        bests.append(best)
+        merged = syms.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r")
+                )
+            )
+        )
+        syms = merged.select(
+            "w",
+            "cnt",
+            F.expr(
+                _SPARK_MERGE_FOLD.format(src="s", lhs="m_l", rhs="m_r")
+            ).alias("s"),
+        )
+        if (i + 1) % 2 == 0 and i + 1 < BPE_ROUNDS:
+            # bounded: BPE_TOP_WORDS rows; every 2 rounds suffices — the
+            # eager 1-row best checkpoints already cut the branching, this
+            # only caps the narrow-op chain Catalyst re-analyzes per round
+            syms = syms.localCheckpoint(eager=True)
+    return bests
 
 
 @register(
@@ -1050,73 +1134,119 @@ def q171_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax and the histogram are ``localCheckpoint``ed every round (the
     q130 lineage discipline — without it the 8-round plan re-derives each
     round once per downstream branch, exponentially)."""
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        F.explode(
-            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
-        ).alias("w")
-    )
-    words = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .orderBy(F.desc("cnt"), "w")
-        .limit(BPE_TOP_WORDS)
-    )
-    syms = words.select(
-        "w",
-        "cnt",
-        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
-    )
-    # bounded: BPE_TOP_WORDS rows; materialized once, every round reuses it
-    syms = syms.localCheckpoint(eager=True)
-    merge_rows = []
-    for i in range(BPE_ROUNDS):
-        pre = syms.select(
-            "cnt",
-            F.expr("slice(s, 1, size(s) - 1)").alias("ls"),
-            F.expr("slice(s, 2, size(s) - 1)").alias("rs"),
-        )
-        pairs = pre.select(
-            "cnt", F.explode(F.arrays_zip("ls", "rs")).alias("p")
-        ).select(F.col("p.ls").alias("lhs"), F.col("p.rs").alias("rhs"), "cnt")
-        best = (
-            pairs.groupBy("lhs", "rhs")
-            .agg(F.sum("cnt").alias("freq"))
-            .orderBy(F.desc("freq"), "lhs", "rhs")
-            .limit(1)
-            # 1 row, branches twice (merge + output): truncate lineage so
-            # round i+1 doesn't re-run rounds 0..i per branch
-            .localCheckpoint(eager=True)
-        )
-        merge_rows.append(
-            best.select(
-                F.lit(i + 1).cast("int").alias("round"), "lhs", "rhs", "freq"
-            )
-        )
-        merged = syms.crossJoin(
-            F.broadcast(
-                best.select(
-                    F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r")
-                )
-            )
-        )
-        syms = merged.select(
-            "w",
-            "cnt",
-            F.expr(
-                "aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
-                "CASE WHEN try_element_at(acc, -1) = m_l AND x = m_r "
-                "THEN concat(slice(acc, 1, size(acc) - 1), "
-                "            array(concat(m_l, m_r))) "
-                "ELSE concat(acc, array(x)) END)"
-            ).alias("s"),
-        )
-        if (i + 1) % 2 == 0 and i + 1 < BPE_ROUNDS:
-            # bounded: BPE_TOP_WORDS rows; every 2 rounds suffices — the
-            # eager 1-row best checkpoints already cut the branching, this
-            # only caps the narrow-op chain Catalyst re-analyzes per round
-            syms = syms.localCheckpoint(eager=True)
+    bests = _learn_bpe_merges(_docs(spark, sf_dir))
+    merge_rows = [
+        b.select(F.lit(i + 1).cast("int").alias("round"), "lhs", "rhs", "freq")
+        for i, b in enumerate(bests)
+    ]
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out.orderBy("round")
+
+
+def _bpe_encode_oracle() -> str:
+    """q172 referee: re-derive the q171 merges (shared CTE body), then
+    encode every DISTINCT corpus word by applying the 8 merges in learned
+    order and aggregate token/char counts per source."""
+    d_toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+    enc_steps = []
+    for i in range(BPE_ROUNDS):
+        enc_steps.append(f"""
+    e{i + 1} AS MATERIALIZED (
+        SELECT w, {_duck_merge_fold("s", "b.lhs", "b.rhs")} AS s
+        FROM e{i}, b{i} b
+    )""")
+    return (
+        _bpe_train_ctes()
+        + f""",
+    tokd AS (
+        SELECT source, UNNEST({d_toks}) AS w FROM documents
+    ),
+    counts AS MATERIALIZED (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tokd GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT w,
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)) AS s
+        FROM counts
+    ),"""
+        + ",".join(enc_steps)
+        + f""",
+    wtok AS (
+        SELECT w, CAST(len(s) AS BIGINT) AS nt,
+               CAST(length(w) AS BIGINT) AS nc
+        FROM e{BPE_ROUNDS}
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * nc) AS BIGINT) AS n_chars,
+           CAST(SUM(c * nt) AS BIGINT) AS n_tokens
+    FROM counts JOIN wtok USING (w)
+    GROUP BY source ORDER BY source
+    """
+    )
+
+
+@register(
+    "q172_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "tokenizer", "bpe"),
+)
+def q172_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the q171-learned BPE merges to encode the WHOLE corpus and
+    report per-source token statistics (words, chars, post-BPE tokens) —
+    the train->apply half of the tokenizer pipeline.
+
+    Scale shape — encode each DISTINCT word once, never the corpus: the
+    corpus-sized work is ONE (source, word) count shuffle; the encoder
+    then runs 8 narrow merge folds over the vocabulary-sized distinct-word
+    frame (a single codegen stage — the 1-row merge frames are broadcast
+    and already checkpointed by the trainer, so no branching re-runs
+    training), and the final join is vocabulary x (source-vocabulary) —
+    both orders of magnitude smaller than the corpus at any scale. Token
+    counts per word ride the join back onto the count frame, so the
+    per-source totals are exact integers (no floats anywhere)."""
+    docs = _docs(spark, sf_dir)
+    bests = _learn_bpe_merges(docs)
+    tokd = docs.select(
+        "source",
+        F.explode(
+            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
+        ).alias("w"),
+    )
+    counts = tokd.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    enc = counts.select("w").distinct().select(
+        "w",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
+    )
+    for b in bests:
+        enc = enc.crossJoin(
+            F.broadcast(
+                b.select(F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r"))
+            )
+        ).select(
+            "w",
+            F.expr(_SPARK_MERGE_FOLD.format(src="s", lhs="m_l", rhs="m_r")).alias(
+                "s"
+            ),
+        )
+    wtok = enc.select(
+        "w",
+        F.size("s").cast("bigint").alias("nt"),
+        F.length("w").cast("bigint").alias("nc"),
+    )
+    return (
+        counts.join(wtok, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("nc")).alias("n_chars"),
+            F.sum(F.col("c") * F.col("nt")).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
