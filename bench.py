@@ -45,6 +45,10 @@ SF1_QUERIES = [
     "q165_entity_clusters",
     "q169_curation_pipeline",
     "q170_preshard_ingest",
+    # BPE: rounds are corpus-size-independent (constant-row histogram), so
+    # scale_x should track the token-count shuffle alone (~linear or below)
+    "q171_bpe_merges",
+    "q172_bpe_encode",
 ]
 
 

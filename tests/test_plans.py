@@ -451,3 +451,20 @@ def test_preshard_ingest_prunes_to_rollup_columns(spark):
     assert "title" in read[0] and "country" in read[0]
     for col in ("notes", "genres", "styles", "data_quality"):
         assert col not in read[0], f"unpruned column {col} in XML scan"
+
+
+def test_bpe_encode_folds_stay_broadcast_and_pruned(spark):
+    """q172: the 8 merge applications must be broadcast joins (the 1-row
+    merge frames), never CartesianProduct, and the documents scan must
+    prune to (source, text) — the corpus-sized work is one count shuffle,
+    so an unpruned scan or a shuffled merge join would be the scale leak."""
+    df = REGISTRY["q172_bpe_encode"].fn(spark, SF_SMALL)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" in kinds  # 1-row merge frames
+    plan = formatted_plan(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, "expected a ReadSchema line for the documents scan"
+    assert "source" in read[0] and "text" in read[0]
+    for col in ("lang", "n_chars", "doc_id"):
+        assert col not in read[0], f"unpruned column {col} in documents scan"
