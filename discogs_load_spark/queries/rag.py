@@ -10,7 +10,7 @@ scan speed on any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.textfns import norm_sql, shingles_sql, tokens_sql
 from ..operators.chunking import (
@@ -20,7 +20,7 @@ from ..operators.chunking import (
     chunk_oracle_sql,
 )
 from ..session import load_tables
-from .registry import register
+from .registry import REGISTRY, register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,4 +200,129 @@ def q98_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_grams") > 0) & (ratio >= F.lit(REPETITION_THRESHOLD))).alias(
             "flagged"
         ),
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 1_000_000_000_000  # integer RRF: SCALE div (K + rank), no floats
+FUSED_TOP = 10
+
+
+def _rrf_oracle() -> str:
+    """q173 referee: re-derive both arms (the q145 BM25 list and the q55
+    dense top-k, verbatim oracle texts), fuse with integer RRF. ``//`` on
+    positive BIGINTs truncates identically to Spark's ``div``."""
+    from .similarity import _COS_AB, _QIDS, TOPK
+    from .text import _bm25_oracle
+
+    dense = f"""
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS_AB} DESC, c.vec_id
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id IN ({_QIDS})
+        ) t WHERE rank <= {TOPK}
+    """
+    return f"""
+    WITH lex0 AS ({_bm25_oracle()}),
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS lex_rank
+        FROM lex0
+    ),
+    dense0 AS ({dense}),
+    qids AS (SELECT DISTINCT query_id FROM dense0),
+    lexq AS (
+        SELECT q.query_id, l.doc_id, l.lex_rank FROM qids q CROSS JOIN lex l
+    ),
+    denser AS (
+        SELECT query_id, neighbor_id AS doc_id, CAST(rank AS INT) AS dense_rank
+        FROM dense0
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank
+        FROM lexq l FULL OUTER JOIN denser d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    ),
+    scored AS (
+        SELECT query_id, doc_id, lex_rank, dense_rank,
+               CAST(COALESCE({RRF_SCALE} // (CAST({RRF_K} AS BIGINT) + lex_rank), 0)
+                  + COALESCE({RRF_SCALE} // (CAST({RRF_K} AS BIGINT) + dense_rank), 0)
+                  AS BIGINT) AS rrf_scaled
+        FROM fused
+    )
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_scaled,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id
+           ) AS INT) AS fused_rank
+    FROM scored
+    QUALIFY fused_rank <= {FUSED_TOP}
+    ORDER BY query_id, fused_rank
+    """
+
+
+@register(
+    "q173_hybrid_rrf",
+    oracle=_rrf_oracle(),
+    tags=("rag", "search", "hybrid", "rrf"),
+)
+def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse the lexical arm (the q145 BM25 standing-query list) with the
+    dense arm (the q55 exact cosine top-k per query vector, vec_id ==
+    doc_id by fixture convention) as score = sum over arms of
+    SCALE div (60 + rank) — INTEGER division, so fusion is bitwise
+    reproducible and needs no float summation anywhere.
+
+    Both arms are the already-verified registered queries, called as
+    plain functions — composition over reimplementation (the q169
+    discipline). Scale shape: each arm bounds its own candidate set
+    (BM25: matching docs only; dense: broadcast queries x corpus scan,
+    both TakeOrdered/windowed to constant rows), so the fusion join is
+    (3 x 20) full-outer (3 x 10) — constant-size frames; the per-query
+    re-rank window only ever sees <= 30 rows. At 100 TB the cost IS the
+    two arms; fusion is free."""
+    lex0 = REGISTRY["q145_bm25_topk"].fn(spark, sf_dir)
+    # rank the constant-row top list (q124 discipline: the single-partition
+    # window sees BM25_TOP rows, never the corpus)
+    lex = lex0.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    dense0 = REGISTRY["q55_ann_bruteforce_topk"].fn(spark, sf_dir)
+    dense = dense0.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    qids = dense.select("query_id").distinct()
+    lexq = qids.crossJoin(F.broadcast(lex))
+    fused = lexq.join(dense, ["query_id", "doc_id"], "full")
+    rrf = (
+        F.coalesce(
+            F.expr(f"{RRF_SCALE}L div ({RRF_K}L + CAST(lex_rank AS BIGINT))"),
+            F.lit(0).cast("bigint"),
+        )
+        + F.coalesce(
+            F.expr(f"{RRF_SCALE}L div ({RRF_K}L + CAST(dense_rank AS BIGINT))"),
+            F.lit(0).cast("bigint"),
+        )
+    ).cast("bigint")
+    scored = fused.select(
+        "query_id", "doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_scaled")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= FUSED_TOP)
+        .orderBy("query_id", "fused_rank")
     )

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     # new in r06, never driver-checked:
     "q171_bpe_merges",
     "q172_bpe_encode",
+    "q173_hybrid_rrf",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:
