@@ -209,23 +209,18 @@ FUSED_TOP = 10
 
 
 def _rrf_oracle() -> str:
-    """q173 referee: re-derive both arms (the q145 BM25 list and the q55
-    dense top-k, verbatim oracle texts), fuse with integer RRF. ``//`` on
+    """q173 referee: re-derive both arms — the q145 BM25 list (its oracle
+    builder) and the q55 dense top-k (its REGISTERED oracle text, the q129
+    reuse pattern, so a future q55 oracle change propagates here instead
+    of silently diverging) — then fuse with integer RRF. ``//`` on
     positive BIGINTs truncates identically to Spark's ``div``."""
-    from .similarity import _COS_AB, _QIDS, TOPK
+    # importing .similarity loads its module and registers q55 (rag is
+    # imported first in queries/__init__, so force the dependency here)
+    from .registry import REGISTRY
+    from .similarity import QUERY_IDS  # noqa: F401  (forces registration)
     from .text import _bm25_oracle
 
-    dense = f"""
-        SELECT query_id, neighbor_id, rank FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {_COS_AB} DESC, c.vec_id
-                   ) AS rank
-            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-            WHERE q.vec_id IN ({_QIDS})
-        ) t WHERE rank <= {TOPK}
-    """
+    dense = REGISTRY["q55_ann_bruteforce_topk"].oracle
     return f"""
     WITH lex0 AS ({_bm25_oracle()}),
     lex AS (

@@ -962,7 +962,6 @@ def q160_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("int").alias("rank"),
     )
 
-
 BPE_TOP_WORDS = 300  # word-histogram truncation: training corpus for merges
 BPE_ROUNDS = 8  # unrolled merge-learning rounds under the value-hash gate
 
@@ -970,7 +969,11 @@ BPE_ROUNDS = 8  # unrolled merge-learning rounds under the value-hash gate
 def _duck_merge_fold(src_list: str, lhs: str, rhs: str) -> str:
     """DuckDB greedy left-to-right non-overlapping pair-merge fold:
     ``list_reduce`` over single-element lists (the same semantics as the
-    Spark ``aggregate`` fold: 'aaaa' + (a,a) -> [aa, aa])."""
+    Spark ``aggregate`` fold: 'aaaa' + (a,a) -> [aa, aa]). NULL lhs/rhs
+    (a merge-less round joined via LEFT JOIN ON TRUE) makes the CASE
+    condition NULL, so every element falls to ELSE and the list passes
+    through unmerged — identical to the Spark fold's try_element_at
+    NULL-compare path."""
     return f"""list_reduce(list_transform({src_list}, x -> [x]),
                    (acc, x) -> CASE
                        WHEN acc[-1] = {lhs} AND x[1] = {rhs}
@@ -978,21 +981,22 @@ def _duck_merge_fold(src_list: str, lhs: str, rhs: str) -> str:
                        ELSE list_concat(acc, x) END)"""
 
 
-def _bpe_train_ctes() -> str:
+def _bpe_train_ctes(prelude: str, hist_sql: str) -> str:
     """Shared CTE body: unrolled BPE merge learning — the DuckDB referee
-    for q171/q172. Each round re-derives pair counts from the word
-    histogram, picks the (freq DESC, lhs, rhs) argmax into ``b{{i}}``, and
-    applies the merge with the greedy fold. Every w_i/b_i CTE is
-    MATERIALIZED so DuckDB evaluates each round once, not once per
-    downstream reference."""
-    d_toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+    for q171/q172. ``prelude`` supplies caller-specific CTEs; ``hist_sql``
+    is a (w, cnt) word-histogram SELECT over them, so a caller that
+    already counts (source, word) pairs (q172) derives the histogram with
+    a vocabulary-sized rollup instead of a second corpus scan. Each round
+    re-derives pair counts from the truncated histogram, picks the
+    (freq DESC, lhs, rhs) argmax into ``b{{i}}``, and applies the merge
+    with the greedy fold; a merge-less round leaves the histogram intact
+    (LEFT JOIN ON TRUE + NULL-pass-through fold) instead of annihilating
+    it. Every w_i/b_i CTE is MATERIALIZED so DuckDB evaluates each round
+    once, not once per downstream reference."""
     head = f"""
-    WITH tok AS (
-        SELECT UNNEST({d_toks}) AS w FROM documents
-    ),
+    WITH {prelude}
     top_words AS MATERIALIZED (
-        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM tok GROUP BY w
+        SELECT w, cnt FROM ({hist_sql})
         ORDER BY cnt DESC, w LIMIT {BPE_TOP_WORDS}
     ),
     w0 AS MATERIALIZED (
@@ -1015,9 +1019,15 @@ def _bpe_train_ctes() -> str:
     w{i + 1} AS MATERIALIZED (
         SELECT w, cnt,
                {_duck_merge_fold("s", "b.lhs", "b.rhs")} AS s
-        FROM w{i}, b{i} b
+        FROM w{i} LEFT JOIN b{i} b ON TRUE
     )""")
     return head + "," + ",".join(steps)
+
+
+_D_TOK_HIST_PRELUDE = f"""tok AS (
+        SELECT UNNEST({_D_TOKS}) AS w FROM documents
+    ),"""
+_D_TOK_HIST = "SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w"
 
 
 def _bpe_oracle() -> str:
@@ -1026,7 +1036,7 @@ def _bpe_oracle() -> str:
         for i in range(BPE_ROUNDS)
     )
     return (
-        _bpe_train_ctes()
+        _bpe_train_ctes(_D_TOK_HIST_PRELUDE, _D_TOK_HIST)
         + f"\n    SELECT * FROM (\n{tail}\n    ) ORDER BY round"
     )
 
@@ -1040,22 +1050,33 @@ _SPARK_MERGE_FOLD = (
 )
 
 
-def _learn_bpe_merges(docs: DataFrame) -> list[DataFrame]:
-    """Run the unrolled merge-learning loop; return the per-round 1-row
-    argmax frames (lhs, rhs, freq), each eagerly ``localCheckpoint``ed so
-    downstream consumers (the q171 union, the q172 encoder chain) never
-    re-run earlier rounds."""
-    toks = docs.select(
-        F.explode(
-            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
-        ).alias("w")
+def _merge_step(frame: DataFrame, best: DataFrame, sym_col: str) -> DataFrame:
+    """Apply one learned merge to ``frame[sym_col]``: LEFT join the 1-row
+    (possibly EMPTY) merge frame on TRUE, then fold. An empty merge frame
+    yields NULL m_l/m_r, the fold condition goes NULL -> ELSE, and every
+    row passes through unmerged — rows are never annihilated the way a
+    crossJoin against an empty frame would."""
+    other = [c for c in frame.columns if c != sym_col]
+    return frame.join(
+        F.broadcast(
+            best.select(F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r"))
+        ),
+        F.lit(True),
+        "left",
+    ).select(
+        *other,
+        F.expr(_SPARK_MERGE_FOLD.format(src=sym_col, lhs="m_l", rhs="m_r")).alias(
+            sym_col
+        ),
     )
-    words = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .orderBy(F.desc("cnt"), "w")
-        .limit(BPE_TOP_WORDS)
-    )
+
+
+def _learn_bpe_merges(word_counts: DataFrame) -> list[DataFrame]:
+    """Run the unrolled merge-learning loop over a (w, cnt) word-count
+    frame; return the per-round 1-row argmax frames (lhs, rhs, freq), each
+    eagerly ``localCheckpoint``ed so downstream consumers (the q171 union,
+    the q172 encoder chain) never re-run earlier rounds."""
+    words = word_counts.orderBy(F.desc("cnt"), "w").limit(BPE_TOP_WORDS)
     syms = words.select(
         "w",
         "cnt",
@@ -1083,20 +1104,7 @@ def _learn_bpe_merges(docs: DataFrame) -> list[DataFrame]:
             .localCheckpoint(eager=True)
         )
         bests.append(best)
-        merged = syms.crossJoin(
-            F.broadcast(
-                best.select(
-                    F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r")
-                )
-            )
-        )
-        syms = merged.select(
-            "w",
-            "cnt",
-            F.expr(
-                _SPARK_MERGE_FOLD.format(src="s", lhs="m_l", rhs="m_r")
-            ).alias("s"),
-        )
+        syms = _merge_step(syms, best, "s")
         if (i + 1) % 2 == 0 and i + 1 < BPE_ROUNDS:
             # bounded: BPE_TOP_WORDS rows; every 2 rounds suffices — the
             # eager 1-row best checkpoints already cut the branching, this
@@ -1105,36 +1113,48 @@ def _learn_bpe_merges(docs: DataFrame) -> list[DataFrame]:
     return bests
 
 
+def _doc_word_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.explode(
+            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
+        ).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
 @register(
     "q171_bpe_merges",
     oracle=_bpe_oracle(),
     tags=("text", "tokenizer", "bpe", "iterative"),
 )
 def q171_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
-    first {BPE_ROUNDS} merge rules over the corpus word histogram — the
-    fourth unrolled iterative algorithm under the value-hash gate after
-    k-means (q99), connected components (q89), and PageRank (q130).
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first BPE_ROUNDS=8 merge rules over the corpus word histogram —
+    the fourth unrolled iterative algorithm under the value-hash gate
+    after k-means (q99), connected components (q89), and PageRank (q130).
 
     The classic formulation trains on word frequencies, not the raw
     corpus: the ONLY corpus-sized work is the q124-shaped token count
     (one map-side-combinable shuffle keyed by word), truncated to the
-    top-{BPE_TOP_WORDS} histogram with the (cnt DESC, word) deterministic
-    tie-break. Every merge round then runs on that constant-row frame:
-    pair counts come from exploding adjacent symbol pairs (two slices
-    zipped — no sequence(), whose Spark descending-on-empty edge differs
-    from DuckDB's), the argmax pair is a 1-row TakeOrderedAndProject with
-    a full tie-break, and the merge itself is a greedy left-to-right
-    ``aggregate`` fold (non-overlapping, leftmost-first: 'aaaa' + (a,a)
-    -> [aa, aa] — pinned cross-engine in tests/test_llm_ops.py).
-    ``try_element_at`` keeps the empty-accumulator probe ANSI-safe.
+    top-BPE_TOP_WORDS=300 histogram with the (cnt DESC, word)
+    deterministic tie-break. Every merge round then runs on that
+    constant-row frame: pair counts come from exploding adjacent symbol
+    pairs (two slices zipped — no sequence(), whose Spark
+    descending-on-empty edge differs from DuckDB's), the argmax pair is a
+    1-row TakeOrderedAndProject with a full tie-break, and the merge
+    itself is a greedy left-to-right ``aggregate`` fold (non-overlapping,
+    leftmost-first: 'aaaa' + (a,a) -> [aa, aa] — pinned cross-engine in
+    tests/test_llm_ops.py). ``try_element_at`` keeps the
+    empty-accumulator probe ANSI-safe. A round with no pairs left emits
+    no row (the output may be shorter than 8 rows on degenerate corpora)
+    and leaves the histogram untouched for later rounds — identically in
+    both engines.
 
     Scale shape: rounds cost O(top-K) each regardless of corpus size, so
     at 100 TB the wall time is the token count plus a constant; the 1-row
-    argmax and the histogram are ``localCheckpoint``ed every round (the
-    q130 lineage discipline — without it the 8-round plan re-derives each
-    round once per downstream branch, exponentially)."""
-    bests = _learn_bpe_merges(_docs(spark, sf_dir))
+    argmax and the histogram are ``localCheckpoint``ed (the q130 lineage
+    discipline — without it the 8-round plan re-derives each round once
+    per downstream branch, exponentially)."""
+    bests = _learn_bpe_merges(_doc_word_counts(_docs(spark, sf_dir)))
     merge_rows = [
         b.select(F.lit(i + 1).cast("int").alias("round"), "lhs", "rhs", "freq")
         for i, b in enumerate(bests)
@@ -1146,27 +1166,30 @@ def q171_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle() -> str:
-    """q172 referee: re-derive the q171 merges (shared CTE body), then
-    encode every DISTINCT corpus word by applying the 8 merges in learned
+    """q172 referee: derive the (source, word) counts FIRST, roll them up
+    into the training histogram (vocabulary-sized — no second corpus
+    scan, mirroring the Spark side), re-derive the q171 merges, then
+    encode every DISTINCT corpus word by applying the merges in learned
     order and aggregate token/char counts per source."""
     d_toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
-    enc_steps = []
-    for i in range(BPE_ROUNDS):
-        enc_steps.append(f"""
-    e{i + 1} AS MATERIALIZED (
-        SELECT w, {_duck_merge_fold("s", "b.lhs", "b.rhs")} AS s
-        FROM e{i}, b{i} b
-    )""")
-    return (
-        _bpe_train_ctes()
-        + f""",
-    tokd AS (
+    prelude = f"""tokd AS (
         SELECT source, UNNEST({d_toks}) AS w FROM documents
     ),
     counts AS MATERIALIZED (
         SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
         FROM tokd GROUP BY 1, 2
-    ),
+    ),"""
+    hist = "SELECT w, CAST(SUM(c) AS BIGINT) AS cnt FROM counts GROUP BY w"
+    enc_steps = []
+    for i in range(BPE_ROUNDS):
+        enc_steps.append(f"""
+    e{i + 1} AS MATERIALIZED (
+        SELECT w, {_duck_merge_fold("s", "b.lhs", "b.rhs")} AS s
+        FROM e{i} LEFT JOIN b{i} b ON TRUE
+    )""")
+    return (
+        _bpe_train_ctes(prelude, hist)
+        + f""",
     e0 AS MATERIALIZED (
         SELECT DISTINCT w,
                list_transform(generate_series(1, length(w)),
@@ -1200,17 +1223,18 @@ def q172_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     report per-source token statistics (words, chars, post-BPE tokens) —
     the train->apply half of the tokenizer pipeline.
 
-    Scale shape — encode each DISTINCT word once, never the corpus: the
-    corpus-sized work is ONE (source, word) count shuffle; the encoder
-    then runs 8 narrow merge folds over the vocabulary-sized distinct-word
-    frame (a single codegen stage — the 1-row merge frames are broadcast
-    and already checkpointed by the trainer, so no branching re-runs
-    training), and the final join is vocabulary x (source-vocabulary) —
-    both orders of magnitude smaller than the corpus at any scale. Token
-    counts per word ride the join back onto the count frame, so the
-    per-source totals are exact integers (no floats anywhere)."""
+    Scale shape — ONE corpus-sized shuffle total: the (source, word)
+    count; the training histogram is a vocabulary-sized rollup of those
+    counts (not a second corpus scan), and the encoder runs 8 narrow
+    merge folds over the vocabulary-sized distinct-word frame (a single
+    codegen stage — the 1-row merge frames are broadcast LEFT joins, so a
+    merge-less round passes words through instead of annihilating them,
+    and the already-checkpointed trainer output means no branching
+    re-runs training). Token counts per word ride the final join back
+    onto the count frame — vocabulary x (source-vocabulary), both orders
+    of magnitude smaller than the corpus at any scale — so the per-source
+    totals are exact integers (no floats anywhere)."""
     docs = _docs(spark, sf_dir)
-    bests = _learn_bpe_merges(docs)
     tokd = docs.select(
         "source",
         F.explode(
@@ -1220,21 +1244,17 @@ def q172_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tokd.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # the one corpus-sized shuffle feeds BOTH the trainer histogram and
+    # the final rollup; persist so the two consumers share it
+    counts = counts.persist()
+    hist = counts.groupBy("w").agg(F.sum("c").cast("bigint").alias("cnt"))
+    bests = _learn_bpe_merges(hist)
     enc = counts.select("w").distinct().select(
         "w",
         F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
     )
     for b in bests:
-        enc = enc.crossJoin(
-            F.broadcast(
-                b.select(F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r"))
-            )
-        ).select(
-            "w",
-            F.expr(_SPARK_MERGE_FOLD.format(src="s", lhs="m_l", rhs="m_r")).alias(
-                "s"
-            ),
-        )
+        enc = _merge_step(enc, b, "s")
     wtok = enc.select(
         "w",
         F.size("s").cast("bigint").alias("nt"),

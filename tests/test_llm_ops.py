@@ -419,3 +419,46 @@ def test_q171_bpe_merge_fold_overlap_semantics(spark, duck, tmp_path):
     # [aa,a,a] and make round 2 (aa,a) freq 43 — the assert catches it.
     assert srows[0] == (1, "a", "a", 127)
     assert srows[1] == (2, "aa", "aa", 41)
+
+
+def test_q172_mergeless_rounds_keep_counts(spark, duck, tmp_path):
+    """A corpus whose histogram words are all single characters learns ZERO
+    merges (no adjacent pairs exist). The encoder must still report
+    per-source counts with n_tokens == n_chars — a merge-less round passes
+    words through (LEFT JOIN ON TRUE + NULL fold) rather than annihilating
+    the vocabulary frame the way a crossJoin against an empty 1-row frame
+    would (review finding, r06)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c d e", "a b a b"],
+            "lang": ["en"] * 2,
+            "source": ["s1", "s2"],
+            "n_chars": [9, 7],
+        }
+    )
+    sf_dir = tmp_path / "sf1ch"
+    sf_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+
+    spec = REGISTRY["q172_bpe_encode"]
+    srows = [tuple(r) for r in spec.fn(spark, str(sf_dir)).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir / 'documents.parquet'}'"
+    )
+    drows = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+    assert srows == drows
+    # zero merges learned: every word stays 1 char = 1 token
+    assert srows == [("s1", 5, 5, 5), ("s2", 4, 4, 4)]
+    # and q171 emits zero merge rows on the same corpus, in both engines
+    spec171 = REGISTRY["q171_bpe_merges"]
+    s171 = [tuple(r) for r in spec171.fn(spark, str(sf_dir)).collect()]
+    d171 = [tuple(r) for r in duck.execute(spec171.oracle).fetchall()]
+    assert s171 == d171 == []
