@@ -509,3 +509,58 @@ def q164_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS INT)"
         ).alias("group_id"),
     )
+
+
+@register(
+    "q174_schema_evolution",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_source,
+           COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END)
+               AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("lake", "sources", "schema-evolution"),
+)
+def q174_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with DIFFERENT
+    schemas — v2 adds the ``source`` column, the additive-column case
+    every long-lived lake hits — read back as ONE dataset with
+    ``mergeSchema=true``; v1 rows surface NULL source, and the per-lang
+    rollup counts exactly how many rows carry the evolved column. The
+    oracle recomputes from the base table with the same even/odd split
+    (the q101/q162 direct-recompute pattern), so the parity gate proves
+    the merged read drops nothing and nulls exactly the v1 rows.
+
+    At scale: mergeSchema reconciles footers at planning time (a
+    listing-sized cost, not a data scan); the read itself stays one
+    pruned columnar scan per batch, and the rollup is one lang-keyed
+    map-side-combinable shuffle. Plain v1/v2 subdirs (no '=' in names)
+    keep partition-column inference out of the schema."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = _roundtrip_dir(sf_dir, "evo")
+    if not os.path.exists(os.path.join(out, "v2", "_SUCCESS")):
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        )
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars", "source"
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count("source").alias("n_with_source"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )

@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     "q171_bpe_merges",
     "q172_bpe_encode",
     "q173_hybrid_rrf",
+    "q174_schema_evolution",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:
