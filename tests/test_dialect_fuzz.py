@@ -160,3 +160,73 @@ def test_numeric_expressions_agree_across_engines(spark, duck):
     got_div = {r["i"]: r["day"] for r in s_div}
     want_div = {r[0]: r[1] for r in d_div}
     assert got_div == want_div
+
+
+def test_bpe_merge_fold_agrees_with_python_reference(spark, duck):
+    """Three-way differential fuzz for the BPE greedy merge fold (q171/
+    q172): random symbol sequences (heavy on runs, overlaps, and the
+    merged-symbol-equals-neighbor trap) merged against random pairs must
+    agree byte-for-byte between the Spark ``aggregate`` fold, the DuckDB
+    ``list_reduce`` fold, and a 5-line Python reference of the standard
+    greedy left-to-right non-overlapping semantics. NULL merge pairs
+    (the merge-less-round path) must pass sequences through unchanged."""
+    import random
+
+    from discogs_load_spark.queries.text import _SPARK_MERGE_FOLD, _duck_merge_fold
+
+    def py_fold(seq, lhs, rhs):
+        if lhs is None:
+            return list(seq)
+        out = []
+        for x in seq:
+            if out and out[-1] == lhs and x == rhs:
+                out[-1] = lhs + rhs
+            else:
+                out.append(x)
+        return out
+
+    rng = random.Random(20260814)
+    syms = ["a", "b", "ab", "aa", "c"]
+    cases = [
+        (["a", "a", "a", "a"], "a", "a"),   # overlap run -> [aa, aa]
+        (["a", "a", "a"], "a", "a"),        # odd run -> [aa, a]
+        (["a", "b", "a", "b"], "a", "b"),   # alternating -> [ab, ab]
+        (["ab", "b"], "a", "b"),            # merged symbol != raw pair
+        (["a", "b"], "b", "a"),             # pair absent
+        (["a"], "a", "a"),                  # single symbol
+        (["a", "a"], None, None),           # merge-less round passthrough
+    ]
+    while len(cases) < 150:
+        n = rng.randint(1, 12)
+        seq = [rng.choice(syms) for _ in range(n)]
+        if rng.random() < 0.1:
+            cases.append((seq, None, None))
+        else:
+            cases.append((seq, rng.choice(syms), rng.choice(syms)))
+    rows = [(i, seq, lhs, rhs) for i, (seq, lhs, rhs) in enumerate(cases)]
+    want = {i: py_fold(seq, lhs, rhs) for i, seq, lhs, rhs in rows}
+
+    sdf = spark.createDataFrame(
+        rows, "i long, s array<string>, m_l string, m_r string"
+    )
+    got_spark = {
+        r["i"]: list(r["m"])
+        for r in sdf.selectExpr(
+            "i",
+            f"{_SPARK_MERGE_FOLD.format(src='s', lhs='m_l', rhs='m_r')} AS m",
+        ).collect()
+    }
+    assert got_spark == want
+
+    duck.execute("DROP TABLE IF EXISTS bpe_fuzz")
+    duck.execute(
+        "CREATE TABLE bpe_fuzz (i BIGINT, s VARCHAR[], m_l VARCHAR, m_r VARCHAR)"
+    )
+    duck.executemany("INSERT INTO bpe_fuzz VALUES (?, ?, ?, ?)", rows)
+    got_duck = {
+        r[0]: list(r[1])
+        for r in duck.execute(
+            f"SELECT i, {_duck_merge_fold('s', 'm_l', 'm_r')} AS m FROM bpe_fuzz"
+        ).fetchall()
+    }
+    assert got_duck == want
