@@ -52,14 +52,16 @@ PRIORITY: list[str] = [
     # --- r06 gate window (first 50; the driver checks these) ---
     # Policy (VERDICT r05 item 1): changed-oracle queries first, then
     # the stalest greens. r05 burned its whole budget replaying the
-    # r04 window; this block instead banks (a) the two oracles that
-    # changed in r05/r06 (q71 closed-form BMP decode, q72 zero-frame
-    # edge) plus the brand-new q170 pre-shard lineage query, then
-    # (b) the 45 queries whose only driver row dates to ROUND 1 —
-    # three rounds of shared-helper churn (functions/numeric.py,
-    # textfns.py) unverified since — then (c) two composed r02-era
-    # pipelines as regression re-proof. tests/test_priority_rotation.py
-    # enforces the no-replay property against the committed artifacts.
+    # r04 window; this block instead banks (a) the round's five BRAND-NEW
+    # queries (q170 pre-shard lineage, q171/q172 BPE train/apply, q173
+    # hybrid RRF, q174 schema evolution) and the two oracles that changed
+    # in r05/r06 (q71 closed-form BMP decode, q72 zero-frame edge), then
+    # (b) the queries whose only driver row dates to ROUND 1 — three
+    # rounds of shared-helper churn (functions/numeric.py, textfns.py)
+    # unverified since — then (c) composed r02-era pipelines as
+    # regression re-proof (the tail past slot 50 waits for r07).
+    # tests/test_priority_rotation.py enforces the no-replay property
+    # against the committed artifacts.
     "q170_preshard_ingest",
     # new in r06, never driver-checked:
     "q171_bpe_merges",
