@@ -101,6 +101,16 @@ def minhash_agg_sql(shingle_col: str, n_hashes: int) -> list[str]:
     ]
 
 
+def oph_bucket_sql(md5_expr: str, n_buckets: int) -> str:
+    """One-permutation-hashing bucket index from an md5 hex string: the
+    first two nibbles as an int 0..255, mod the bucket count. Pure
+    instr/substring text, identical in both dialects (the SimHash nibble
+    recipe), so bucket assignment agrees byte-for-byte cross-engine."""
+    n1 = f"(instr('0123456789abcdef', substring({md5_expr}, 1, 1)) - 1)"
+    n2 = f"(instr('0123456789abcdef', substring({md5_expr}, 2, 1)) - 1)"
+    return f"((({n1} * 16) + {n2}) % {n_buckets})"
+
+
 def band_key_sql(band: int, rows_per_band: int, dialect: str) -> str:
     """LSH band key: md5 of the band's concatenated minhashes."""
     lo = band * rows_per_band

@@ -27,6 +27,7 @@ from ..functions.textfns import (
     SIMHASH_BITS,
     band_key_sql,
     norm_sql,
+    oph_bucket_sql,
     shingles_sql,
     tokens_sql,
 )
@@ -174,6 +175,49 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     return out.select(F.col(id_col), *cols)
+
+
+def oph_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    """One-permutation MinHash (Li et al. 2012) with rotation
+    densification (Shrivastava & Li 2014): ONE md5 per shingle instead of
+    ``n_hashes`` — each shingle's single hash is routed to bucket
+    (hash % n) and each bucket keeps its min; an empty bucket borrows the
+    cyclically-next non-empty bucket's value, so the signature stays
+    fully populated and the LSH banding layer (:func:`lsh_candidate_pairs`)
+    consumes it unchanged.
+
+    Like :func:`minhash_signatures` this is per-row array HOFs — NO
+    explode, NO shuffle — but the dominant cost (md5 over every shingle)
+    drops from n_hashes passes to ONE; at 100 TB signature computation is
+    the map-side bottleneck of the whole dedup pipeline, so this is the
+    production-shaped variant. The estimator differs from k independent
+    permutations (it is the one-permutation scheme, unbiased for Jaccard
+    with lower variance per hash computed); candidate SETS therefore
+    differ slightly from q51's — both are verified against the same exact
+    Jaccard step downstream."""
+    out = _shingle_col(df, text_col, k, "__sh").filter(F.size("__sh") > 0)
+    out = out.withColumn("__hm", F.expr(f"transform(__sh, s -> md5(s))"))
+    bucket = oph_bucket_sql("m", n_hashes)
+    mins = [
+        F.expr(
+            f"array_min(filter(__hm, m -> {bucket} = {i}))"
+        ).alias(f"b{i}")
+        for i in range(n_hashes)
+    ]
+    out = out.select(F.col(id_col), *mins)
+    dens = [
+        F.coalesce(
+            *[F.col(f"b{(j + t) % n_hashes}") for t in range(n_hashes)]
+        ).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return out.select(F.col(id_col), *dens)
 
 
 def lsh_candidate_pairs(

@@ -18,6 +18,7 @@ from ..functions.textfns import (
     doc_shingles_sql,
     minhash_agg_sql,
     norm_sql,
+    oph_bucket_sql,
     simhash_bit_sql,
     simhash_value_sql,
 )
@@ -33,6 +34,7 @@ from ..operators.dedup import (
     lsh_bipartite_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
+    oph_minhash_signatures,
     normalized,
     prefix_filter_jaccard_pairs,
     simhash,
@@ -677,3 +679,64 @@ def q165_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_partkey").alias("max_partkey"),
         )
     )
+
+
+def _oph_pairs_cte() -> str:
+    """q175 referee: the explode→group formulation of the per-row OPH
+    signature — one md5 per shingle routed to bucket (hash % n), min per
+    bucket, rotation densification via an n-term COALESCE chain — then
+    the exact q51 banding/bucket-join CTEs over the densified h0..h{n-1}
+    (``_bucket_union`` reads FROM sig, so the name is the contract)."""
+    n = DEFAULT_N_HASHES
+    bucket = oph_bucket_sql("m", n)
+    pivots = ", ".join(
+        f"MIN(CASE WHEN b = {i} THEN mh END) AS b{i}" for i in range(n)
+    )
+    dens = ", ".join(
+        "COALESCE("
+        + ", ".join(f"b{(j + t) % n}" for t in range(n))
+        + f") AS h{j}"
+        for j in range(n)
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, unnest({_D_SH}) AS sh FROM documents),
+    h AS (SELECT doc_id, md5(sh) AS m FROM s),
+    bmin AS (
+        SELECT doc_id, {bucket} AS b, MIN(m) AS mh FROM h GROUP BY 1, 2
+    ),
+    sig0 AS (SELECT doc_id, {pivots} FROM bmin GROUP BY doc_id),
+    sig AS (SELECT doc_id, {dens} FROM sig0),
+    buckets AS ({_bucket_union()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b FROM pairs
+    """
+
+
+@register(
+    "q175_oph_minhash_pairs",
+    oracle=_oph_pairs_cte(),
+    tags=("dedup", "minhash", "oph", "lsh"),
+)
+def q175_oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation MinHash + LSH candidate pairs — q51's semantics at
+    1/12th the hashing cost: ONE md5 per shingle routed to a bucket, min
+    per bucket, empty buckets densified by cyclic borrowing (Li et al.
+    2012; Shrivastava & Li 2014). The densified signature satisfies the
+    exact (id, h0..h{n-1}) contract of ``lsh_candidate_pairs``, so the
+    banding, bucket capping, and pair equi-join are literally the q51
+    code path.
+
+    At 100 TB the signature stage is the map-side bottleneck of MinHash
+    dedup (md5 over every shingle x n_hashes); OPH computes the same-
+    width signature with a single pass, which is the variant production
+    pipelines run. Candidate sets differ slightly from q51's independent
+    permutations (same unbiased Jaccard estimator, different variance
+    profile); both feed the same exact-Jaccard verify (q52) downstream.
+    """
+    docs = _docs(spark, sf_dir)
+    sigs = oph_minhash_signatures(docs, "doc_id", "text")
+    return lsh_candidate_pairs(sigs, "doc_id")

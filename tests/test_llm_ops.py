@@ -462,3 +462,25 @@ def test_q172_mergeless_rounds_keep_counts(spark, duck, tmp_path):
     s171 = [tuple(r) for r in spec171.fn(spark, str(sf_dir)).collect()]
     d171 = [tuple(r) for r in duck.execute(spec171.oracle).fetchall()]
     assert s171 == d171 == []
+
+
+def test_oph_minhash_recovers_planted_neardups(spark):
+    """OPH signatures (1 md5/shingle + rotation densification) must
+    surface the fixture's planted near-duplicate pairs through the same
+    LSH banding, every signature slot must be densified (no NULLs), and a
+    jaccard ~0.98 pair collides on all buckets so OPH finds at least the
+    pairs the verify step confirms at >= 0.8."""
+    from discogs_load_spark.operators.dedup import oph_minhash_signatures
+
+    docs = _docs(spark)
+    sigs = oph_minhash_signatures(docs, "doc_id", "text")
+    null_rows = sigs.filter(
+        " OR ".join(f"h{i} IS NULL" for i in range(12))
+    ).count()
+    assert null_rows == 0, "densification left NULL signature slots"
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_verify(docs, pairs, "doc_id", "text", threshold=0.8)
+    rows = verified.collect()
+    assert len(rows) > 0
+    assert all(r.jaccard >= 0.8 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)

@@ -93,13 +93,14 @@ def test_gate_window_leads_with_changed_or_new_oracles():
     q174 (new, schema evolution), q71 (oracle rewritten r05), q72 (oracle
     fixed r06). Update this list when a future round changes other
     oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:7]
+    window = [n for n in PRIORITY if n in REGISTRY][:8]
     assert window == [
         "q170_preshard_ingest",
         "q171_bpe_merges",
         "q172_bpe_encode",
         "q173_hybrid_rrf",
         "q174_schema_evolution",
+        "q175_oph_minhash_pairs",
         "q71_multimodal_features",
         "q72_frame_sampling",
     ]
