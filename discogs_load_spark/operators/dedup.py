@@ -194,18 +194,20 @@ def oph_minhash_signatures(
 
     Like :func:`minhash_signatures` this is per-row array HOFs — NO
     explode, NO shuffle — and the hash count drops from
-    O(shingles x n_hashes) to O(shingles): at n=64 over a 100 TB corpus
-    that is ~hundreds of core-hours of md5 reduced to single digits.
-    Honest local measurement (sf0.1 and sf1, n=12 and n=64): wall time
-    EQUALS the classic variant, because in this engine the
-    normalize->tokenize->shingle regex walk dominates signatures at every
-    measured scale — the OPH win is the removed width-dependence, which
-    pays off exactly when signatures are wide and hashing is no longer
-    shadowed by tokenization (pre-shingled inputs, binary features). The
-    estimator differs from k independent permutations (it is the
-    one-permutation scheme, unbiased for Jaccard with lower variance per
-    hash computed); candidate SETS therefore differ slightly from q51's —
-    both are verified against the same exact Jaccard step downstream."""
+    O(shingles x n_hashes) to O(shingles). Measured honestly (warm JIT,
+    full signature materialization, sf0.1): at the registered n=12 the
+    variants are EQUAL (2.3 vs 2.5 s), and at n=64 OPH is ~2.4x SLOWER —
+    in this engine JIT'd md5 over short shingles is nearly free, so the
+    saved hashing is outweighed by the struct materialization, map folds,
+    and per-slot extraction that OPH adds (Spark evaluates higher-order
+    functions interpreted, re-deriving the fold chain per projected
+    column). The value of this operator is therefore ALGORITHMIC coverage
+    — the one-permutation estimator (unbiased for Jaccard, different
+    variance profile than k independent permutations) whose candidate
+    sets feed the same exact-Jaccard verify — plus the honest measurement
+    itself: where hashing genuinely dominates (expensive hash functions,
+    pre-shingled binary features, engines that codegen lambdas), the
+    O(shingles) hash count is the win this scheme was designed for."""
     out = _shingle_col(df, text_col, k, "__sh").filter(F.size("__sh") > 0)
     # hash once, bucket once: the (bucket, hash) struct is computed per
     # shingle; everything after is O(shingles + n) PER ROW — per-bucket
