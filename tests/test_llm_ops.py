@@ -484,3 +484,51 @@ def test_oph_minhash_recovers_planted_neardups(spark):
     assert len(rows) > 0
     assert all(r.jaccard >= 0.8 for r in rows)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_oph_signatures_match_python_reference(spark):
+    """Independent reference check for the OPH scheme (the DuckDB oracle
+    shares the SQL formulation, so it can't catch a shared misreading):
+    hashlib md5 + first-two-nibbles bucket + per-bucket min + cyclic
+    borrow, implemented in plain Python over random word-salad docs, must
+    reproduce the Spark signatures byte-for-byte."""
+    import hashlib
+    import random
+
+    from discogs_load_spark.operators.dedup import oph_minhash_signatures
+
+    rng = random.Random(20260814)
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))))
+        for i in range(200)
+    ]
+    n = 12
+
+    def py_sig(text):
+        toks = text.split()
+        shingles = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if not shingles:
+            return None
+        mins = {}
+        for s in shingles:
+            m = hashlib.md5(s.encode()).hexdigest()
+            b = (int(m[0], 16) * 16 + int(m[1], 16)) % n
+            if b not in mins or m < mins[b]:
+                mins[b] = m
+        slots = [mins.get(j) for j in range(n)]
+        dens = []
+        for j in range(n):
+            for t in range(n):
+                if slots[(j + t) % n] is not None:
+                    dens.append(slots[(j + t) % n])
+                    break
+        return tuple(dens)
+
+    want = {i: py_sig(t) for i, t in rows if py_sig(t) is not None}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r[f"h{j}"] for j in range(n))
+        for r in oph_minhash_signatures(df, "doc_id", "text", n_hashes=n).collect()
+    }
+    assert got == want
