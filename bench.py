@@ -111,6 +111,18 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         for df in load_tables(spark, d).values():
             _materialize(df)
 
+    # warm q170's fixture->XML dump cache OUTSIDE the timed windows: the
+    # render is a one-time driver-side harness shim (the fixture must be
+    # turned into a dump file before ingest can be measured), not ingest
+    # work — and the fingerprint cache misses every round (the driver
+    # regenerates fixtures), so without this t1['q170'] and its published
+    # scale_x silently include the sf1 render while the sf0.1 side,
+    # warmed by the earlier suite sweep, never pays it
+    from discogs_load_spark.queries.shred import _q170_dump_path
+
+    for d in (sf_dir, SF1_DIR):
+        _q170_dump_path(load_tables(spark, d, ["documents"])["documents"], d)
+
     # pair each sf1 timing with a back-to-back sf0.1 timing of the same
     # query on this clean session — the suite-loop sf0.1 numbers are not
     # comparable (session churn inflates some, cache plan-matching

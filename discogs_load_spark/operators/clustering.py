@@ -310,4 +310,12 @@ def kmeans_two_level(
         id_col,
         (F.col("c1") * F.lit(k2) + F.col("c2")).cast("bigint").alias("cluster"),
     )
+    # materialize the (id, cluster) result — two narrow columns — so the
+    # corpus-sized base cache can be released NOW instead of pinning a
+    # full (id, c1, vec) copy in the storage pool for the session's life
+    # (this path only runs above SEM_TWO_LEVEL_MIN, where that copy is
+    # the biggest resident frame; the CC operator follows the same
+    # persist-then-unpersist discipline)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
     return out

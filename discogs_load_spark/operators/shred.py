@@ -51,7 +51,7 @@ def shred_releases(raw: DataFrame, persist: bool = True) -> dict[str, DataFrame]
     Duplicate-id records dedup at the RECORD grain before any table is
     derived, so child tables carry only the WINNING occurrence's children
     — a losing duplicate's labels/videos must not leak into the child
-    tables its parent was dropped from (they'd dangle or double). The
+    tables its parent was dropped from (they'd dangle or double).
     The deduped frame is persisted by default: all three outputs derive
     from it, and without the persist each materialization re-runs the
     dedup window. ``persist=False`` opts out for a caller consuming ONE

@@ -336,6 +336,18 @@ def _q170_dump_path(docs: DataFrame, sf_dir: str) -> str:
     )
     if os.path.exists(path):
         return path
+    # drop superseded caches for this fixture dir: the driver regenerates
+    # fixtures every round (new fingerprint), so without this each round
+    # leaks another multi-MB gzip in TMPDIR for the life of the machine
+    import glob
+
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"q170_releases_{base}_*.xml.gz")
+    ):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     # bounded: fixture documents table (5k rows at sf0.1), rendered once
     rows = docs.select("doc_id", "text", "lang").orderBy("doc_id").collect()
     tmp = f"{path}.part{os.getpid()}"
