@@ -105,7 +105,17 @@ def oph_bucket_sql(md5_expr: str, n_buckets: int) -> str:
     """One-permutation-hashing bucket index from an md5 hex string: the
     first two nibbles as an int 0..255, mod the bucket count. Pure
     instr/substring text, identical in both dialects (the SimHash nibble
-    recipe), so bucket assignment agrees byte-for-byte cross-engine."""
+    recipe), so bucket assignment agrees byte-for-byte cross-engine.
+
+    One byte of entropy caps the scheme at 256 buckets — past that,
+    buckets >= 256 could never receive a hash and densification would
+    silently copy lower slots into them, wrecking the estimator while
+    every slot still looks populated."""
+    if n_buckets > 256:
+        raise ValueError(
+            f"oph_bucket_sql routes on one md5 byte: n_buckets={n_buckets} > 256 "
+            "would leave permanently-empty buckets (widen the nibble count first)"
+        )
     n1 = f"(instr('0123456789abcdef', substring({md5_expr}, 1, 1)) - 1)"
     n2 = f"(instr('0123456789abcdef', substring({md5_expr}, 2, 1)) - 1)"
     return f"((({n1} * 16) + {n2}) % {n_buckets})"

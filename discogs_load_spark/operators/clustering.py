@@ -314,8 +314,11 @@ def kmeans_two_level(
     # corpus-sized base cache can be released NOW instead of pinning a
     # full (id, c1, vec) copy in the storage pool for the session's life
     # (this path only runs above SEM_TWO_LEVEL_MIN, where that copy is
-    # the biggest resident frame; the CC operator follows the same
-    # persist-then-unpersist discipline)
-    out = out.localCheckpoint(eager=True)
+    # the biggest resident frame). persist+count, NOT localCheckpoint: a
+    # checkpoint's truncated lineage is unrecoverable when an executor is
+    # lost on a real cluster, while a persisted frame recomputes from the
+    # (now-uncached, but intact) lineage
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # bounded: (id, cluster) pairs only
     base.unpersist()
     return out

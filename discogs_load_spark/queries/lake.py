@@ -517,7 +517,8 @@ def q164_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_rows,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
                AS n_with_source,
            COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END)
                AS n_sources

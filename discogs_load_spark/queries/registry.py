@@ -52,9 +52,10 @@ PRIORITY: list[str] = [
     # --- r06 gate window (first 50; the driver checks these) ---
     # Policy (VERDICT r05 item 1): changed-oracle queries first, then
     # the stalest greens. r05 burned its whole budget replaying the
-    # r04 window; this block instead banks (a) the round's five BRAND-NEW
+    # r04 window; this block instead banks (a) the round's six BRAND-NEW
     # queries (q170 pre-shard lineage, q171/q172 BPE train/apply, q173
-    # hybrid RRF, q174 schema evolution) and the two oracles that changed
+    # hybrid RRF, q174 schema evolution, q175 OPH MinHash) and the two
+    # oracles that changed
     # in r05/r06 (q71 closed-form BMP decode, q72 zero-frame edge), then
     # (b) the queries whose only driver row dates to ROUND 1 — three
     # rounds of shared-helper churn (functions/numeric.py, textfns.py)

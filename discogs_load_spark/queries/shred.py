@@ -338,14 +338,28 @@ def _q170_dump_path(docs: DataFrame, sf_dir: str) -> str:
         return path
     # drop superseded caches for this fixture dir: the driver regenerates
     # fixtures every round (new fingerprint), so without this each round
-    # leaks another multi-MB gzip in TMPDIR for the life of the machine
+    # leaks another multi-MB gzip in TMPDIR for the life of the machine.
+    # Guards: (a) a strict name regex so base='sf0.1' can never evict
+    # caches of a dir literally named 'sf0.1_x'; (b) only files older
+    # than an hour are removed, so a CONCURRENT process that just
+    # resolved its path via the exists() fast path cannot have the file
+    # deleted out from under its Spark tasks (the leak stays bounded to
+    # at most one superseded file per fixture regeneration)
     import glob
+    import re
+    import time
 
+    stale_re = re.compile(
+        rf"^q170_releases_{re.escape(base)}_\d+_\d+\.xml\.gz$"
+    )
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), f"q170_releases_{base}_*.xml.gz")
     ):
         try:
-            os.remove(stale)
+            if stale_re.match(os.path.basename(stale)) and (
+                time.time() - os.path.getmtime(stale) > 3600
+            ):
+                os.remove(stale)
         except OSError:
             pass
     # bounded: fixture documents table (5k rows at sf0.1), rendered once
