@@ -49,6 +49,11 @@ SF1_QUERIES = [
     # scale_x should track the token-count shuffle alone (~linear or below)
     "q171_bpe_merges",
     "q172_bpe_encode",
+    # RRF cost = its two arms (BM25 posting scan + brute-force dense);
+    # schema-evolution = two pruned scans + one rollup; OPH mirrors q51
+    "q173_hybrid_rrf",
+    "q174_schema_evolution",
+    "q175_oph_minhash_pairs",
 ]
 
 
