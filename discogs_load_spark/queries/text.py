@@ -1270,3 +1270,126 @@ def q172_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+GD_ROUNDS = 5
+GD_LR = "0.5"  # literal text so both engines fold the same constant
+
+
+def _gd_exprs(w: str, b: str) -> dict[str, str]:
+    """Shared per-row texts for one gradient step at weights (w, b).
+    The sigmoid is the RATIONAL fast-sigmoid 0.5 + z/(2*(1+|z|)) — same
+    monotone shape as logistic, but built from +,*,/,abs only, so the
+    per-row double arithmetic is bitwise identical in both engines
+    (exp() is NOT — libm vs JVM transcendentals differ in the last ulp,
+    the engine-determinism class this repo bans)."""
+    z = f"(({w}) * x + ({b}))"
+    p = f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
+    return {
+        "e": f"({p} - y)",
+        "ex": f"(({p} - y) * x)",
+        # p >= 0.5 <=> z >= 0 exactly (p is 0.5 + an odd monotone term)
+        "correct": f"(CASE WHEN ({z} >= 0) = (y = 1.0) THEN 1 ELSE 0 END)",
+    }
+
+
+def _gd_oracle() -> str:
+    """q176 referee: the same unrolled full-batch rounds as chained CTEs.
+    Each s{i} carries (w, b, n_correct) where n_correct is measured with
+    the PRE-update weights during the same corpus pass that computes the
+    decimal-exact gradient means."""
+    toks = _D_TOKS
+    hits = stopword_hits_sql(toks, STOPWORDS["en"], "duckdb")
+    head = f"""
+    WITH f AS MATERIALIZED (
+        SELECT CAST({hits} AS DOUBLE) / GREATEST(len({toks}), 1) AS x,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b)"""
+    steps = []
+    for i in range(GD_ROUNDS):
+        e = _gd_exprs("s.w", "s.b")
+        steps.append(f"""
+    s{i + 1} AS MATERIALIZED (
+        SELECT s.w - {GD_LR} * ({dec_avg_sql(e["ex"], "gw")[: -len(" AS gw")]}) AS w,
+               s.b - {GD_LR} * ({dec_avg_sql(e["e"], "gb")[: -len(" AS gb")]}) AS b,
+               CAST(SUM({e["correct"]}) AS BIGINT) AS n_correct
+        FROM f, s{i} s
+        GROUP BY s.w, s.b
+    )""")
+    tail = "\n    UNION ALL\n".join(
+        f"    SELECT {i + 1} AS round, w, b, n_correct FROM s{i + 1}"
+        for i in range(GD_ROUNDS)
+    )
+    return head + "," + ",".join(steps) + f"\n    SELECT * FROM (\n{tail}\n    ) ORDER BY round"
+
+
+@register(
+    "q176_quality_classifier",
+    oracle=_gd_oracle(),
+    tags=("text", "quality", "classifier", "iterative", "curation"),
+)
+def q176_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of a quality/language classifier — the
+    fastText-style curation step (train a cheap classifier, score the
+    corpus) as the FIFTH unrolled iterative algorithm under the value-
+    hash gate: 5 full-batch gradient-descent rounds on (stopword-ratio ->
+    is-English) with a RATIONAL fast sigmoid (0.5 + z/(2(1+|z|)) — same
+    monotone shape as logistic but +,*,/,abs only, so per-row doubles are
+    bitwise identical cross-engine; exp() would differ in the last ulp).
+    Gradient means are decimal-summed (order-insensitive); each round's
+    output row carries the post-update (w, b) and the n_correct measured
+    with pre-update weights during the same pass.
+
+    Scale shape: the feature frame (x, y — two doubles per doc) is
+    materialized ONCE from the corpus-sized tokenize pass and persisted
+    (the standard featurize-then-iterate ML layout); each round is then
+    one map-side-combinable aggregate over those two columns with the
+    1-row weight state broadcast in — no shuffle keyed by anything
+    corpus-sized, rounds cost one narrow scan each. The weight state is
+    eagerly checkpointed per round (the q130/q171 lineage discipline)."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_sql(norm_sql("text", "spark"), "spark")
+    hits = stopword_hits_sql(toks, STOPWORDS["en"], "spark")
+    f = docs.select(
+        F.expr(f"CAST({hits} AS DOUBLE) / GREATEST(size({toks}), 1)").alias("x"),
+        F.expr("CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END").alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    state = spark.range(1).select(
+        F.lit(0.0).cast("double").alias("w"), F.lit(0.0).cast("double").alias("b")
+    )
+    rows = []
+    for i in range(GD_ROUNDS):
+        e = _gd_exprs("w", "b")
+        gw = dec_avg_sql(e["ex"], "gw")[: -len(" AS gw")]
+        gb = dec_avg_sql(e["e"], "gb")[: -len(" AS gb")]
+        state = (
+            f.crossJoin(F.broadcast(state))
+            .groupBy("w", "b")
+            .agg(
+                F.expr(f"first(w) - {GD_LR} * ({gw})").alias("w2"),
+                F.expr(f"first(b) - {GD_LR} * ({gb})").alias("b2"),
+                F.expr(f"CAST(SUM({e['correct']}) AS BIGINT)").alias("n_correct"),
+            )
+            .select(
+                F.col("w2").alias("w"),
+                F.col("b2").alias("b"),
+                "n_correct",
+            )
+            # 1 row; branches (output + next round) — truncate lineage
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            state.select(
+                F.lit(i + 1).cast("int").alias("round"), "w", "b", "n_correct"
+            )
+        )
+        state = state.select("w", "b")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    f.unpersist()
+    return out.orderBy("round")

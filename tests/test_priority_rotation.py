@@ -90,10 +90,10 @@ def test_gate_window_does_not_replay_previous_round():
 def test_gate_window_leads_with_changed_or_new_oracles():
     """The r06 rebuild puts the round's never-driver-checked deliverables
     first: q170 (new), q171/q172 (new, BPE train/apply), q173 (new, RRF),
-    q174 (new, schema evolution), q175 (new, OPH MinHash), q71 (oracle
-    rewritten r05), q72 (oracle fixed r06). Update this list when a
-    future round changes other oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:8]
+    q174 (new, schema evolution), q175 (new, OPH MinHash), q176 (new,
+    GD classifier), q71 (oracle rewritten r05), q72 (oracle fixed r06).
+    Update this list when a future round changes other oracles."""
+    window = [n for n in PRIORITY if n in REGISTRY][:9]
     assert window == [
         "q170_preshard_ingest",
         "q171_bpe_merges",
@@ -101,6 +101,7 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q173_hybrid_rrf",
         "q174_schema_evolution",
         "q175_oph_minhash_pairs",
+        "q176_quality_classifier",
         "q71_multimodal_features",
         "q72_frame_sampling",
     ]
