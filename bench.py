@@ -54,6 +54,8 @@ SF1_QUERIES = [
     "q173_hybrid_rrf",
     "q174_schema_evolution",
     "q175_oph_minhash_pairs",
+    # GD classifier: one featurize pass + 5 narrow-scan rounds (~linear)
+    "q176_quality_classifier",
 ]
 
 

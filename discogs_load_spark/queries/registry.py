@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "q174_schema_evolution",
     "q175_oph_minhash_pairs",
     "q176_quality_classifier",
+    "q177_feature_auc",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

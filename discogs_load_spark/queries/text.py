@@ -1393,3 +1393,85 @@ def q176_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionAll(r)
     f.unpersist()
     return out.orderBy("round")
+
+
+def _auc_oracle() -> str:
+    toks = _D_TOKS
+    hits = stopword_hits_sql(toks, STOPWORDS["en"], "duckdb")
+    return f"""
+    WITH f AS (
+        SELECT CAST({hits} AS DOUBLE) / GREATEST(len({toks}), 1) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+        FROM f GROUP BY s
+    ),
+    c AS (
+        SELECT np, nn,
+               SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nn
+                   AS nn_below
+        FROM g
+    )
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * np * nn_below + np * nn) AS BIGINT) AS auc_num2,
+           CAST(SUM(2 * np * nn_below + np * nn) AS DOUBLE)
+               / (2.0 * SUM(np) * SUM(nn)) AS auc
+    FROM c
+    """
+
+
+@register(
+    "q177_feature_auc",
+    oracle=_auc_oracle(),
+    tags=("text", "quality", "evaluation", "auc"),
+)
+def q177_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the stopword-ratio feature against the is-English label
+    — the evaluation half of the q176 classifier story, computed EXACTLY
+    via Mann-Whitney pair counting with tie handling, no sampling and no
+    per-pair work: group by distinct score (np/nn per score), one window
+    over the GROUPED frame for the strictly-below negative count, then
+    AUC*2*n_pos*n_neg = sum(2*np*nn_below + np*nn) as a BIGINT — ties
+    contribute the standard half credit, and the single final division
+    is the only floating-point step, so the value is bitwise
+    reproducible.
+
+    Scale shape: one corpus-sized tokenize->groupBy(score) shuffle; the
+    single-partition window runs over DISTINCT scores, whose cardinality
+    is bounded by the (stopword-hits, token-count) integer domain — a
+    value-domain bound, not a corpus bound (the q124 top-N discipline's
+    cousin). At 100 TB this is one map-side-combinable aggregate plus a
+    domain-sized window."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_sql(norm_sql("text", "spark"), "spark")
+    hits = stopword_hits_sql(toks, STOPWORDS["en"], "spark")
+    f = docs.select(
+        F.expr(f"CAST({hits} AS DOUBLE) / GREATEST(size({toks}), 1)").alias("s"),
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y"),
+    )
+    g = f.groupBy("s").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "np", "nn", (F.sum("nn").over(w) - F.col("nn")).alias("nn_below")
+    )
+    num2 = F.sum(
+        F.lit(2) * F.col("np") * F.col("nn_below") + F.col("np") * F.col("nn")
+    )
+    return c.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        num2.cast("bigint").alias("auc_num2"),
+        (
+            num2.cast("double")
+            / (F.lit(2.0) * F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+    )

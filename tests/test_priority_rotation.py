@@ -90,10 +90,11 @@ def test_gate_window_does_not_replay_previous_round():
 def test_gate_window_leads_with_changed_or_new_oracles():
     """The r06 rebuild puts the round's never-driver-checked deliverables
     first: q170 (new), q171/q172 (new, BPE train/apply), q173 (new, RRF),
-    q174 (new, schema evolution), q175 (new, OPH MinHash), q176 (new,
-    GD classifier), q71 (oracle rewritten r05), q72 (oracle fixed r06).
-    Update this list when a future round changes other oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:9]
+    q174 (new, schema evolution), q175 (new, OPH MinHash), q176/q177
+    (new, GD classifier + AUC eval), q71 (oracle rewritten r05), q72
+    (oracle fixed r06). Update this list when a future round changes
+    other oracles."""
+    window = [n for n in PRIORITY if n in REGISTRY][:10]
     assert window == [
         "q170_preshard_ingest",
         "q171_bpe_merges",
@@ -102,6 +103,7 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q174_schema_evolution",
         "q175_oph_minhash_pairs",
         "q176_quality_classifier",
+        "q177_feature_auc",
         "q71_multimodal_features",
         "q72_frame_sampling",
     ]
