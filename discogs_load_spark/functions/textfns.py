@@ -177,6 +177,17 @@ def stopword_hits_sql(toks: str, words: list[str], dialect: str) -> str:
     return f"size(filter({toks}, t -> t IN ({lst})))"
 
 
+def stopword_ratio_sql(toks: str, words: list[str], dialect: str) -> str:
+    """Stopword hits / token count (>=1 guard), as DOUBLE — the shared
+    feature/score fragment for the classifier-training (q176) and
+    AUC-evaluation (q177) pair, which must stay bitwise identical."""
+    length = "len" if dialect == "duckdb" else "size"
+    return (
+        f"(CAST({stopword_hits_sql(toks, words, dialect)} AS DOUBLE)"
+        f" / GREATEST({length}({toks}), 1))"
+    )
+
+
 def token_count_sql(text_col: str, dialect: str) -> str:
     """BPE-ish token count: alpha runs, digit runs, single punctuation.
 

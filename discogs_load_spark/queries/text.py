@@ -15,6 +15,7 @@ from ..functions.textfns import (
     norm_sql,
     rolling_hash_min_sql,
     stopword_hits_sql,
+    stopword_ratio_sql,
     token_count_sql,
     tokens_sql,
 )
@@ -1298,11 +1299,10 @@ def _gd_oracle() -> str:
     Each s{i} carries (w, b, n_correct) where n_correct is measured with
     the PRE-update weights during the same corpus pass that computes the
     decimal-exact gradient means."""
-    toks = _D_TOKS
-    hits = stopword_hits_sql(toks, STOPWORDS["en"], "duckdb")
+    x = stopword_ratio_sql(_D_TOKS, STOPWORDS["en"], "duckdb")
     head = f"""
     WITH f AS MATERIALIZED (
-        SELECT CAST({hits} AS DOUBLE) / GREATEST(len({toks}), 1) AS x,
+        SELECT {x} AS x,
                CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
         FROM documents
     ),
@@ -1312,8 +1312,8 @@ def _gd_oracle() -> str:
         e = _gd_exprs("s.w", "s.b")
         steps.append(f"""
     s{i + 1} AS MATERIALIZED (
-        SELECT s.w - {GD_LR} * ({dec_avg_sql(e["ex"], "gw")[: -len(" AS gw")]}) AS w,
-               s.b - {GD_LR} * ({dec_avg_sql(e["e"], "gb")[: -len(" AS gb")]}) AS b,
+        SELECT s.w - {GD_LR} * ({dec_avg_sql(e["ex"], "gw").rsplit(" AS ", 1)[0]}) AS w,
+               s.b - {GD_LR} * ({dec_avg_sql(e["e"], "gb").rsplit(" AS ", 1)[0]}) AS b,
                CAST(SUM({e["correct"]}) AS BIGINT) AS n_correct
         FROM f, s{i} s
         GROUP BY s.w, s.b
@@ -1353,9 +1353,8 @@ def q176_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = tokens_sql(norm_sql("text", "spark"), "spark")
-    hits = stopword_hits_sql(toks, STOPWORDS["en"], "spark")
     f = docs.select(
-        F.expr(f"CAST({hits} AS DOUBLE) / GREATEST(size({toks}), 1)").alias("x"),
+        F.expr(stopword_ratio_sql(toks, STOPWORDS["en"], "spark")).alias("x"),
         F.expr("CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END").alias("y"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     state = spark.range(1).select(
@@ -1364,8 +1363,8 @@ def q176_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for i in range(GD_ROUNDS):
         e = _gd_exprs("w", "b")
-        gw = dec_avg_sql(e["ex"], "gw")[: -len(" AS gw")]
-        gb = dec_avg_sql(e["e"], "gb")[: -len(" AS gb")]
+        gw = dec_avg_sql(e["ex"], "gw").rsplit(" AS ", 1)[0]
+        gb = dec_avg_sql(e["e"], "gb").rsplit(" AS ", 1)[0]
         state = (
             f.crossJoin(F.broadcast(state))
             .groupBy("w", "b")
@@ -1396,11 +1395,10 @@ def q176_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _auc_oracle() -> str:
-    toks = _D_TOKS
-    hits = stopword_hits_sql(toks, STOPWORDS["en"], "duckdb")
+    s = stopword_ratio_sql(_D_TOKS, STOPWORDS["en"], "duckdb")
     return f"""
     WITH f AS (
-        SELECT CAST({hits} AS DOUBLE) / GREATEST(len({toks}), 1) AS s,
+        SELECT {s} AS s,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         FROM documents
     ),
@@ -1411,15 +1409,19 @@ def _auc_oracle() -> str:
     ),
     c AS (
         SELECT np, nn,
-               SUM(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - nn
-                   AS nn_below
+               SUM(nn) OVER (ORDER BY s NULLS LAST ROWS UNBOUNDED PRECEDING)
+                   - nn AS nn_below
         FROM g
     )
     SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
            CAST(SUM(nn) AS BIGINT) AS n_neg,
-           CAST(SUM(2 * np * nn_below + np * nn) AS BIGINT) AS auc_num2,
-           CAST(SUM(2 * np * nn_below + np * nn) AS DOUBLE)
-               / (2.0 * SUM(np) * SUM(nn)) AS auc
+           CAST(SUM(CAST(np AS DECIMAL(38,0)) * (2 * nn_below + nn))
+                AS DOUBLE) AS auc_num2,
+           CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL
+                ELSE CAST(SUM(CAST(np AS DECIMAL(38,0)) * (2 * nn_below + nn))
+                          AS DOUBLE)
+                     / (2.0 * CAST(SUM(np) AS DOUBLE)
+                            * CAST(SUM(nn) AS DOUBLE)) END AS auc
     FROM c
     """
 
@@ -1431,14 +1433,21 @@ def _auc_oracle() -> str:
 )
 def q177_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC of the stopword-ratio feature against the is-English label
-    — the evaluation half of the q176 classifier story, computed EXACTLY
-    via Mann-Whitney pair counting with tie handling, no sampling and no
-    per-pair work: group by distinct score (np/nn per score), one window
-    over the GROUPED frame for the strictly-below negative count, then
-    AUC*2*n_pos*n_neg = sum(2*np*nn_below + np*nn) as a BIGINT — ties
-    contribute the standard half credit, and the single final division
-    is the only floating-point step, so the value is bitwise
-    reproducible.
+    — the evaluation half of the q176 classifier story (the score text is
+    the SHARED stopword_ratio_sql fragment, so feature and evaluation can
+    never drift apart) — computed EXACTLY via Mann-Whitney pair counting
+    with tie handling, no sampling and no per-pair work: group by
+    distinct score (np/nn per score), one window over the GROUPED frame
+    for the strictly-below negative count (ordered NULLS LAST explicitly
+    — Spark defaults NULLS FIRST, DuckDB LAST, and a NULL-text score
+    group must shift nn_below identically in both engines), then
+    2*AUC*n_pos*n_neg = sum(np * (2*nn_below + nn)) accumulated in
+    DECIMAL(38,0) — BIGINT products overflow past ~4e9 docs; the decimal
+    widening is the dec_var_sql recipe — with ties contributing the
+    standard half credit. The numerator is rendered as DOUBLE (exact to
+    2^53; the decimal accumulation itself is exact at any scale) and the
+    AUC division is NULL-guarded for single-class corpora (ANSI Spark
+    raises on /0 where DuckDB yields NULL).
 
     Scale shape: one corpus-sized tokenize->groupBy(score) shuffle; the
     single-partition window runs over DISTINCT scores, whose cardinality
@@ -1450,28 +1459,36 @@ def q177_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = tokens_sql(norm_sql("text", "spark"), "spark")
-    hits = stopword_hits_sql(toks, STOPWORDS["en"], "spark")
     f = docs.select(
-        F.expr(f"CAST({hits} AS DOUBLE) / GREATEST(size({toks}), 1)").alias("s"),
+        F.expr(stopword_ratio_sql(toks, STOPWORDS["en"], "spark")).alias("s"),
         F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y"),
     )
     g = f.groupBy("s").agg(
         F.sum("y").cast("bigint").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("nn"),
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.orderBy(F.col("s").asc_nulls_last()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     c = g.select(
         "np", "nn", (F.sum("nn").over(w) - F.col("nn")).alias("nn_below")
     )
     num2 = F.sum(
-        F.lit(2) * F.col("np") * F.col("nn_below") + F.col("np") * F.col("nn")
+        F.expr("CAST(np AS DECIMAL(38,0)) * (2 * nn_below + nn)")
+    )
+    auc = F.when(
+        (F.sum("np") == 0) | (F.sum("nn") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        num2.cast("double")
+        / (
+            F.lit(2.0)
+            * F.sum("np").cast("double")
+            * F.sum("nn").cast("double")
+        )
     )
     return c.agg(
         F.sum("np").cast("bigint").alias("n_pos"),
         F.sum("nn").cast("bigint").alias("n_neg"),
-        num2.cast("bigint").alias("auc_num2"),
-        (
-            num2.cast("double")
-            / (F.lit(2.0) * F.sum("np") * F.sum("nn"))
-        ).alias("auc"),
+        num2.cast("double").alias("auc_num2"),
+        auc.alias("auc"),
     )

@@ -532,3 +532,57 @@ def test_oph_signatures_match_python_reference(spark):
         for r in oph_minhash_signatures(df, "doc_id", "text", n_hashes=n).collect()
     }
     assert got == want
+
+
+def test_q177_single_class_and_null_text_edges(spark, duck, tmp_path):
+    """q177 must agree cross-engine on the two edges the review flagged:
+    a single-class corpus (AUC undefined -> NULL, not an ANSI /0 crash)
+    and a NULL-text row (NULL score group — Spark defaults NULLS FIRST in
+    window order, DuckDB NULLS LAST; the explicit NULLS LAST pin must
+    make nn_below identical)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+
+    spec = REGISTRY["q177_feature_auc"]
+
+    def run(docs):
+        sf_dir = tmp_path / f"sf_{len(list(tmp_path.iterdir()))}"
+        sf_dir.mkdir()
+        pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+        srows = [tuple(r) for r in spec.fn(spark, str(sf_dir)).collect()]
+        duck.execute(
+            f"CREATE OR REPLACE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir / 'documents.parquet'}'"
+        )
+        drows = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+        assert srows == drows
+        return srows[0]
+
+    # single-class: every doc French -> n_pos = 0 -> auc NULL, no crash
+    one_class = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["le chat et la mer", "la mer et le vent"],
+            "lang": ["fr", "fr"],
+            "source": ["t"] * 2,
+            "n_chars": [17, 17],
+        }
+    )
+    n_pos, n_neg, num2, auc = run(one_class)
+    assert (n_pos, n_neg) == (0, 2) and auc is None
+
+    # NULL text -> NULL score group; explicit NULLS LAST keeps parity
+    with_null = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["the cat and the dog", None, "xyz qrs tuv", "the the a"],
+            "lang": ["en", "en", "fr", "en"],
+            "source": ["t"] * 4,
+            "n_chars": [19, 0, 11, 9],
+        }
+    )
+    n_pos, n_neg, num2, auc = run(with_null)
+    assert n_pos == 3 and n_neg == 1
