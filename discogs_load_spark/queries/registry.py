@@ -72,6 +72,7 @@ PRIORITY: list[str] = [
     "q175_oph_minhash_pairs",
     "q176_quality_classifier",
     "q177_feature_auc",
+    "q178_kneser_ney",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

@@ -1492,3 +1492,105 @@ def q177_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         num2.cast("double").alias("auc_num2"),
         auc.alias("auc"),
     )
+
+
+KN_D = "0.75"  # the standard Kneser-Ney discount; 3/4 is EXACT in binary
+KN_TOP = 50
+
+
+def _kn_pkn_expr(c2: str, c1: str, n1f: str, n1b: str, dd: str) -> str:
+    """Interpolated-KN probability as ONE shared text: identical
+    association order in both engines (the two algebraic forms of the
+    formula differ in floating point)."""
+    return (
+        f"((GREATEST(CAST({c2} AS DOUBLE) - {KN_D}, 0.0)"
+        f" + {KN_D} * CAST({n1f} AS DOUBLE)"
+        f" * (CAST({n1b} AS DOUBLE) / CAST({dd} AS DOUBLE)))"
+        f" / CAST({c1} AS DOUBLE))"
+    )
+
+
+@register(
+    "q178_kneser_ney",
+    oracle=f"""
+    WITH bg AS (
+        SELECT unnest({_BG2}) AS bigram FROM documents
+    ),
+    c AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c2
+        FROM bg GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT w1, w2, c2,
+               CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+               CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1f,
+               CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1b,
+               CAST(COUNT(*) OVER () AS BIGINT) AS dd
+        FROM c
+    )
+    SELECT w1, w2, c2, n1f, n1b,
+           {_kn_pkn_expr("c2", "c1", "n1f", "n1b", "dd")} AS p_kn
+    FROM s
+    ORDER BY c2 DESC, w1, w2
+    LIMIT {KN_TOP}
+    """,
+    tags=("text", "ngram-lm", "kneser-ney", "smoothing"),
+)
+def q178_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995) —
+    the canonical LM-smoothing algorithm, upgrading q146's raw-MLE
+    bigram table: P_KN(w2|w1) = (max(c-d,0) + d * N1+(w1.) *
+    Pcont(w2)) / c(w1) with Pcont(w2) = N1+(.w2)/|bigram types| and the
+    standard discount d = 0.75 — EXACT in binary, and every other term
+    is an integer count, so the single shared expression text evaluates
+    bitwise identically in both engines (the two algebraic layouts of
+    the formula differ in the last ulp; both sides use the same one).
+
+    Scale shape: one corpus-sized bigram-count shuffle (q144's shape);
+    the three continuation statistics are windows over the COUNT frame
+    (vocabulary-squared bound, not corpus) sharing two partition
+    exchanges (w1 carries c1+n1f in one frame); the |types| denominator
+    is a COUNT() OVER () on the same frame; top-K is
+    TakeOrderedAndProject with the (c2 DESC, w1, w2) tie-break."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        F.explode(F.expr(doc_shingles_sql("text", 2, "spark"))).alias("bigram")
+    )
+    sp = F.split(F.col("bigram"), " ")
+    c = (
+        bg.select(sp.getItem(0).alias("w1"), sp.getItem(1).alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    w1w = W.partitionBy("w1")
+    w2w = W.partitionBy("w2")
+    # |bigram types| as a broadcast 1-row aggregate, NOT COUNT() OVER ()
+    # — an empty-partition window would drag the whole count frame into
+    # one partition (the oracle's OVER () is fine: DuckDB runs on one
+    # node anyway; values are identical)
+    dd = c.agg(F.count(F.lit(1)).cast("bigint").alias("dd"))
+    s = c.crossJoin(F.broadcast(dd)).select(
+        "w1",
+        "w2",
+        "c2",
+        F.sum("c2").over(w1w).cast("bigint").alias("c1"),
+        F.count(F.lit(1)).over(w1w).cast("bigint").alias("n1f"),
+        F.count(F.lit(1)).over(w2w).cast("bigint").alias("n1b"),
+        "dd",
+    )
+    return (
+        s.select(
+            "w1",
+            "w2",
+            "c2",
+            "n1f",
+            "n1b",
+            F.expr(_kn_pkn_expr("c2", "c1", "n1f", "n1b", "dd")).alias("p_kn"),
+        )
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(KN_TOP)
+    )
