@@ -586,3 +586,104 @@ def test_q177_single_class_and_null_text_edges(spark, duck, tmp_path):
     )
     n_pos, n_neg, num2, auc = run(with_null)
     assert n_pos == 3 and n_neg == 1
+
+
+def test_q177_auc_matches_bruteforce_pair_counting(spark, tmp_path):
+    """Independent reference for the grouped Mann-Whitney formulation:
+    brute-force O(n^2) pair counting over the raw rows (1 per win, 0.5
+    per tie) must equal the query's AUC exactly on a random corpus."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+
+    rng = random.Random(20260815)
+    words = ["the", "a", "of", "und", "der", "le", "xyz", "qrs", "data"]
+    rows = []
+    for i in range(120):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        rows.append((i, text, rng.choice(["en", "de", "fr"]), "t", len(text)))
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = tmp_path / "sfauc"
+    sf_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+
+    out = REGISTRY["q177_feature_auc"].fn(spark, str(sf_dir)).collect()[0]
+
+    # python reference: same normalization/tokenization as the engine
+    import re as _re
+
+    def score(t):
+        norm = _re.sub(r" +", " ", _re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        toks = norm.split(" ") if norm else []
+        hits = sum(1 for w in toks if w in ("the", "a", "and", "of", "to", "in", "is"))
+        return hits / max(len(toks), 1)
+
+    pts = [(score(t), 1 if lang == "en" else 0) for _, t, lang, _, _ in rows]
+    pos = [s for s, y in pts if y == 1]
+    neg = [s for s, y in pts if y == 0]
+    num = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert abs(out["auc"] - num / (len(pos) * len(neg))) < 1e-12
+
+
+def test_q178_kneser_ney_matches_python_reference(spark, tmp_path):
+    """Independent reference for the KN smoothing algebra: plain-Python
+    interpolated KN over the same bigram counts must reproduce every
+    emitted probability (to float tolerance — the reference associates
+    differently on purpose; the ORACLE pins the bitwise text)."""
+    import random
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(80):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 20)))
+        rows.append((i, text, "en", "t", len(text)))
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = tmp_path / "sfkn"
+    sf_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+
+    got = REGISTRY["q178_kneser_ney"].fn(spark, str(sf_dir)).collect()
+
+    c2 = Counter()
+    for _, text, _, _, _ in rows:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (a, b), n in c2.items():
+        c1[a] += n
+        n1f[a] += 1
+        n1b[b] += 1
+    D = len(c2)
+    for r in got:
+        w1, w2 = r["w1"], r["w2"]
+        assert r["c2"] == c2[(w1, w2)]
+        assert r["n1f"] == n1f[w1] and r["n1b"] == n1b[w2]
+        want = (
+            max(c2[(w1, w2)] - 0.75, 0.0)
+            + 0.75 * n1f[w1] * (n1b[w2] / D)
+        ) / c1[w1]
+        assert abs(r["p_kn"] - want) < 1e-12
+    # sanity: probabilities over each emitted w1 stay in (0, 1]
+    assert all(0.0 < r["p_kn"] <= 1.0 for r in got)
