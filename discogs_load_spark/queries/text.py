@@ -1561,10 +1561,17 @@ def q178_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(doc_shingles_sql("text", 2, "spark"))).alias("bigram")
     )
     sp = F.split(F.col("bigram"), " ")
+    from pyspark.storagelevel import StorageLevel
+
     c = (
         bg.select(sp.getItem(0).alias("w1"), sp.getItem(1).alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        # bounded: vocabulary-squared count frame. BOTH the |types|
+        # aggregate below and the window pass consume this frame; without
+        # the persist the corpus explode+shuffle runs once per branch
+        # (keys-only aggregates block exchange reuse — plan-verified)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w1w = W.partitionBy("w1")
     w2w = W.partitionBy("w2")

@@ -637,8 +637,12 @@ def test_q177_auc_matches_bruteforce_pair_counting(spark, tmp_path):
 def test_q178_kneser_ney_matches_python_reference(spark, tmp_path):
     """Independent reference for the KN smoothing algebra: plain-Python
     interpolated KN over the same bigram counts must reproduce every
-    emitted probability (to float tolerance — the reference associates
-    differently on purpose; the ORACLE pins the bitwise text)."""
+    emitted probability to 1e-12 (the reference DISTRIBUTES the division
+    — a genuinely different association order, so agreement checks the
+    math, not the expression text; the ORACLE pins the bitwise text) AND
+    the emitted rows must be exactly the true top-50 selection under
+    (c2 DESC, w1, w2) — parity alone can't catch an ordering-spec
+    mistake because both dialects share the same ORDER BY text."""
     import random
     from collections import Counter
 
@@ -680,10 +684,14 @@ def test_q178_kneser_ney_matches_python_reference(spark, tmp_path):
         w1, w2 = r["w1"], r["w2"]
         assert r["c2"] == c2[(w1, w2)]
         assert r["n1f"] == n1f[w1] and r["n1b"] == n1b[w2]
-        want = (
-            max(c2[(w1, w2)] - 0.75, 0.0)
-            + 0.75 * n1f[w1] * (n1b[w2] / D)
-        ) / c1[w1]
+        # deliberately different association: distribute the division
+        want = max(c2[(w1, w2)] - 0.75, 0.0) / c1[w1] + (
+            0.75 * n1f[w1] * n1b[w2]
+        ) / (D * c1[w1])
         assert abs(r["p_kn"] - want) < 1e-12
     # sanity: probabilities over each emitted w1 stay in (0, 1]
     assert all(0.0 < r["p_kn"] <= 1.0 for r in got)
+    # the emitted rows must be the TRUE top-50 under (c2 DESC, w1, w2)
+    ref_order = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    want_keys = [k for k, _ in ref_order[: len(got)]]
+    assert [(r["w1"], r["w2"]) for r in got] == want_keys
