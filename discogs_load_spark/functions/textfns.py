@@ -265,3 +265,18 @@ def rolling_hash_min_sql(s: str, dialect: str, k: int = RH_K) -> str:
         f"(acc, i) -> named_struct('h', {nh}, 'mn', least(acc.mn, {nh})), "
         f"acc -> acc.mn) END)"
     )
+
+
+def hex_prefix_num_sql(hex_expr: str, n_chars: int = 8) -> str:
+    """First ``n_chars`` hex chars of an md5 string as a BIGINT in
+    [0, 16^n): a nibble-weighted instr sum, identical text in both
+    dialects (the SimHash recipe). 8 chars = 32 bits of uniform hash —
+    the KMV estimator's numeric domain."""
+    terms = " + ".join(
+        # widen the nibble BEFORE the weight multiply: 15 * 16^7 overflows
+        # INT32 and ANSI Spark raises instead of wrapping
+        f"CAST(instr('0123456789abcdef', substring({hex_expr}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
+    )
+    return f"CAST({terms} AS BIGINT)"

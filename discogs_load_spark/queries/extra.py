@@ -648,3 +648,95 @@ def q167_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("duplicate_order_keys", dups))
         .unionByName(row("null_order_dates", nulldates))
     )
+
+
+KMV_K = 16
+KMV_DOMAIN = "4294967296.0"  # 16^8: the 8-hex-char uniform hash domain
+
+
+def _kmv_oracle() -> str:
+    from ..functions.textfns import hex_prefix_num_sql
+
+    return f"""
+    WITH d0 AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+    scoped AS (
+        SELECT source, h FROM d0
+        UNION ALL
+        SELECT 'ALL' AS source, h FROM (SELECT DISTINCT h FROM d0)
+    ),
+    ranked AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM scoped
+    ),
+    kth AS (
+        SELECT source, {hex_prefix_num_sql("h")} AS kth_num
+        FROM ranked WHERE rn = {KMV_K}
+    ),
+    counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM scoped GROUP BY source
+    )
+    SELECT c.source AS scope, c.n_exact, k.kth_num,
+           CASE WHEN c.n_exact < {KMV_K} THEN CAST(c.n_exact AS DOUBLE)
+                ELSE {KMV_K - 1} * {KMV_DOMAIN}
+                     / NULLIF(CAST(k.kth_num AS DOUBLE), 0.0) END AS est_kmv
+    FROM counts c LEFT JOIN kth k ON c.source = k.source
+    ORDER BY scope
+    """
+
+
+@register(
+    "q179_kmv_sketch",
+    oracle=_kmv_oracle(),
+    tags=("sketch", "distinct-count", "kmv", "mergeable"),
+)
+def q179_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002) per
+    source plus the MERGED estimate — the deterministic counterpart to
+    q157's rows-only HLL: a KMV sketch is just the k lexicographically
+    smallest md5 values, so sketching, merging (min-k of the union), and
+    the estimate (k-1) * domain / kth_min are all EXACT functions of the
+    input set and hash-green cross-engine, unlike HLL register layouts.
+    Scopes with fewer than k distinct values report the exact count (the
+    standard KMV rule).
+
+    Scale shape: one distinct shuffle on (source, md5), then the bottom-k
+    rank filter keeps only k rows per scope through the window exchange
+    (the capped-rollup discipline — the rn <= k predicate lets Spark push
+    a WindowGroupLimit below the exchange), and the exact counts ride a
+    map-side-combinable aggregate on the same frame. The 'ALL' scope is
+    the union-merge of the per-source sketches computed from the same
+    distinct frame — mergeability is the point of the sketch."""
+    from ..functions.textfns import hex_prefix_num_sql
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d0 = docs.select("source", F.md5("text").alias("h")).distinct()
+    scoped = d0.unionByName(
+        d0.select("h").distinct().select(F.lit("ALL").alias("source"), "h")
+    )
+    w = W.partitionBy("source").orderBy("h")
+    capped = scoped.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    kth = capped.filter(F.col("rn") == KMV_K).select(
+        "source", F.expr(hex_prefix_num_sql("h")).alias("kth_num")
+    )
+    counts = scoped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = F.expr(
+        f"CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE) "
+        f"ELSE {KMV_K - 1} * {KMV_DOMAIN} "
+        f"/ NULLIF(CAST(kth_num AS DOUBLE), 0.0) END"
+    )
+    return (
+        counts.join(kth, "source", "left")
+        .select(
+            F.col("source").alias("scope"),
+            "n_exact",
+            "kth_num",
+            est.alias("est_kmv"),
+        )
+        .orderBy("scope")
+    )

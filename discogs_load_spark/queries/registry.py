@@ -73,6 +73,7 @@ PRIORITY: list[str] = [
     "q176_quality_classifier",
     "q177_feature_auc",
     "q178_kneser_ney",
+    "q179_kmv_sketch",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

@@ -695,3 +695,25 @@ def test_q178_kneser_ney_matches_python_reference(spark, tmp_path):
     ref_order = sorted(c2.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
     want_keys = [k for k, _ in ref_order[: len(got)]]
     assert [(r["w1"], r["w2"]) for r in got] == want_keys
+
+
+def test_q179_kmv_estimates_within_error_band(spark):
+    """The KMV estimate must land within the sketch's statistical band:
+    stderr ~ 1/sqrt(k-1) ~ 26% at k=16, so a factor-2 assert has huge
+    margin while still catching a broken estimator (wrong domain scale,
+    off-by-one kth, un-merged union); scopes under k must report exact."""
+    from discogs_load_spark.queries import REGISTRY
+    from .conftest import SF_SMALL
+
+    rows = {r["scope"]: r for r in
+            REGISTRY["q179_kmv_sketch"].fn(spark, SF_SMALL).collect()}
+    assert "ALL" in rows
+    for scope, r in rows.items():
+        if r["n_exact"] < 16:
+            assert r["est_kmv"] == float(r["n_exact"])
+        else:
+            assert r["n_exact"] / 2 <= r["est_kmv"] <= r["n_exact"] * 2, (
+                scope, r["n_exact"], r["est_kmv"])
+    # merged scope covers at least the largest shard
+    assert rows["ALL"]["n_exact"] >= max(
+        r["n_exact"] for s, r in rows.items() if s != "ALL")

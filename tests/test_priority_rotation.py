@@ -91,10 +91,10 @@ def test_gate_window_leads_with_changed_or_new_oracles():
     """The r06 rebuild puts the round's never-driver-checked deliverables
     first: q170 (new), q171/q172 (new, BPE train/apply), q173 (new, RRF),
     q174 (new, schema evolution), q175 (new, OPH MinHash), q176/q177
-    (new, GD classifier + AUC eval), q178 (new, Kneser-Ney), q71 (oracle
-    rewritten r05), q72 (oracle fixed r06). Update this list when a
-    future round changes other oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:11]
+    (new, GD classifier + AUC eval), q178 (new, Kneser-Ney), q179 (new,
+    KMV sketch), q71 (oracle rewritten r05), q72 (oracle fixed r06).
+    Update this list when a future round changes other oracles."""
+    window = [n for n in PRIORITY if n in REGISTRY][:12]
     assert window == [
         "q170_preshard_ingest",
         "q171_bpe_merges",
@@ -105,6 +105,7 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q176_quality_classifier",
         "q177_feature_auc",
         "q178_kneser_ney",
+        "q179_kmv_sketch",
         "q71_multimodal_features",
         "q72_frame_sampling",
     ]
