@@ -651,7 +651,8 @@ def q167_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMV_K = 16
-KMV_DOMAIN = "4294967296.0"  # 16^8: the 8-hex-char uniform hash domain
+KMV_HEX_CHARS = 8  # uniform-hash prefix width; the domain derives from it
+KMV_DOMAIN = repr(float(16 ** KMV_HEX_CHARS))  # 16^8 — tied to the width
 
 
 def _kmv_oracle() -> str:
@@ -670,7 +671,7 @@ def _kmv_oracle() -> str:
         FROM scoped
     ),
     kth AS (
-        SELECT source, {hex_prefix_num_sql("h")} AS kth_num
+        SELECT source, {hex_prefix_num_sql("h", KMV_HEX_CHARS)} AS kth_num
         FROM ranked WHERE rn = {KMV_K}
     ),
     counts AS (
@@ -710,17 +711,28 @@ def q179_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct frame — mergeability is the point of the sketch."""
     from ..functions.textfns import hex_prefix_num_sql
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    d0 = docs.select("source", F.md5("text").alias("h")).distinct()
+    # bounded: distinct (source, md5) pairs. d0 feeds BOTH union branches
+    # and scoped feeds BOTH the rank filter and the count aggregate —
+    # without the persists the documents scan + md5 + distinct shuffle
+    # re-derives once per branch (the q176 shared-frame rule)
+    d0 = (
+        docs.select("source", F.md5("text").alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     scoped = d0.unionByName(
         d0.select("h").distinct().select(F.lit("ALL").alias("source"), "h")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = W.partitionBy("source").orderBy("h")
     capped = scoped.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KMV_K
     )
     kth = capped.filter(F.col("rn") == KMV_K).select(
-        "source", F.expr(hex_prefix_num_sql("h")).alias("kth_num")
+        "source",
+        F.expr(hex_prefix_num_sql("h", KMV_HEX_CHARS)).alias("kth_num"),
     )
     counts = scoped.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")

@@ -701,19 +701,61 @@ def test_q179_kmv_estimates_within_error_band(spark):
     """The KMV estimate must land within the sketch's statistical band:
     stderr ~ 1/sqrt(k-1) ~ 26% at k=16, so a factor-2 assert has huge
     margin while still catching a broken estimator (wrong domain scale,
-    off-by-one kth, un-merged union); scopes under k must report exact."""
+    off-by-one kth, un-merged union)."""
     from discogs_load_spark.queries import REGISTRY
+    from discogs_load_spark.queries.extra import KMV_K
     from .conftest import SF_SMALL
 
     rows = {r["scope"]: r for r in
             REGISTRY["q179_kmv_sketch"].fn(spark, SF_SMALL).collect()}
     assert "ALL" in rows
+    # every SF_SMALL scope exceeds k, so the ratio path is what runs here
+    # (the under-k branch gets its own fixture test below)
     for scope, r in rows.items():
-        if r["n_exact"] < 16:
-            assert r["est_kmv"] == float(r["n_exact"])
-        else:
-            assert r["n_exact"] / 2 <= r["est_kmv"] <= r["n_exact"] * 2, (
-                scope, r["n_exact"], r["est_kmv"])
+        assert r["n_exact"] >= KMV_K
+        assert r["n_exact"] / 2 <= r["est_kmv"] <= r["n_exact"] * 2, (
+            scope, r["n_exact"], r["est_kmv"])
     # merged scope covers at least the largest shard
     assert rows["ALL"]["n_exact"] >= max(
         r["n_exact"] for s, r in rows.items() if s != "ALL")
+
+
+def test_q179_kmv_under_k_scopes_report_exact(spark, duck, tmp_path):
+    """A scope with fewer than k distinct hashes must report the EXACT
+    count (the standard KMV rule) — exercised with a real fixture, since
+    no driver-fixture scope is ever under k; cross-engine parity is
+    asserted on the same corpus."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+    from discogs_load_spark.queries.extra import KMV_K
+
+    n_small, n_big = 5, KMV_K + 9
+    rows = []
+    for i in range(n_small):
+        rows.append((i, f"small doc {i}", "en", "tiny", 10))
+    for i in range(n_big):
+        rows.append((100 + i, f"big doc {i}", "en", "big", 10))
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = tmp_path / "sfkmv"
+    sf_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+
+    spec = REGISTRY["q179_kmv_sketch"]
+    srows = [tuple(r) for r in spec.fn(spark, str(sf_dir)).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir / 'documents.parquet'}'"
+    )
+    drows = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+    assert srows == drows
+    by = {r[0]: r for r in srows}
+    # under-k scope: exact count, no kth hash
+    assert by["tiny"][1] == n_small
+    assert by["tiny"][2] is None and by["tiny"][3] == float(n_small)
+    # at/over-k scope: the ratio path with a real kth
+    assert by["big"][1] == n_big and by["big"][2] is not None
