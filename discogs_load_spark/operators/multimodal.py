@@ -221,10 +221,26 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def render_procedural_bmp(
-    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    seed_col: str | None = None,
+    wrap: int = 256,
+    shift_col: str | None = None,
 ) -> DataFrame:
     """(id, payload) — synthesize one 24-bit BMP per row with pixel
-    channel k (top-down row-major RGB linear index) = (id*31 + k) % 256.
+    channel k (top-down row-major RGB linear index) =
+    (seed*31 + k) % wrap + shift, where seed defaults to the id itself,
+    wrap to 256, and shift to 0 (the q71 rule).
+
+    ``seed_col``/``shift_col`` let a caller render NEAR-duplicate image
+    families on purpose: rows sharing a seed produce the same image up
+    to a uniform per-row brightness shift — the fixture shape a
+    perceptual-hash dedup (q181) must group and an exact checksum dedup
+    must not. Caller contract: wrap - 1 + max(shift) <= 255 so the shift
+    never clamps or wraps (that is what keeps the shift uniform and the
+    closed form exact).
 
     The generation rule is closed-form arithmetic, so an external referee
     can recompute any downstream decode statistic WITHOUT running the
@@ -236,24 +252,82 @@ def render_procedural_bmp(
 
     ensure_package_on_executors(df.sparkSession)
     n = width * height * 3
+    seed_col = seed_col or id_col
+    cols = [id_col]
+    if seed_col != id_col:
+        cols.append(seed_col)
+    if shift_col is not None:
+        cols.append(shift_col)
 
     def run(batches):
         ks = np.arange(n, dtype=np.int64)
         for pdf in batches:
             out = pdf[[id_col]].copy()
+            shifts = pdf[shift_col] if shift_col is not None else [0] * len(pdf)
             out["payload"] = [
                 encode_bmp(
                     width,
                     height,
-                    ((int(i) * 31 + ks) % 256).astype(np.uint8).tobytes(),
+                    ((int(s) * 31 + ks) % wrap + int(sh))
+                    .astype(np.uint8)
+                    .tobytes(),
                 )
-                for i in pdf[id_col]
+                for s, sh in zip(pdf[seed_col], shifts)
             ]
             yield out
 
-    return df.select(id_col).mapInPandas(
+    return df.select(*cols).mapInPandas(
         run, schema=f"{id_col} bigint, payload binary"
     )
+
+
+AHASH_GRID = 8  # 8x8 block grid -> 64-bit perceptual hash
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, phash) — 64-bit average-hash over the REAL decode, as a
+    64-char '0'/'1' string (a string survives cross-engine comparison;
+    bit 63 of a BIGINT would overflow signed).
+
+    Integer-only aHash: gray = r+g+b per pixel (sum, not mean — exact),
+    the image splits into an 8x8 grid of blocks, and bit (by*8+bx) is 1
+    iff block_sum * 64 > total_sum (cross-multiplied block-mean vs
+    global-mean compare, no division anywhere). A UNIFORM brightness
+    shift d adds 3*d*pixels_per_block to every block and 3*d*pixels to
+    the total, which scales both sides of the compare identically — the
+    hash is shift-invariant by construction, so near-duplicates that
+    differ only in exposure collide while exact checksums differ. Rows
+    whose payload doesn't decode, or whose dimensions aren't divisible
+    by the 8x8 grid, are dropped."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    g = AHASH_GRID
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    w, h, rgb = decode_image(bytes(p))
+                except (ValueError, IndexError):
+                    continue
+                if w % g or h % g:
+                    continue
+                gray = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .sum(axis=2, dtype=np.int64)
+                )
+                blocks = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+                total = int(gray.sum())
+                bits = (blocks.ravel() * (g * g) > total).astype(np.uint8)
+                rows.append((i, "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return df.mapInPandas(run, schema=f"{id_col} bigint, phash string")
 
 
 def decode_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -752,3 +752,143 @@ def q179_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 64  # counters per row; error bound ~ N_tokens / WIDTH per cell
+CMS_TOP = 20  # heavy hitters reported
+
+
+def _cms_oracle() -> str:
+    from ..functions.textfns import hex_prefix_num_sql, norm_sql, tokens_sql
+
+    toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+    cell = (
+        hex_prefix_num_sql("md5(token || '#' || CAST(d AS VARCHAR))", 8)
+        + f" % {CMS_WIDTH}"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT source, UNNEST({toks}) AS token FROM documents
+    ),
+    tc AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, token
+    ),
+    hashed AS (
+        SELECT source, token, c, d, {cell} AS cell
+        FROM tc, generate_series(0, {CMS_DEPTH - 1}) AS g(d)
+    ),
+    per_source AS (
+        SELECT source, d, cell, SUM(c) AS c FROM hashed GROUP BY source, d, cell
+    ),
+    grid AS (
+        SELECT d, cell, CAST(SUM(c) AS BIGINT) AS cell_count
+        FROM per_source GROUP BY d, cell
+    ),
+    exact AS (
+        SELECT token, CAST(SUM(c) AS BIGINT) AS exact_count
+        FROM tc GROUP BY token
+        ORDER BY exact_count DESC, token LIMIT {CMS_TOP}
+    ),
+    probes AS (
+        SELECT e.token, e.exact_count, s.d,
+               {hex_prefix_num_sql("md5(e.token || '#' || CAST(s.d AS VARCHAR))", 8)} % {CMS_WIDTH} AS cell
+        FROM exact e, generate_series(0, {CMS_DEPTH - 1}) AS s(d)
+    ),
+    est AS (
+        SELECT p.token, MIN(g.cell_count) AS est_count
+        FROM probes p JOIN grid g ON g.d = p.d AND g.cell = p.cell
+        GROUP BY p.token
+    )
+    SELECT e.token, e.exact_count, s.est_count,
+           s.est_count - e.exact_count AS overcount,
+           CAST(ROW_NUMBER() OVER (ORDER BY e.exact_count DESC, e.token) AS INT)
+               AS rank
+    FROM exact e JOIN est s ON e.token = s.token
+    ORDER BY e.exact_count DESC, e.token
+    """
+
+
+@register(
+    "q180_countmin_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("sketch", "heavy-hitters", "count-min", "mergeable"),
+)
+def q180_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates, built the way a sharded corpus would build them: one
+    DEPTH x WIDTH counter grid PER SOURCE, merged by cell-wise addition
+    into the global sketch (CMS merge = '+', the reason the sketch works
+    on a cluster), then the top-k exact tokens are point-queried against
+    the merged grid (estimate = min over rows of the hashed cell). Every
+    counter is an exact integer function of the input, so unlike a
+    float/HLL sketch the whole structure is hash-green cross-engine; the
+    reported overcount column IS the sketch's collision error, measured.
+
+    Scale shape: the only corpus-sized stage is the (source, token) count
+    (map-side-combinable, one shuffle); the grid stages run over
+    vocabulary-sized frames fanned out x DEPTH, collapsing to
+    DEPTH*WIDTH = {CMS_DEPTH * CMS_WIDTH} rows which then BROADCAST to
+    the point-query join; the top-k is TakeOrderedAndProject. Point
+    queries never rescan the corpus — that is the sketch's contract."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.textfns import hex_prefix_num_sql, norm_sql, tokens_sql
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
+        ).alias("token"),
+    )
+    # bounded: vocabulary-sized; feeds BOTH the grid build and the exact
+    # top-k (the shared-frame rule)
+    tc = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cell_expr = F.expr(
+        hex_prefix_num_sql("md5(concat(token, '#', CAST(d AS STRING)))", 8)
+        + f" % {CMS_WIDTH}"
+    )
+    hashed = tc.select(
+        "source",
+        "token",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+    ).withColumn("cell", cell_expr)
+    per_source = hashed.groupBy("source", "d", "cell").agg(
+        F.sum("c").alias("c")
+    )
+    grid = per_source.groupBy("d", "cell").agg(
+        F.sum("c").cast("bigint").alias("cell_count")
+    )
+    exact = (
+        tc.groupBy("token")
+        .agg(F.sum("c").cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "token")
+        .limit(CMS_TOP)
+    )
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
+    ).withColumn("cell", cell_expr)
+    est = (
+        probes.join(F.broadcast(grid), ["d", "cell"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        F.row_number()
+        .over(W.orderBy(F.col("exact_count").desc(), F.col("token")))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy(F.col("exact_count").desc(), "token")

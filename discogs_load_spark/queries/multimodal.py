@@ -130,3 +130,91 @@ def q72_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+_Q181_W, _Q181_H = 16, 16  # divisible by the 8x8 aHash grid
+_Q181_SEEDS = 40  # image family count: doc_id % 40 picks the base image
+_Q181_WRAP = 200  # pixel base range; 199 + max shift 6 = 205 <= 255
+_Q181_SHIFTS = 7  # per-doc uniform brightness shift: doc_id % 7
+
+
+@register(
+    "q181_image_phash_dedup",
+    oracle=f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               ((g.k // 3) // {_Q181_W}) // {_Q181_H // 8} AS by,
+               ((g.k // 3) % {_Q181_W}) // {_Q181_W // 8} AS bx,
+               ((d.doc_id % {_Q181_SEEDS}) * 31 + g.k) % {_Q181_WRAP}
+                   + (d.doc_id % {_Q181_SHIFTS}) AS v
+        FROM documents d,
+             generate_series(0, {_Q181_W * _Q181_H * 3 - 1}) AS g(k)
+        WHERE d.doc_id % 3 = 1
+    ),
+    blocks AS (
+        SELECT doc_id, by, bx, SUM(v) AS bsum
+        FROM px GROUP BY doc_id, by, bx
+    ),
+    tot AS (SELECT doc_id, SUM(bsum) AS tsum FROM blocks GROUP BY doc_id),
+    bits AS (
+        SELECT b.doc_id, b.by * 8 + b.bx AS pos,
+               CASE WHEN b.bsum * 64 > t.tsum THEN '1' ELSE '0' END AS bit
+        FROM blocks b JOIN tot t ON b.doc_id = t.doc_id
+    ),
+    hashes AS (
+        SELECT doc_id, STRING_AGG(bit, '' ORDER BY pos) AS phash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(doc_id))[1:32], '|') AS members
+    FROM hashes GROUP BY phash HAVING COUNT(*) >= 2
+    ORDER BY phash
+    """,
+    tags=("multimodal", "dedup", "perceptual-hash"),
+)
+def q181_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image dedup through the REAL codec: each
+    image doc renders a 24-bit BMP from a closed-form rule that plants
+    NEAR-duplicate families — doc_ids sharing doc_id % {_Q181_SEEDS} get
+    the same base image, each brightened by a per-doc uniform shift
+    (doc_id % {_Q181_SHIFTS}) — then :func:`image_ahash` decodes the
+    bytes back and computes the integer block-mean/global-mean bit
+    signature. The shift leaves every aHash bit unchanged (both sides of
+    the cross-multiplied compare move together), so the groups this
+    query emits are exactly the families an exact-checksum dedup CANNOT
+    see: every payload in a family is byte-distinct
+    (tests/test_llm_ops.py pins that contrast). The oracle recomputes
+    the full hash analytically from the generation rule, so any decoder
+    or hash-layout bug (BGR order, row flip, block indexing, bit order)
+    hash-mismatches.
+
+    Scale shape: render/decode/hash are all 1-row-in-1-row-out Arrow
+    stages (no shuffle); the only exchange is the phash groupBy, and the
+    member lists ride the capped rank-before-collect rollup, so a viral
+    duplicate family of a billion images ships {32} ids, not a billion."""
+    from ..operators.dedup import capped_member_rollup
+    from ..operators.multimodal import image_ahash
+
+    images = attach_payload(_docs(spark, sf_dir)).filter(
+        F.col("modality") == "image"
+    )
+    meta = images.select(
+        "doc_id",
+        (F.col("doc_id") % _Q181_SEEDS).alias("seed"),
+        (F.col("doc_id") % _Q181_SHIFTS).alias("shift"),
+    )
+    rendered = render_procedural_bmp(
+        meta,
+        _Q181_W,
+        _Q181_H,
+        seed_col="seed",
+        wrap=_Q181_WRAP,
+        shift_col="shift",
+    )
+    hashes = image_ahash(rendered)
+    return (
+        capped_member_rollup(hashes, "phash", "doc_id")
+        .filter(F.col("n_members") >= 2)
+        .orderBy("phash")
+    )

@@ -74,6 +74,11 @@ PRIORITY: list[str] = [
     "q177_feature_auc",
     "q178_kneser_ney",
     "q179_kmv_sketch",
+    # new in r07, never driver-checked:
+    "q180_countmin_heavy_hitters",
+    "q181_image_phash_dedup",
+    "q182_pmi_collocations",
+    "q183_weighted_priority_sample",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

@@ -946,3 +946,89 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("budget_tokens"),
     )
+
+
+WPS_K = 12  # sample size per source
+WPS_DOMAIN = 16 ** 8  # md5 8-hex-char prefix domain (functions/textfns)
+
+# Identical expression text in both dialects; one IEEE division of two
+# exactly-representable integers — bitwise deterministic cross-engine.
+_WPS_PRIORITY = "CAST(u AS DOUBLE) / weight"
+
+
+def _q183_oracle() -> str:
+    from ..functions.textfns import hex_prefix_num_sql
+
+    u = hex_prefix_num_sql("md5(CAST(doc_id AS VARCHAR))", 8)
+    tc = token_count_sql("text", "duckdb")
+    return f"""
+    WITH keyed AS (
+        SELECT source, doc_id,
+               GREATEST(CAST({tc} AS BIGINT), 1) AS weight,
+               {u} + 1 AS u
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, doc_id, weight, {_WPS_PRIORITY} AS priority
+        FROM keyed
+    ),
+    ranked AS (
+        SELECT source, doc_id, weight, priority,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY priority, doc_id
+               ) AS INT) AS rk
+        FROM scored
+    )
+    SELECT source, doc_id, weight, priority, rk
+    FROM ranked WHERE rk <= {WPS_K}
+    ORDER BY source, rk
+    """
+
+
+@register(
+    "q183_weighted_priority_sample",
+    oracle=_q183_oracle(),
+    tags=("sampling", "curation", "weighted"),
+)
+def q183_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, per source:
+    each doc draws a reproducible uniform u from md5(doc_id) and competes
+    with priority u / weight (weight = token count — longer docs more
+    likely sampled); the {WPS_K} smallest priorities per source win. The
+    priority-key construction is the hash-determinized form of the
+    exponential-clocks / A-ES family (Efraimidis & Spirtes 2006): same
+    per-key independent-priority structure, with the engine-portable
+    u/w key replacing u^(1/w) (pow() is in the transcendental class the
+    cross-engine hash gate bans — the selection pressure is the same
+    direction, the distribution a documented approximation). Unlike
+    rand()-based TABLESAMPLE, the sample is identical across runs,
+    engines, partitionings, and cluster sizes, and it MERGES: the top-k
+    of a union is the top-k of per-shard top-ks, so each shard ships k
+    candidates, never its corpus.
+
+    Scale shape: weight and priority are per-row projections (no
+    shuffle); the only exchange is the per-source window, and the
+    rk <= {WPS_K} predicate lets Spark push a WindowGroupLimit below it,
+    so each map task forwards at most k rows per source."""
+    from ..functions.textfns import hex_prefix_num_sql
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(
+            F.expr(token_count_sql("text", "spark")).cast("bigint"), F.lit(1)
+        ).alias("weight"),
+        (
+            F.expr(hex_prefix_num_sql("md5(CAST(doc_id AS STRING))", 8))
+            + F.lit(1)
+        ).alias("u"),
+    )
+    scored = keyed.withColumn("priority", F.expr(_WPS_PRIORITY))
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= WPS_K)
+        .select("source", "doc_id", "weight", "priority", "rk")
+        .orderBy("source", "rk")
+    )

@@ -1601,3 +1601,132 @@ def q178_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c2"), "w1", "w2")
         .limit(KN_TOP)
     )
+
+
+PMI_MIN_PAIR = 3  # hapax-bigram guard: lift over 1-2 occurrences is noise
+PMI_TOP = 30
+
+# Identical expression text in BOTH dialects: every operand is an integer
+# exactly representable in double, and IEEE *, / are correctly rounded and
+# deterministic, so the left-associated chain produces bitwise-equal
+# doubles cross-engine. lift = P(w1 w2) / (P(w1) P(w2))
+#                            = (cxy/nb) / ((cx/nu)(cy/nu)).
+_PMI_LIFT = (
+    "CAST(pair_count AS DOUBLE) * nu / w1_count / w2_count * nu / nb"
+)
+
+
+def _q182_oracle() -> str:
+    toks2 = doc_shingles_sql("text", 2, "duckdb")
+    return f"""
+    WITH uni AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT UNNEST({_D_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ),
+    tot_u AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nu FROM uni),
+    bc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM (SELECT UNNEST({toks2}) AS b FROM documents)
+        GROUP BY b
+    ),
+    tot_b AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS nb FROM bc),
+    cand AS (
+        SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+               pair_count
+        FROM bc WHERE pair_count >= {PMI_MIN_PAIR}
+    ),
+    scored AS (
+        SELECT c.w1, c.w2, c.pair_count,
+               u1.cnt AS w1_count, u2.cnt AS w2_count,
+               {_PMI_LIFT} AS lift
+        FROM cand c
+        JOIN uni u1 ON c.w1 = u1.token
+        JOIN uni u2 ON c.w2 = u2.token
+        CROSS JOIN tot_u CROSS JOIN tot_b
+    )
+    SELECT w1, w2, pair_count, w1_count, w2_count, lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank
+    FROM scored
+    ORDER BY lift DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """
+
+
+@register(
+    "q182_pmi_collocations",
+    oracle=_q182_oracle(),
+    tags=("text", "collocations", "pmi"),
+)
+def q182_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise-mutual-information lift — the
+    phrase detector a tokenizer/curation pipeline runs before merging
+    multiword units (word2vec's phrase pass, Mikolov et al. 2013):
+    lift(w1,w2) = P(w1 w2) / (P(w1) P(w2)), top-{PMI_TOP} among bigrams
+    seen >= {PMI_MIN_PAIR} times. No log() anywhere — log is monotone, so
+    ranking by the raw lift ratio is ranking by PMI, and the ratio stays
+    inside the deterministic IEEE *, / subset the cross-engine hash gate
+    allows (transcendentals differ in the last ulp between libm
+    implementations; ratios of exact integers do not).
+
+    Scale shape: ONE corpus scan materializes the per-doc token array
+    (persisted — the shared-frame rule), from which both the unigram and
+    bigram counts explode into map-side-combinable shuffles; every later
+    frame is vocabulary- or bigram-type-bounded. The two unigram joins
+    are vocab-keyed equi-joins, the corpus totals ride broadcast 1-row
+    frames (hinted, not AQE-dependent), and the top-k is
+    TakeOrderedAndProject over the filtered candidate set."""
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.textfns import shingles_sql
+
+    docs = _docs(spark, sf_dir)
+    # bounded: one row per doc, token array only (text dropped); feeds
+    # both the unigram and the bigram branch
+    tok_arrays = docs.select(
+        F.expr(tokens_sql(norm_sql("text", "spark"), "spark")).alias("toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    uni = (
+        tok_arrays.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # bounded: vocabulary
+    )
+    bc = (
+        tok_arrays.select(
+            F.explode(F.expr(shingles_sql("toks", 2, "spark"))).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # bounded: bigram types
+    )
+    tot_u = uni.agg(F.sum("cnt").cast("bigint").alias("nu"))
+    tot_b = bc.agg(F.sum("pair_count").cast("bigint").alias("nb"))
+    cand = bc.filter(F.col("pair_count") >= PMI_MIN_PAIR).select(
+        F.split(F.col("b"), " ").getItem(0).alias("w1"),
+        F.split(F.col("b"), " ").getItem(1).alias("w2"),
+        "pair_count",
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("w1_count"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("w2_count"))
+    scored = (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .withColumn("lift", F.expr(_PMI_LIFT))
+    )
+    top = scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(PMI_TOP)
+    return top.select(
+        "w1",
+        "w2",
+        "pair_count",
+        "w1_count",
+        "w2_count",
+        "lift",
+        F.row_number()
+        .over(W.orderBy(F.col("lift").desc(), "w1", "w2"))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy(F.col("lift").desc(), "w1", "w2")

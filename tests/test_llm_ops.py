@@ -759,3 +759,245 @@ def test_q179_kmv_under_k_scopes_report_exact(spark, duck, tmp_path):
     assert by["tiny"][2] is None and by["tiny"][3] == float(n_small)
     # at/over-k scope: the ratio path with a real kth
     assert by["big"][1] == n_big and by["big"][2] is not None
+
+
+def test_q180_countmin_matches_python_reference(spark):
+    """Independent reference for the count-min sketch (the oracle shares
+    the SQL formulation, so a shared misreading of the hash/cell rule
+    would slip through it): hashlib md5 + 8-hex-char prefix % WIDTH,
+    grid built token-by-token in plain Python over the SAME fixture,
+    must reproduce every reported estimate exactly — plus the CMS
+    guarantee est >= exact on every row."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from discogs_load_spark.queries.extra import (
+        CMS_DEPTH,
+        CMS_TOP,
+        CMS_WIDTH,
+    )
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    texts = [
+        r.text
+        for r in _docs(spark).select("text").collect()
+        if r.text is not None
+    ]
+    counts: Counter[str] = Counter()
+    for t in texts:
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        if norm:
+            counts.update(norm.split(" "))
+
+    def cell(token: str, d: int) -> int:
+        h = hashlib.md5(f"{token}#{d}".encode()).hexdigest()
+        return int(h[:8], 16) % CMS_WIDTH
+
+    grid: Counter[tuple[int, int]] = Counter()
+    for token, c in counts.items():
+        for d in range(CMS_DEPTH):
+            grid[(d, cell(token, d))] += c
+
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP]
+    want = {
+        token: (c, min(grid[(d, cell(token, d))] for d in range(CMS_DEPTH)))
+        for token, c in top
+    }
+
+    rows = REGISTRY["q180_countmin_heavy_hitters"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == min(CMS_TOP, len(counts))
+    got = {r.token: (r.exact_count, r.est_count) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.est_count >= r.exact_count  # CMS never underestimates
+        assert r.overcount == r.est_count - r.exact_count
+
+
+def test_q181_phash_groups_what_checksums_cannot(spark):
+    """The q181 fixture plants near-duplicate image families (same base
+    image, per-doc uniform brightness shift). The perceptual hash must
+    (a) group every family despite the shift, while (b) every payload
+    stays byte-distinct — the sha-based exact dedup sees nothing. Also
+    pins the aHash bits against an independent pure-Python recompute of
+    the closed-form pixel rule."""
+    from discogs_load_spark.operators.multimodal import image_ahash, render_procedural_bmp
+    from discogs_load_spark.queries.multimodal import (
+        _Q181_H,
+        _Q181_SEEDS,
+        _Q181_SHIFTS,
+        _Q181_W,
+    )
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    img_ids = [
+        r.doc_id
+        for r in _docs(spark).filter("doc_id % 3 = 1").select("doc_id").collect()
+    ]
+
+    # independent python aHash from the generation rule (no codec, no numpy)
+    def py_phash(doc_id: int) -> str:
+        seed, shift = doc_id % _Q181_SEEDS, doc_id % _Q181_SHIFTS
+        w, h = _Q181_W, _Q181_H
+        gray = [
+            sum((seed * 31 + 3 * p + c) % 200 + shift for c in range(3))
+            for p in range(w * h)
+        ]
+        blocks = [0] * 64
+        for p, g in enumerate(gray):
+            by, bx = (p // w) // (h // 8), (p % w) // (w // 8)
+            blocks[by * 8 + bx] += g
+        total = sum(gray)
+        return "".join("1" if b * 64 > total else "0" for b in blocks)
+
+    meta = (
+        _docs(spark)
+        .filter("doc_id % 3 = 1")
+        .selectExpr(
+            "doc_id",
+            f"doc_id % {_Q181_SEEDS} AS seed",
+            f"doc_id % {_Q181_SHIFTS} AS shift",
+        )
+    )
+    rendered = render_procedural_bmp(
+        meta, _Q181_W, _Q181_H, seed_col="seed", wrap=200, shift_col="shift"
+    ).cache()
+    got = {r.doc_id: r.phash for r in image_ahash(rendered).collect()}
+    assert got == {i: py_phash(i) for i in img_ids}
+
+    # (b) every rendered payload is byte-distinct -> exact dedup silent
+    payloads = [bytes(r.payload) for r in rendered.collect()]
+    assert len(set(payloads)) == len(payloads)
+    rendered.unpersist()
+
+    # (a) the emitted groups cover every seed family with >= 2 members,
+    # and no group mixes shifts of different base images
+    from collections import Counter, defaultdict
+
+    fam = Counter(i % _Q181_SEEDS for i in img_ids)
+    rows = REGISTRY["q181_image_phash_dedup"].fn(spark, SF_SMALL).collect()
+    grouped = set()
+    for r in rows:
+        members = [int(m) for m in r.members.split("|")]
+        assert r.n_members == len(members) >= 2
+        seeds = {m % _Q181_SEEDS for m in members}
+        # a phash collision ACROSS seeds is possible in principle; with
+        # this rule it doesn't happen, and the assert would catch a hash
+        # that ignores pixel content entirely
+        assert len(seeds) == 1
+        grouped.update(members)
+    expect = {i for i in img_ids if fam[i % _Q181_SEEDS] >= 2}
+    assert grouped == expect
+
+
+def test_q182_pmi_matches_python_reference(spark):
+    """Independent PMI-lift recompute in plain Python over the same
+    fixture: tokenize, count unigrams/bigrams, lift with the SAME
+    left-associated float expression — the full top-k frame must match,
+    and the planted-ngram fixture must actually surface multiword units
+    (lift > 1 for every reported pair)."""
+    import re
+    from collections import Counter
+
+    from discogs_load_spark.queries.registry import REGISTRY
+    from discogs_load_spark.queries.text import PMI_MIN_PAIR, PMI_TOP
+
+    uni: Counter[str] = Counter()
+    big: Counter[tuple[str, str]] = Counter()
+    for r in _docs(spark).select("text").collect():
+        if r.text is None:
+            continue
+        norm = re.sub(
+            r" +", " ", re.sub(r"[^a-z0-9 ]", " ", r.text.lower())
+        ).strip()
+        toks = norm.split(" ") if norm else []
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+
+    def lift(w1, w2, cxy):
+        return float(cxy) * nu / uni[w1] / uni[w2] * nu / nb
+
+    cand = [
+        (w1, w2, c, uni[w1], uni[w2], lift(w1, w2, c))
+        for (w1, w2), c in big.items()
+        if c >= PMI_MIN_PAIR
+    ]
+    cand.sort(key=lambda t: (-t[5], t[0], t[1]))
+    want = [
+        t + (i + 1,) for i, t in enumerate(cand[:PMI_TOP])
+    ]
+
+    rows = REGISTRY["q182_pmi_collocations"].fn(spark, SF_SMALL).collect()
+    got = [
+        (r.w1, r.w2, r.pair_count, r.w1_count, r.w2_count, r.lift, r.rank)
+        for r in rows
+    ]
+    assert got == want
+    assert all(r.lift > 1.0 for r in rows)  # collocations, not anti-correlations
+
+
+def test_q183_weighted_sample_properties(spark):
+    """The weighted priority sample must be (a) exactly reproducible
+    run-to-run, (b) k rows per source (fixture sources all have > k
+    docs), (c) mergeable — the top-k of the union of two half-corpus
+    top-ks equals the full top-k — and (d) actually weight-biased: the
+    sampled docs' mean weight exceeds the corpus mean."""
+    from discogs_load_spark.queries.registry import REGISTRY
+    from discogs_load_spark.queries.sampling import WPS_K
+
+    fn = REGISTRY["q183_weighted_priority_sample"].fn
+    rows1 = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    rows2 = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    assert rows1 == rows2
+
+    from collections import Counter
+
+    per_source = Counter(r[0] for r in rows1)
+    assert all(v == WPS_K for v in per_source.values())
+
+    weights = {
+        r.doc_id: max(r.n, 1)
+        for r in _docs(spark)
+        .selectExpr(
+            "doc_id",
+            "size(split(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]', ' '), ' +', ' ')), ' ')) AS n",
+        )
+        .collect()
+    }
+
+    # (c) shard-merge, recomputed independently in python: split the
+    # corpus into two shards, take each shard's per-source k smallest
+    # priorities, merge, re-take k — must equal the engine's sample
+    import hashlib
+    from collections import defaultdict
+
+    src = {
+        r.doc_id: r.source
+        for r in _docs(spark).select("doc_id", "source").collect()
+    }
+
+    def prio(doc_id):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1
+        return float(u) / weights[doc_id]
+
+    def topk(ids):
+        per = defaultdict(list)
+        for i in ids:
+            per[src[i]].append(i)
+        out = set()
+        for s, members in per.items():
+            members.sort(key=lambda i: (prio(i), i))
+            out.update(members[:WPS_K])
+        return out
+
+    shard_a = [i for i in src if i % 2 == 0]
+    shard_b = [i for i in src if i % 2 == 1]
+    merged = topk(list(topk(shard_a) | topk(shard_b)))
+    assert merged == {r[1] for r in rows1}
+
+    sampled_ids = {r[1] for r in rows1}
+    mean_all = sum(weights.values()) / len(weights)
+    mean_sampled = sum(weights[i] for i in sampled_ids) / len(sampled_ids)
+    assert mean_sampled > mean_all

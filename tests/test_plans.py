@@ -468,3 +468,39 @@ def test_bpe_encode_folds_stay_broadcast_and_pruned(spark):
     assert "source" in read[0] and "text" in read[0]
     for col in ("lang", "n_chars", "doc_id"):
         assert col not in read[0], f"unpruned column {col} in documents scan"
+
+
+def test_countmin_point_query_broadcasts_grid(spark):
+    """q180's grid is DEPTH*WIDTH = 256 rows; the top-k point-query join
+    against it must be a broadcast, never a shuffle of the probe side."""
+    plan = _plan(spark, "q180_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_dedup_single_exchange_and_pruned_scan(spark):
+    """q181 is render→decode→hash (all narrow Arrow stages) + one phash
+    groupBy: the plan must not read the documents text column (only
+    doc_id feeds the render) and must contain no join at all."""
+    plan = _plan(spark, "q181_image_phash_dedup")
+    kinds = join_kinds(REGISTRY["q181_image_phash_dedup"].fn(spark, SF_SMALL))
+    assert not kinds, f"unexpected joins in a shuffle-free pipeline: {kinds}"
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read
+    assert "text" not in read
+
+
+def test_pmi_totals_are_hinted_broadcasts(spark):
+    """q182's corpus totals are 1-row frames crossed onto the candidate
+    set: they must be BroadcastNestedLoopJoin (hinted), and the unigram
+    joins vocab-keyed equi-joins — no cartesian anywhere."""
+    kinds = join_kinds(REGISTRY["q182_pmi_collocations"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in kinds
+    assert kinds.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_weighted_sample_pushes_window_group_limit(spark):
+    """q183's rk <= k predicate must push a WindowGroupLimit below the
+    per-source exchange so map tasks forward at most k rows per source."""
+    plan = _plan(spark, "q183_weighted_priority_sample")
+    assert "WindowGroupLimit" in plan

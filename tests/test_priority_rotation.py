@@ -92,9 +92,12 @@ def test_gate_window_leads_with_changed_or_new_oracles():
     first: q170 (new), q171/q172 (new, BPE train/apply), q173 (new, RRF),
     q174 (new, schema evolution), q175 (new, OPH MinHash), q176/q177
     (new, GD classifier + AUC eval), q178 (new, Kneser-Ney), q179 (new,
-    KMV sketch), q71 (oracle rewritten r05), q72 (oracle fixed r06).
+    KMV sketch), q71 (oracle rewritten r05), q72 (oracle fixed r06);
+    r07 appends its four new queries (q180 count-min, q181 perceptual
+    image dedup, q182 PMI collocations, q183 weighted sampling) after
+    q179 so the whole never-driver-checked block stays contiguous.
     Update this list when a future round changes other oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:12]
+    window = [n for n in PRIORITY if n in REGISTRY][:16]
     assert window == [
         "q170_preshard_ingest",
         "q171_bpe_merges",
@@ -106,6 +109,10 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q177_feature_auc",
         "q178_kneser_ney",
         "q179_kmv_sketch",
+        "q180_countmin_heavy_hitters",
+        "q181_image_phash_dedup",
+        "q182_pmi_collocations",
+        "q183_weighted_priority_sample",
         "q71_multimodal_features",
         "q72_frame_sampling",
     ]
