@@ -56,6 +56,23 @@ SF1_QUERIES = [
     "q175_oph_minhash_pairs",
     # GD classifier: one featurize pass + 5 narrow-scan rounds (~linear)
     "q176_quality_classifier",
+    # AUC: score-domain-bounded groups; KN: one bigram-count shuffle;
+    # KMV: one distinct shuffle + bottom-k window
+    "q177_feature_auc",
+    "q178_kneser_ney",
+    "q179_kmv_sketch",
+    # r07: CMS = one token-count shuffle + vocab-bounded grid stages;
+    # phash = narrow render/decode/hash + one groupBy; PMI = one corpus
+    # scan -> two vocab-bounded counts; weighted sample = projection +
+    # one WindowGroupLimit'd window
+    "q180_countmin_heavy_hitters",
+    "q181_image_phash_dedup",
+    "q182_pmi_collocations",
+    "q183_weighted_priority_sample",
+    # bloom = one distinct (source, shingle) shuffle + bounded grid build
+    "q184_bloom_membership",
+    # skew profile = 2 map-side-combinable shuffles per key config
+    "q186_join_key_skew_profile",
 ]
 
 

@@ -892,3 +892,324 @@ def q180_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     ).orderBy(F.col("exact_count").desc(), "token")
+
+
+BLOOM_WORDS = 256  # 256 x 32-bit words = 8192 bits per source filter
+BLOOM_WORD_BITS = 32  # masks stay in [1, 2^31]: no BIGINT sign games
+BLOOM_K = 3  # hash probes per element
+BLOOM_PROBES = 150  # most-shared shingles point-checked against every filter
+
+_BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+
+
+def _bloom_pos(expr: str, j: str) -> str:
+    """Bit position of probe ``j`` for shingle ``expr`` — identical text
+    in both dialects (md5 + nibble-weighted prefix, mod filter bits)."""
+    from ..functions.textfns import hex_prefix_num_sql
+
+    return (
+        hex_prefix_num_sql(f"md5({expr} || '#' || CAST({j} AS STRING))", 8)
+        + f" % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_oracle() -> str:
+    from ..functions.textfns import doc_shingles_sql
+
+    s3 = doc_shingles_sql("text", 3, "duckdb")
+    pos = _bloom_pos("sh", "j")
+    return f"""
+    WITH d0 AS (
+        SELECT DISTINCT source, UNNEST({s3}) AS sh FROM documents
+    ),
+    bits AS (
+        SELECT source, ({pos}) // {BLOOM_WORD_BITS} AS word,
+               CAST(1 AS BIGINT) << (({pos}) % {BLOOM_WORD_BITS}) AS mask
+        FROM d0, generate_series(0, {BLOOM_K - 1}) AS g(j)
+    ),
+    filt AS (
+        SELECT source, word, bit_or(mask) AS bits FROM bits
+        GROUP BY source, word
+    ),
+    probes AS (
+        SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_sources_true
+        FROM d0 GROUP BY sh
+        ORDER BY n_sources_true DESC, sh LIMIT {BLOOM_PROBES}
+    ),
+    pbits AS (
+        SELECT p.sh, g.j, ({pos.replace('sh', 'p.sh')}) // {BLOOM_WORD_BITS} AS word,
+               CAST(1 AS BIGINT) << (({pos.replace('sh', 'p.sh')}) % {BLOOM_WORD_BITS}) AS mask
+        FROM probes p, generate_series(0, {BLOOM_K - 1}) AS g(j)
+    ),
+    hits AS (
+        SELECT b.sh, f.source
+        FROM pbits b JOIN filt f
+          ON f.word = b.word AND (f.bits & b.mask) <> 0
+        GROUP BY b.sh, f.source
+        HAVING COUNT(DISTINCT b.j) = {BLOOM_K}
+    ),
+    bloom AS (
+        SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_sources_bloom
+        FROM hits GROUP BY sh
+    )
+    SELECT p.sh AS shingle, p.n_sources_true,
+           COALESCE(b.n_sources_bloom, 0) AS n_sources_bloom,
+           COALESCE(b.n_sources_bloom, 0) - p.n_sources_true
+               AS false_positives
+    FROM probes p LEFT JOIN bloom b ON p.sh = b.sh
+    ORDER BY p.n_sources_true DESC, p.sh
+    """
+
+
+@register(
+    "q184_bloom_membership",
+    oracle=_bloom_oracle(),
+    tags=("sketch", "bloom", "membership", "mergeable"),
+)
+def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970) — the third leg of the sketch
+    family (count-min q180 = counts, KMV q179 = distinct, Bloom =
+    set membership): each source's distinct 3-shingle set compresses to
+    a {_BLOOM_BITS}-bit filter ({BLOOM_WORDS} bigint words, bit_or
+    aggregation — OR is the merge, so shard filters union for free), and
+    the {BLOOM_PROBES} most-shared shingles are point-checked against
+    every source's filter. No false negatives by construction
+    (n_sources_bloom >= n_sources_true on every row — tested), and the
+    false_positives column is the filter's collision error, measured at
+    the documented ~5% rate for this fill factor (~1.3k elements, k=3).
+    Every bit is an exact integer function of md5, so the whole filter
+    is hash-green cross-engine — the membership sketch analogue of
+    q180's integer-exact grid.
+
+    Scale shape: ONE distinct (source, shingle) shuffle feeds everything
+    (persisted — shared-frame rule); the filter build collapses to
+    <= sources x {BLOOM_WORDS} rows via a map-side-combinable bit_or;
+    probes are TakeOrderedAndProject over the shingle-count frame; the
+    membership check joins the probe fan-out to the BROADCAST filter
+    grid on the word key. Probing never rescans the corpus — the
+    filter's contract."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.textfns import doc_shingles_sql
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    s3 = doc_shingles_sql("text", 3, "spark")
+    # bounded: distinct (source, shingle); feeds the filter build, the
+    # probe ranking, and the exact-membership counts
+    d0 = (
+        docs.select("source", F.explode(F.expr(s3)).alias("sh"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pos = F.expr(_bloom_pos("sh", "j"))
+    fan = d0.select(
+        "source",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
+    ).withColumn("pos", pos)
+    filt = (
+        fan.select(
+            "source",
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), pos % {BLOOM_WORD_BITS})"
+            ).alias("mask"),
+        )
+        .groupBy("source", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probes = (
+        d0.groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sources_true"))
+        .orderBy(F.col("n_sources_true").desc(), "sh")
+        .limit(BLOOM_PROBES)
+    )
+    pbits = probes.select(
+        "sh",
+        "n_sources_true",
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
+    ).withColumn("pos", pos).select(
+        "sh",
+        "n_sources_true",
+        "j",
+        F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), pos % {BLOOM_WORD_BITS})"
+        ).alias("mask"),
+    )
+    hits = (
+        pbits.join(F.broadcast(filt), "word")
+        .filter(F.expr("(bits & mask) <> 0"))
+        .groupBy("sh", "source")
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == BLOOM_K)
+    )
+    bloom = hits.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources_bloom")
+    )
+    return (
+        probes.join(bloom, "sh", "left")
+        .select(
+            F.col("sh").alias("shingle"),
+            "n_sources_true",
+            F.coalesce("n_sources_bloom", F.lit(0).cast("bigint")).alias(
+                "n_sources_bloom"
+            ),
+            (
+                F.coalesce("n_sources_bloom", F.lit(0).cast("bigint"))
+                - F.col("n_sources_true")
+            ).alias("false_positives"),
+        )
+        .orderBy(F.col("n_sources_true").desc(), "shingle")
+    )
+
+
+
+# (table, key) pairs the skew profiler reports on: the repo's main join
+# keys, spanning a high-cardinality near-uniform key (orderkey), moderate
+# fan-out keys (suppkey/custkey), and the behavioral user key.
+SKEW_KEYS = [
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def _skew_oracle() -> str:
+    ctes, branches = [], []
+    for i, (table, key) in enumerate(SKEW_KEYS):
+        ctes.append(f"""
+    cc_{i} AS (
+        SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS m
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM {table} GROUP BY {key})
+        GROUP BY c
+    ),
+    w_{i} AS (
+        SELECT v, m,
+               COALESCE(SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS s,
+               SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cc_{i}
+    ),
+    tot_{i} AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+               CAST(SUM(v * m) AS BIGINT) AS total_rows,
+               CAST(MAX(v) AS BIGINT) AS max_count,
+               CAST(SUM(v * (m * s + m * (m + 1) // 2)) AS BIGINT) AS s1
+        FROM w_{i}
+    ),
+    p99_{i} AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS p99_count
+        FROM w_{i} CROSS JOIN tot_{i}
+        WHERE cum * 100 >= 99 * n_keys
+    )""")
+        branches.append(f"""
+    SELECT '{table}.{key}' AS key_name, n_keys, total_rows, max_count,
+           p99_count,
+           CAST(max_count AS DOUBLE) * n_keys / total_rows AS skew_ratio,
+           CAST(2 * s1 - (n_keys + 1) * total_rows AS DOUBLE)
+               / n_keys / total_rows AS gini,
+           (max_count * n_keys + total_rows - 1) // total_rows
+               AS recommended_salts
+    FROM tot_{i} CROSS JOIN p99_{i}""")
+    return (
+        "WITH " + ",".join(ctes) + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(branches)
+        + "\n    ) ORDER BY key_name"
+    )
+
+
+@register(
+    "q186_join_key_skew_profile",
+    oracle=_skew_oracle(),
+    tags=("profiling", "skew", "scale"),
+)
+def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic a 100 TB job runs BEFORE
+    picking a join strategy (salt factor, AQE skew thresholds): per key,
+    the key count, max/p99 per-key row counts, max/mean skew ratio, the
+    Gini coefficient of the per-key distribution, and the salt factor
+    that would level the hottest key to the mean
+    (ceil(max * n_keys / total)).
+
+    Scale discipline is the point of the implementation: the Gini needs
+    ranked cumulative sums, but ranking every KEY would be a global sort
+    of a key-domain-sized frame — instead both engines compute it from
+    the COUNT-OF-COUNTS frame (distinct per-key-count values v with
+    multiplicities m): a run of m tied keys starting after rank s
+    contributes v*(m*s + m*(m+1)/2) to the ranked sum, because tied
+    ranks are interchangeable in Σ rank*count. That window runs over
+    DISTINCT COUNT VALUES — dozens of rows at any corpus size. p99 is
+    the discrete quantile read off the same cumulative frame
+    (smallest v with 100*cum >= 99*n). Two map-side-combinable shuffles
+    per key (key counts → count-of-counts), everything downstream is
+    value-domain-bounded; all ratios are single/chained IEEE divisions
+    of exact bigints, identical expression text in both engines.
+    (Counts stay in BIGINT: the s1 term is bounded by n_keys^2 *
+    max_count — switch to DECIMAL(38,0) sums beyond ~1e9 keys.)"""
+    tables = load_tables(
+        spark, sf_dir, sorted({t for t, _ in SKEW_KEYS})
+    )
+    parts = []
+    for table, key in SKEW_KEYS:
+        counts = tables[table].groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        cc = counts.groupBy(F.col("c").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("m")
+        )
+        # bounded: the window runs over distinct count VALUES (not keys)
+        wv = W.orderBy("v")
+        w = cc.select(
+            "v",
+            "m",
+            F.coalesce(
+                F.sum("m").over(
+                    wv.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("s"),
+            F.sum("m")
+            .over(wv.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cum"),
+        )
+        tot = w.agg(
+            F.sum("m").cast("bigint").alias("n_keys"),
+            F.sum(F.expr("v * m")).cast("bigint").alias("total_rows"),
+            F.max("v").cast("bigint").alias("max_count"),
+            F.sum(F.expr("v * (m * s + m * (m + 1) DIV 2)"))
+            .cast("bigint")
+            .alias("s1"),
+        )
+        p99 = (
+            w.crossJoin(F.broadcast(tot.select("n_keys")))
+            .filter(F.expr("cum * 100 >= 99 * n_keys"))
+            .agg(F.min("v").cast("bigint").alias("p99_count"))
+        )
+        parts.append(
+            tot.crossJoin(F.broadcast(p99)).select(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                "n_keys",
+                "total_rows",
+                "max_count",
+                "p99_count",
+                F.expr(
+                    "CAST(max_count AS DOUBLE) * n_keys / total_rows"
+                ).alias("skew_ratio"),
+                F.expr(
+                    "CAST(2 * s1 - (n_keys + 1) * total_rows AS DOUBLE)"
+                    " / n_keys / total_rows"
+                ).alias("gini"),
+                F.expr(
+                    "(max_count * n_keys + total_rows - 1) DIV total_rows"
+                ).alias("recommended_salts"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_name")

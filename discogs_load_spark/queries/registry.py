@@ -79,6 +79,9 @@ PRIORITY: list[str] = [
     "q181_image_phash_dedup",
     "q182_pmi_collocations",
     "q183_weighted_priority_sample",
+    "q184_bloom_membership",
+    "q185_stratified_allocation",
+    "q186_join_key_skew_profile",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

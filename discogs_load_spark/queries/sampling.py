@@ -1032,3 +1032,83 @@ def q183_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("source", "doc_id", "weight", "priority", "rk")
         .orderBy("source", "rk")
     )
+
+
+LR_BUDGET = 100  # global sample budget apportioned across sources
+
+
+@register(
+    "q185_stratified_allocation",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+    quota AS (
+        SELECT c.source, c.n_docs,
+               ({LR_BUDGET} * c.n_docs) // t.n AS base_alloc,
+               ({LR_BUDGET} * c.n_docs) % t.n AS rem
+        FROM counts c CROSS JOIN tot t
+    ),
+    leftover AS (
+        SELECT CAST({LR_BUDGET} - SUM(base_alloc) AS BIGINT) AS r FROM quota
+    ),
+    ranked AS (
+        SELECT q.*, l.r,
+               CAST(ROW_NUMBER() OVER (ORDER BY q.rem DESC, q.source)
+                    AS BIGINT) AS rem_rank
+        FROM quota q CROSS JOIN leftover l
+    )
+    SELECT source, n_docs, base_alloc,
+           CAST(rem_rank AS INT) AS remainder_rank,
+           CASE WHEN rem_rank <= r THEN 1 ELSE 0 END AS got_extra,
+           base_alloc + CASE WHEN rem_rank <= r THEN 1 ELSE 0 END AS alloc
+    FROM ranked
+    ORDER BY source
+    """,
+    tags=("sampling", "curation", "apportionment"),
+)
+def q185_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional apportionment of a global sample budget across
+    sources — Hamilton's largest-remainder method, the integer-exact way
+    to answer 'give me {LR_BUDGET} docs, proportional to source sizes'
+    without the float-quota drift that makes naive round(budget * share)
+    sum to 99 or 101: base = floor(B*n_i/N) via integer division, then
+    the B - Σbase leftover units go to the largest remainders
+    (deterministic source tie-break). Every column is integer
+    arithmetic; Σalloc == B by construction (tested).
+
+    Scale shape: one map-side-combinable count shuffle (corpus → one row
+    per source), then everything runs on the sources-sized frame — the
+    1-row total and leftover ride hinted broadcasts, and the remainder
+    window sorts #sources rows, never the corpus."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({LR_BUDGET} * n_docs) DIV n").alias("base_alloc"),
+        F.expr(f"({LR_BUDGET} * n_docs) % n").alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(LR_BUDGET) - F.sum("base_alloc")).cast("bigint").alias("r")
+    )
+    ranked = quota.crossJoin(F.broadcast(leftover)).withColumn(
+        "rem_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .cast("bigint"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("r"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_docs",
+        "base_alloc",
+        F.col("rem_rank").cast("int").alias("remainder_rank"),
+        extra.cast("bigint").alias("got_extra"),
+        (F.col("base_alloc") + extra).alias("alloc"),
+    ).orderBy("source")

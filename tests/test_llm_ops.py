@@ -1001,3 +1001,139 @@ def test_q183_weighted_sample_properties(spark):
     mean_all = sum(weights.values()) / len(weights)
     mean_sampled = sum(weights[i] for i in sampled_ids) / len(sampled_ids)
     assert mean_sampled > mean_all
+
+
+def test_q184_bloom_matches_python_reference(spark):
+    """Independent Bloom recompute in plain Python (hashlib md5, int
+    bit-sets) over the same fixture: every reported row must match, no
+    false negatives anywhere (bloom >= true), and the fixture's fill
+    factor must actually produce SOME false positives — otherwise the
+    error-measurement column is untested."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    from discogs_load_spark.queries.extra import (
+        BLOOM_K,
+        BLOOM_PROBES,
+        BLOOM_WORD_BITS,
+        BLOOM_WORDS,
+    )
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    m = BLOOM_WORDS * BLOOM_WORD_BITS
+    shingle_sets: dict[str, set[str]] = defaultdict(set)
+    for r in _docs(spark).select("source", "text").collect():
+        if r.text is None:
+            continue
+        norm = re.sub(
+            r" +", " ", re.sub(r"[^a-z0-9 ]", " ", r.text.lower())
+        ).strip()
+        toks = norm.split(" ") if norm else []
+        for i in range(len(toks) - 2):
+            shingle_sets[r.source].add(" ".join(toks[i : i + 3]))
+
+    def positions(sh: str):
+        return [
+            int(hashlib.md5(f"{sh}#{j}".encode()).hexdigest()[:8], 16) % m
+            for j in range(BLOOM_K)
+        ]
+
+    filters = {
+        s: {p for sh in shs for p in positions(sh)}
+        for s, shs in shingle_sets.items()
+    }
+    counts = Counter(sh for shs in shingle_sets.values() for sh in shs)
+    probes = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BLOOM_PROBES
+    ]
+    want = {}
+    for sh, true_n in probes:
+        bloom_n = sum(
+            1
+            for s in filters
+            if all(p in filters[s] for p in positions(sh))
+        )
+        want[sh] = (true_n, bloom_n, bloom_n - true_n)
+
+    rows = REGISTRY["q184_bloom_membership"].fn(spark, SF_SMALL).collect()
+    got = {
+        r.shingle: (r.n_sources_true, r.n_sources_bloom, r.false_positives)
+        for r in rows
+    }
+    assert got == want
+    assert all(r.n_sources_bloom >= r.n_sources_true for r in rows)
+    assert sum(r.false_positives for r in rows) > 0
+
+
+def test_q185_hamilton_allocation_matches_python(spark):
+    """Largest-remainder apportionment recomputed in exact-integer
+    Python: every row matches, and the defining property holds —
+    allocations sum to the budget exactly, with each source within
+    1 of its real-valued quota (Hamilton's method satisfies quota)."""
+    from collections import Counter
+
+    from discogs_load_spark.queries.registry import REGISTRY
+    from discogs_load_spark.queries.sampling import LR_BUDGET
+
+    counts = Counter(
+        r.source for r in _docs(spark).select("source").collect()
+    )
+    n = sum(counts.values())
+    quota = {
+        s: (LR_BUDGET * c // n, LR_BUDGET * c % n) for s, c in counts.items()
+    }
+    r_left = LR_BUDGET - sum(b for b, _ in quota.values())
+    order = sorted(quota, key=lambda s: (-quota[s][1], s))
+    extras = set(order[:r_left])
+    want = {
+        s: (counts[s], quota[s][0], quota[s][0] + (1 if s in extras else 0))
+        for s in counts
+    }
+
+    rows = REGISTRY["q185_stratified_allocation"].fn(spark, SF_SMALL).collect()
+    got = {r.source: (r.n_docs, r.base_alloc, r.alloc) for r in rows}
+    assert got == want
+    assert sum(r.alloc for r in rows) == LR_BUDGET
+    for r in rows:
+        exact = LR_BUDGET * counts[r.source] / n
+        assert exact - 1 < r.alloc < exact + 1  # stays within quota
+
+
+def test_q186_skew_stats_match_python(spark):
+    """Skew profile recomputed naively in Python (rank every key, no
+    count-of-counts trick): the run-compressed Gini/p99 the engine uses
+    must equal the naive definitions exactly."""
+    from collections import Counter
+
+    from discogs_load_spark.queries.registry import REGISTRY
+    from discogs_load_spark.session import load_tables
+
+    rows = REGISTRY["q186_join_key_skew_profile"].fn(spark, SF_SMALL).collect()
+    got = {r.key_name: r for r in rows}
+    for table, key in [
+        ("lineitem", "l_suppkey"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ]:
+        df = load_tables(spark, SF_SMALL, [table])[table]
+        counts = sorted(
+            Counter(r[0] for r in df.select(key).collect()).values()
+        )
+        n, total, mx = len(counts), sum(counts), max(counts)
+        s1 = sum(i * c for i, c in enumerate(counts, start=1))
+        gini = float(2 * s1 - (n + 1) * total) / n / total
+        # p99: smallest count value at cumulative position >= ceil(.99 n)
+        cum, p99 = 0, None
+        for c in counts:
+            cum += 1
+            if 100 * cum >= 99 * n:
+                p99 = c
+                break
+        r = got[f"{table}.{key}"]
+        assert (r.n_keys, r.total_rows, r.max_count) == (n, total, mx)
+        assert r.p99_count == p99
+        assert r.gini == gini
+        assert r.skew_ratio == float(mx) * n / total
+        assert r.recommended_salts == (mx * n + total - 1) // total

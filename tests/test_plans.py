@@ -504,3 +504,11 @@ def test_weighted_sample_pushes_window_group_limit(spark):
     per-source exchange so map tasks forward at most k rows per source."""
     plan = _plan(spark, "q183_weighted_priority_sample")
     assert "WindowGroupLimit" in plan
+
+
+def test_bloom_probe_join_broadcasts_filter_grid(spark):
+    """q184's filter grid is <= sources x 256 rows; the probe join must
+    broadcast it, and nothing in the plan may go cartesian."""
+    kinds = join_kinds(REGISTRY["q184_bloom_membership"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastHashJoin" in kinds

@@ -93,11 +93,12 @@ def test_gate_window_leads_with_changed_or_new_oracles():
     q174 (new, schema evolution), q175 (new, OPH MinHash), q176/q177
     (new, GD classifier + AUC eval), q178 (new, Kneser-Ney), q179 (new,
     KMV sketch), q71 (oracle rewritten r05), q72 (oracle fixed r06);
-    r07 appends its four new queries (q180 count-min, q181 perceptual
-    image dedup, q182 PMI collocations, q183 weighted sampling) after
-    q179 so the whole never-driver-checked block stays contiguous.
+    r07 appends its seven new queries (q180 count-min, q181 perceptual
+    image dedup, q182 PMI collocations, q183 weighted sampling, q184
+    Bloom membership, q185 Hamilton allocation, q186 skew profile)
+    after q179 so the whole never-driver-checked block stays contiguous.
     Update this list when a future round changes other oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:16]
+    window = [n for n in PRIORITY if n in REGISTRY][:19]
     assert window == [
         "q170_preshard_ingest",
         "q171_bpe_merges",
@@ -113,6 +114,9 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q181_image_phash_dedup",
         "q182_pmi_collocations",
         "q183_weighted_priority_sample",
+        "q184_bloom_membership",
+        "q185_stratified_allocation",
+        "q186_join_key_skew_profile",
         "q71_multimodal_features",
         "q72_frame_sampling",
     ]
