@@ -73,6 +73,8 @@ SF1_QUERIES = [
     "q184_bloom_membership",
     # skew profile = 2 map-side-combinable shuffles per key config
     "q186_join_key_skew_profile",
+    # grouped OLS = one fact-dim join + one combinable aggregate
+    "q187_grouped_ols",
 ]
 
 
@@ -264,6 +266,15 @@ def main() -> None:
 
     warm = spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     _materialize(warm.mapInPandas(lambda it: it, "id long"))
+    # ... and the numpy/codec import in every worker: whichever query
+    # first touches the image path otherwise absorbs ~20 s of one-time
+    # per-worker imports into ITS timing (observed on q181 in r07)
+    from discogs_load_spark.operators.multimodal import (
+        image_ahash,
+        render_procedural_bmp,
+    )
+
+    _materialize(image_ahash(render_procedural_bmp(warm, 16, 16, id_col="id")))
 
     # ingest microbench first: measured on a young JVM for run-to-run
     # comparability (after ~60 queries the session carries listener/GC
@@ -276,6 +287,11 @@ def main() -> None:
         t0 = time.monotonic()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
+        # queries persist their shared frames for the duration of the
+        # app; across a 180+-query sweep those dead caches accumulate in
+        # executor memory and bleed into later timings — drop them (no
+        # query depends on another's cache)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 
     # Full per-query timings go to stderr AND to their own stdout line

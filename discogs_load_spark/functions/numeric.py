@@ -159,3 +159,42 @@ def dec_corr_sql(x: str, y: str, alias: str, scale: int = 2) -> str:
         f"({n} * {sxy} - {sx} * {sy}) / (sqrt({vx}) * sqrt({vy})) END)"
         f" AS {alias}"
     )
+
+
+def dec_ols_sql(x: str, y: str, scale: int = 2) -> dict[str, str]:
+    """Order-insensitive simple-OLS terms (y ~ a + b*x), bitwise-stable
+    across engines — {'slope': ..., 'intercept': ..., 'r2': ...}.
+
+    Same quantize-to-integer recipe as :func:`dec_corr_sql`: both
+    variables quantize to BIGINT at ``scale``, the five sums are exact
+    DECIMAL(38,0) integer sums, and each closing formula is one identical
+    IEEE double sequence. The quantization factor m cancels in the slope
+    (m²/m²) and in r²; the intercept comes out in quantized y units, so
+    it closes with a single exact ``/ m`` (m is a power of ten, and the
+    whole chain is correctly-rounded IEEE either way). Zero-variance x
+    (vertical groups) yields NULL via the same CASE guard both engines
+    honor; r² additionally guards zero-variance y."""
+    m = 10 ** scale
+    cx = f"CAST(ROUND(({x}) * {m}) AS BIGINT)"
+    cy = f"CAST(ROUND(({y}) * {m}) AS BIGINT)"
+    n = f"COUNT({x})"
+    sx = f"CAST(SUM(CAST({cx} AS DECIMAL(38,0))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({cy} AS DECIMAL(38,0))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({cx} AS DECIMAL(38,0)) * {cx}) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({cy} AS DECIMAL(38,0)) * {cy}) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({cx} AS DECIMAL(38,0)) * {cy}) AS DOUBLE)"
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    slope = f"(CASE WHEN {vx} = 0 THEN NULL ELSE {cov} / {vx} END)"
+    return {
+        "slope": slope,
+        "intercept": (
+            f"(CASE WHEN {vx} = 0 THEN NULL ELSE "
+            f"({sy} - {cov} / {vx} * {sx}) / {n} / {m} END)"
+        ),
+        "r2": (
+            f"(CASE WHEN {vx} = 0 OR {vy} = 0 THEN NULL ELSE "
+            f"{cov} * {cov} / ({vx} * {vy}) END)"
+        ),
+    }

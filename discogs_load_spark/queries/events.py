@@ -327,3 +327,75 @@ def q163_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "day_idx", "day_value", "trailing_value", "n_days_in_frame", "n_events"
     )
+
+
+DECAY_CLAMP = 62  # 2^d stays inside BIGINT; the fixture spans 30 days
+
+
+@register(
+    "q188_halflife_decay",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+    e AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS v,
+               LEAST(datediff('day', CAST(ts AS DATE), a), {DECAY_CLAMP})
+                   AS d
+        FROM events CROSS JOIN anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100 AS raw_value,
+           CAST(SUM(CAST(v AS DECIMAL(38,0))
+                    * CAST(CAST(1 AS BIGINT) << ({DECAY_CLAMP} - d)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+               / CAST(CAST(1 AS BIGINT) << {DECAY_CLAMP} AS DOUBLE) / 100
+               AS decayed_value
+    FROM e GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "recency", "decay"),
+)
+def q188_halflife_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score with a one-day half-life —
+    weight = 2^-days_ago — computed WITHOUT transcendentals: exp/pow
+    differ in the last ulp across libm implementations (the class the
+    hash gate bans), but halving is exact in binary, so the decayed sum
+    is taken as an EXACT integer: cents * 2^(CLAMP - d) accumulated in
+    DECIMAL(38,0) (order-insensitive), closed by one division by the
+    constant 2^CLAMP (an exponent shift, exact) and one /100. The score
+    is therefore bitwise-identical across engines, partitionings, and
+    run orders — the recency weighting every engagement/feature-freshness
+    pipeline wants, in the deterministic subset. Events older than
+    {DECAY_CLAMP} days clamp to the {DECAY_CLAMP}-day weight (documented;
+    2^-62 is already ~0 at double precision).
+
+    Scale shape: the anchor date is a 1-row broadcast; the decay weight
+    is a per-row projection; one map-side-combinable groupBy(user_id)
+    carries everything — same cost as a plain per-user sum."""
+    events = _events(spark, sf_dir)
+    anchor = events.agg(F.max(F.col("ts").cast("date")).alias("a"))
+    e = events.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+        F.expr(
+            f"LEAST(datediff(a, CAST(ts AS DATE)), {DECAY_CLAMP})"
+        ).alias("d"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100"
+            ).alias("raw_value"),
+            F.expr(
+                f"CAST(SUM(CAST(v AS DECIMAL(38,0))"
+                f" * CAST(shiftleft(CAST(1 AS BIGINT), {DECAY_CLAMP} - d)"
+                f" AS DECIMAL(38,0))) AS DOUBLE)"
+                f" / CAST(shiftleft(CAST(1 AS BIGINT), {DECAY_CLAMP})"
+                f" AS DOUBLE) / 100"
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -902,13 +902,17 @@ BLOOM_PROBES = 150  # most-shared shingles point-checked against every filter
 _BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
 
 
-def _bloom_pos(expr: str, j: str) -> str:
-    """Bit position of probe ``j`` for shingle ``expr`` — identical text
-    in both dialects (md5 + nibble-weighted prefix, mod filter bits)."""
+def _bloom_pos(hash_expr: str, j: int) -> str:
+    """Bit position of probe ``j``: 8 hex chars [8j, 8j+8) of ONE md5,
+    nibble-weighted to an int, mod filter bits — identical text in both
+    dialects. Slicing independent probe positions out of a single digest
+    (instead of k salted re-hashes) is the Kirsch-Mitzenmacher
+    construction: one hash per element however many probes, which is the
+    per-row cost that matters when the element stream is corpus-sized."""
     from ..functions.textfns import hex_prefix_num_sql
 
     return (
-        hex_prefix_num_sql(f"md5({expr} || '#' || CAST({j} AS STRING))", 8)
+        hex_prefix_num_sql(f"substring({hash_expr}, {8 * j + 1}, 8)", 8)
         + f" % {_BLOOM_BITS}"
     )
 
@@ -917,15 +921,24 @@ def _bloom_oracle() -> str:
     from ..functions.textfns import doc_shingles_sql
 
     s3 = doc_shingles_sql("text", 3, "duckdb")
-    pos = _bloom_pos("sh", "j")
+    pos_branches = " UNION ALL ".join(
+        f"SELECT source, sh, {j} AS j, ({_bloom_pos('h', j)}) AS pos FROM hashed"
+        for j in range(BLOOM_K)
+    )
+    probe_branches = " UNION ALL ".join(
+        f"SELECT sh, {j} AS j, ({_bloom_pos('h', j)}) AS pos FROM phashed"
+        for j in range(BLOOM_K)
+    )
     return f"""
     WITH d0 AS (
         SELECT DISTINCT source, UNNEST({s3}) AS sh FROM documents
     ),
+    hashed AS (SELECT source, sh, md5(sh) AS h FROM d0),
+    pos AS ({pos_branches}),
     bits AS (
-        SELECT source, ({pos}) // {BLOOM_WORD_BITS} AS word,
-               CAST(1 AS BIGINT) << (({pos}) % {BLOOM_WORD_BITS}) AS mask
-        FROM d0, generate_series(0, {BLOOM_K - 1}) AS g(j)
+        SELECT source, pos // {BLOOM_WORD_BITS} AS word,
+               CAST(1 AS BIGINT) << (pos % {BLOOM_WORD_BITS}) AS mask
+        FROM pos
     ),
     filt AS (
         SELECT source, word, bit_or(mask) AS bits FROM bits
@@ -936,10 +949,12 @@ def _bloom_oracle() -> str:
         FROM d0 GROUP BY sh
         ORDER BY n_sources_true DESC, sh LIMIT {BLOOM_PROBES}
     ),
+    phashed AS (SELECT sh, md5(sh) AS h FROM probes),
+    ppos AS ({probe_branches}),
     pbits AS (
-        SELECT p.sh, g.j, ({pos.replace('sh', 'p.sh')}) // {BLOOM_WORD_BITS} AS word,
-               CAST(1 AS BIGINT) << (({pos.replace('sh', 'p.sh')}) % {BLOOM_WORD_BITS}) AS mask
-        FROM probes p, generate_series(0, {BLOOM_K - 1}) AS g(j)
+        SELECT sh, j, pos // {BLOOM_WORD_BITS} AS word,
+               CAST(1 AS BIGINT) << (pos % {BLOOM_WORD_BITS}) AS mask
+        FROM ppos
     ),
     hits AS (
         SELECT b.sh, f.source
@@ -1001,12 +1016,11 @@ def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pos = F.expr(_bloom_pos("sh", "j"))
-    fan = d0.select(
-        "source",
-        "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
-    ).withColumn("pos", pos)
+    # one md5 per element; the K probe positions are slices of it
+    pos_arr = F.array(*[F.expr(_bloom_pos("h", j)) for j in range(BLOOM_K)])
+    fan = d0.withColumn("h", F.md5("sh")).select(
+        "source", F.posexplode(pos_arr).alias("j", "pos")
+    )
     filt = (
         fan.select(
             "source",
@@ -1024,11 +1038,11 @@ def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sources_true").desc(), "sh")
         .limit(BLOOM_PROBES)
     )
-    pbits = probes.select(
+    pbits = probes.withColumn("h", F.md5("sh")).select(
         "sh",
         "n_sources_true",
-        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
-    ).withColumn("pos", pos).select(
+        F.posexplode(pos_arr).alias("j", "pos"),
+    ).select(
         "sh",
         "n_sources_true",
         "j",
@@ -1213,3 +1227,54 @@ def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("key_name")
+
+
+def _ols_terms() -> dict[str, str]:
+    from ..functions.numeric import dec_ols_sql
+
+    return dec_ols_sql("l_quantity", "l_extendedprice", scale=2)
+
+
+@register(
+    "q187_grouped_ols",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_ols_terms()["slope"]} AS slope,
+           {_ols_terms()["intercept"]} AS intercept,
+           {_ols_terms()["r2"]} AS r2
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tags=("agg", "statistics", "regression"),
+)
+def q187_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (price ~ quantity per brand) —
+    the feature-engineering fit a pipeline runs thousands of at once,
+    expressed as ONE aggregate: slope/intercept/r² close over the same
+    five exact integer sums as q166's Pearson r
+    (functions/numeric.dec_ols_sql), so the fit is order-insensitive and
+    bitwise-identical cross-engine, unlike an MLlib LinearRegression
+    whose LBFGS/normal-equation path is iteration-order-dependent.
+
+    Scale shape: the fact-dim join shuffles once on partkey (AQE
+    broadcasts the dim side when it fits), then one map-side-combinable
+    aggregate per brand — the regression costs exactly one groupBy
+    regardless of group count. Degenerate groups (zero x-variance) are
+    NULL in both engines via the shared CASE guard."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    terms = _ols_terms()
+    joined = t["lineitem"].join(
+        t["part"], F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(terms["slope"]).alias("slope"),
+            F.expr(terms["intercept"]).alias("intercept"),
+            F.expr(terms["r2"]).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )

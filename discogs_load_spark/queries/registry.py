@@ -82,6 +82,9 @@ PRIORITY: list[str] = [
     "q184_bloom_membership",
     "q185_stratified_allocation",
     "q186_join_key_skew_profile",
+    "q187_grouped_ols",
+    "q188_halflife_decay",
+    "q189_quantile_cut_bins",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

@@ -228,3 +228,125 @@ def q148_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+QCUT_BINS = 10  # equal-frequency decile cuts
+
+
+@register(
+    "q189_quantile_cut_bins",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    vc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM q GROUP BY c),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM vc),
+    w AS (
+        SELECT c, m,
+               SUM(m) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM vc
+    ),
+    cuts AS (
+        SELECT g.k, MIN(w.c) AS cut
+        FROM w CROSS JOIN tot
+        JOIN generate_series(1, {QCUT_BINS - 1}) AS g(k)
+          ON w.cum * {QCUT_BINS} >= g.k * tot.n
+        GROUP BY g.k
+    ),
+    binned AS (
+        SELECT v.c, v.m,
+               1 + COALESCE(SUM(CASE WHEN v.c > cuts.cut THEN 1 END), 0)
+                   AS bin
+        FROM vc v LEFT JOIN cuts ON TRUE
+        GROUP BY v.c, v.m
+    ),
+    spine AS (SELECT k AS bin FROM generate_series(1, {QCUT_BINS}) AS s(k))
+    SELECT s.bin,
+           COALESCE(CAST(SUM(b.m) AS BIGINT), 0) AS n_rows,
+           CAST(MIN(b.c) AS DOUBLE) / 100 AS lo_price,
+           CAST(MAX(b.c) AS DOUBLE) / 100 AS hi_price,
+           CAST(COALESCE(SUM(b.m), 0) AS DOUBLE) / (SELECT n FROM tot)
+               AS share
+    FROM spine s LEFT JOIN binned b ON b.bin = s.bin
+    GROUP BY s.bin
+    ORDER BY s.bin
+    """,
+    tags=("agg", "histogram", "quantile"),
+)
+def q189_quantile_cut_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile-cut) histogram of order prices — the
+    quantile binning a feature pipeline uses where q48's width_bucket
+    uses equal WIDTH. Cut k is the smallest price value whose cumulative
+    count reaches k/{QCUT_BINS} of the rows (the q186 discrete-quantile
+    rule: integer cross-multiply, no float quantile), ties stay whole —
+    unlike ntile, a repeated value never straddles bins, which is what
+    makes the binning a pure function of the VALUE and therefore
+    hash-green cross-engine AND computable without a global row sort:
+    the only window runs over DISTINCT price values (value-domain-
+    bounded), where ntile would single-partition the whole fact table.
+    Empty bins (possible under heavy ties) surface as n_rows = 0 rows
+    from the static bin spine.
+
+    Scale shape: one map-side-combinable value-histogram shuffle, a
+    window over distinct values, a {QCUT_BINS - 1}-row broadcast cut
+    table, and a bins-sized rollup."""
+    from pyspark.sql import Window as W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    vc = (
+        orders.select(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c")
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    tot = vc.agg(F.sum("m").cast("bigint").alias("n"))
+    # bounded: the window runs over distinct price VALUES, not rows
+    w = vc.withColumn(
+        "cum",
+        F.sum("m").over(
+            W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    ks = spark.range(1, QCUT_BINS).select(F.col("id").alias("k"))
+    cuts = (
+        w.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ks),
+            F.expr(f"cum * {QCUT_BINS} >= k * n"),
+        )
+        .groupBy("k")
+        .agg(F.min("c").alias("cut"))
+    )
+    binned = (
+        vc.join(F.broadcast(cuts), F.expr("TRUE"), "left")
+        .groupBy("c", "m")
+        .agg(
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.sum(F.when(F.col("c") > F.col("cut"), 1)), F.lit(0)
+                )
+            ).alias("bin")
+        )
+    )
+    spine = spark.range(1, QCUT_BINS + 1).select(F.col("id").alias("bin"))
+    return (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.expr("CAST(MIN(c) AS DOUBLE) / 100").alias("lo_price"),
+            F.expr("CAST(MAX(c) AS DOUBLE) / 100").alias("hi_price"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_rows",
+            "lo_price",
+            "hi_price",
+            F.expr("CAST(n_rows AS DOUBLE) / n").alias("share"),
+        )
+        .orderBy("bin")
+    )
