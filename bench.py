@@ -274,7 +274,11 @@ def main() -> None:
         render_procedural_bmp,
     )
 
-    _materialize(image_ahash(render_procedural_bmp(warm, 16, 16, id_col="id")))
+    _materialize(
+        image_ahash(
+            render_procedural_bmp(warm, 16, 16, id_col="id"), id_col="id"
+        )
+    )
 
     # ingest microbench first: measured on a young JVM for run-to-run
     # comparability (after ~60 queries the session carries listener/GC

@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "q187_grouped_ols",
     "q188_halflife_decay",
     "q189_quantile_cut_bins",
+    "q190_streaming_countmin",
     "q71_multimodal_features",
     "q72_frame_sampling",
     # (b) r01-only greens, registration order:

@@ -540,3 +540,155 @@ def q161_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+SCMS_DEPTH = 4
+SCMS_WIDTH = 64
+SCMS_TOP = 20
+
+
+def _scms_oracle() -> str:
+    from ..functions.textfns import hex_prefix_num_sql
+
+    cell = (
+        hex_prefix_num_sql(
+            "md5(CAST(user_id AS VARCHAR) || '#' || CAST(d AS VARCHAR))", 8
+        )
+        + f" % {SCMS_WIDTH}"
+    )
+    return f"""
+    WITH uc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT d, {cell} AS cell, CAST(SUM(c) AS BIGINT) AS cell_count
+        FROM uc, generate_series(0, {SCMS_DEPTH - 1}) AS g(d)
+        GROUP BY d, cell
+    ),
+    exact AS (
+        SELECT user_id, c AS exact_count FROM uc
+        ORDER BY c DESC, user_id LIMIT {SCMS_TOP}
+    ),
+    probes AS (
+        SELECT e.user_id, e.exact_count, s.d, {cell.replace('user_id', 'e.user_id').replace('(d ', '(s.d ')} AS cell
+        FROM exact e, generate_series(0, {SCMS_DEPTH - 1}) AS s(d)
+    ),
+    est AS (
+        SELECT p.user_id, MIN(g.cell_count) AS est_count
+        FROM probes p JOIN grid g ON g.d = p.d AND g.cell = p.cell
+        GROUP BY p.user_id
+    )
+    SELECT e.user_id, e.exact_count, s.est_count,
+           s.est_count - e.exact_count AS overcount,
+           CAST(ROW_NUMBER() OVER (ORDER BY e.exact_count DESC, e.user_id)
+                AS INT) AS rank
+    FROM exact e JOIN est s ON e.user_id = s.user_id
+    ORDER BY e.exact_count DESC, e.user_id
+    """
+
+
+@register(
+    "q190_streaming_countmin",
+    oracle=_scms_oracle(),
+    tags=("streaming", "sketch", "count-min", "mergeable"),
+)
+def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: q180's count-min sketch MAINTAINED by a
+    Structured Streaming pipeline — each micro-batch lands its partial
+    DEPTH x WIDTH grid (per-batch user counts hashed into cells) via
+    ``foreachBatch`` into an append-only parquet ledger, and the live
+    sketch is the cell-wise SUM of the partials (CMS merge = '+', so the
+    ledger is idempotent-append and replayable, the q161 matview
+    discipline applied to a sketch). Because every counter is an exact
+    integer, the streamed-and-merged grid is BITWISE equal to the grid a
+    batch job would build over the same history — which is exactly what
+    the oracle checks: it recomputes grid and estimates directly from
+    the raw events. The top-{SCMS_TOP} most-active users are then
+    point-queried against the merged sketch, overcount = measured
+    collision error.
+
+    At 100 TB/day: per batch the ledger gains <= DEPTH*WIDTH rows
+    (constant), the estimate query reads partials only — never the event
+    history — and per-user state never exists anywhere (that is the
+    sketch's point; the exact side here is the fixture-scale referee)."""
+    from ..functions.textfns import hex_prefix_num_sql
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = os.path.join(
+        tempfile.gettempdir(), f"stream_events_{_cache_key(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(src)
+
+    ledger = tempfile.mkdtemp(prefix="q190_cms_ledger_")
+    cell_expr = (
+        hex_prefix_num_sql(
+            "md5(concat(CAST(user_id AS STRING), '#', CAST(d AS STRING)))", 8
+        )
+        + f" % {SCMS_WIDTH}"
+    )
+
+    def land_partial(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .select(
+                "user_id",
+                "c",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(SCMS_DEPTH - 1))
+                ).alias("d"),
+            )
+            .withColumn("cell", F.expr(cell_expr))
+            .groupBy("d", "cell")
+            .agg(F.sum("c").cast("bigint").alias("c_partial"))
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    with _stream_drain_conf(spark):
+        q = (
+            read_event_stream(spark, src)
+            .writeStream.foreachBatch(land_partial)
+            .option("checkpointLocation", os.path.join(ledger, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    grid = (
+        spark.read.parquet(ledger)
+        .groupBy("d", "cell")
+        .agg(F.sum("c_partial").cast("bigint").alias("cell_count"))
+    )
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(SCMS_TOP)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(SCMS_DEPTH - 1))).alias("d"),
+    ).withColumn("cell", F.expr(cell_expr))
+    est = (
+        probes.join(F.broadcast(grid), ["d", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+    from pyspark.sql import Window as W
+
+    return est.select(
+        "user_id",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        F.row_number()
+        .over(W.orderBy(F.col("exact_count").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy(F.col("exact_count").desc(), "user_id")

@@ -1273,3 +1273,43 @@ def test_q189_bins_are_equal_frequency_and_tie_whole(spark):
     nonempty = [r for r in rows if r.n_rows > 0]
     for a, b in zip(nonempty, nonempty[1:]):
         assert a.hi_price < b.lo_price  # bins partition the domain in order
+
+
+def test_q190_streamed_sketch_equals_batch_sketch(spark):
+    """The streamed-and-merged count-min grid must be BITWISE the grid a
+    batch job builds over the same history — recomputed here in plain
+    Python (hashlib) from the raw events, including the estimates. Also
+    pins the CMS guarantee (never underestimates) through the streaming
+    path."""
+    import hashlib
+    from collections import Counter
+
+    from discogs_load_spark.queries.registry import REGISTRY
+    from discogs_load_spark.queries.streaming import (
+        SCMS_DEPTH,
+        SCMS_TOP,
+        SCMS_WIDTH,
+    )
+    from discogs_load_spark.session import load_tables
+
+    events = load_tables(spark, SF_SMALL, ["events"])["events"]
+    counts = Counter(r.user_id for r in events.select("user_id").collect())
+
+    def cell(uid: int, d: int) -> int:
+        h = hashlib.md5(f"{uid}#{d}".encode()).hexdigest()
+        return int(h[:8], 16) % SCMS_WIDTH
+
+    grid: Counter[tuple[int, int]] = Counter()
+    for uid, c in counts.items():
+        for d in range(SCMS_DEPTH):
+            grid[(d, cell(uid, d))] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:SCMS_TOP]
+    want = {
+        uid: (c, min(grid[(d, cell(uid, d))] for d in range(SCMS_DEPTH)))
+        for uid, c in top
+    }
+
+    rows = REGISTRY["q190_streaming_countmin"].fn(spark, SF_SMALL).collect()
+    got = {r.user_id: (r.exact_count, r.est_count) for r in rows}
+    assert got == want
+    assert all(r.est_count >= r.exact_count for r in rows)

@@ -93,13 +93,14 @@ def test_gate_window_leads_with_changed_or_new_oracles():
     q174 (new, schema evolution), q175 (new, OPH MinHash), q176/q177
     (new, GD classifier + AUC eval), q178 (new, Kneser-Ney), q179 (new,
     KMV sketch), q71 (oracle rewritten r05), q72 (oracle fixed r06);
-    r07 appends its ten new queries (q180 count-min, q181 perceptual
+    r07 appends its eleven new queries (q180 count-min, q181 perceptual
     image dedup, q182 PMI collocations, q183 weighted sampling, q184
     Bloom membership, q185 Hamilton allocation, q186 skew profile,
-    q187 grouped OLS, q188 half-life decay, q189 quantile-cut bins)
-    after q179 so the whole never-driver-checked block stays contiguous.
+    q187 grouped OLS, q188 half-life decay, q189 quantile-cut bins,
+    q190 streaming count-min) after q179 so the whole
+    never-driver-checked block stays contiguous.
     Update this list when a future round changes other oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:22]
+    window = [n for n in PRIORITY if n in REGISTRY][:23]
     assert window == [
         "q170_preshard_ingest",
         "q171_bpe_merges",
@@ -121,6 +122,7 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q187_grouped_ols",
         "q188_halflife_decay",
         "q189_quantile_cut_bins",
+        "q190_streaming_countmin",
         "q71_multimodal_features",
         "q72_frame_sampling",
     ]
