@@ -79,18 +79,23 @@ SF1_QUERIES = [
 
 
 def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
-    """Scale measurement on a FRESH SparkSession.
-
-    The suite session is unusable for paired timings after ~165 queries:
-    its CacheManager still plan-matches the suite's persisted frames (the
-    sf0.1 base re-runs came back 4x too fast) while the full storage pool
-    slows the cold sf1 side (q64 43s vs 22s isolated). A fresh session
-    gives both tiers the same clean slate."""
+    """Scale measurement on a FRESH SparkSession — normally invoked in a
+    FRESH SUBPROCESS (see main): a stop-and-recreate inside the suite's
+    JVM is not clean enough. The suite session is unusable for paired
+    timings after ~180 queries: its CacheManager still plan-matches the
+    suite's persisted frames (the sf0.1 base re-runs came back 4x too
+    fast) while the full storage pool slows the cold sf1 side (q64 43s
+    vs 22s isolated); and even a NEW session in the aged JVM inflates
+    the small fixed-cost sf0.1 sides by 3-4s (q71 read 5.4s in-bench vs
+    1.3s in a pristine JVM with the identical warmup — heap/codegen/
+    listener baggage survives the session), which shows up as bogus
+    scale_x < 1 readings."""
     import time as _t
 
     from discogs_load_spark.session import get_spark
 
-    suite_spark.stop()
+    if suite_spark is not None:
+        suite_spark.stop()
     spark = get_spark(app_name="discogs_load_spark_bench_sf1")
     spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode(
         "overwrite"
@@ -160,6 +165,18 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
 
     for d in (sf_dir, SF1_DIR):
         _q170_dump_path(load_tables(spark, d, ["documents"])["documents"], d)
+
+    # JIT-warm every measured query at sf0.001 first: this process's JVM
+    # is pristine (that is the point — see docstring), so without this
+    # the first pairs' sf0.1 sides absorb C2 compilation of their plan
+    # shapes (observed: q64 base 13.7s cold vs ~4s hot), which
+    # UNDERSTATES their scale_x. A tiny-tier run compiles the same
+    # generated classes for pennies.
+    tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny):
+        for name in SF1_QUERIES:
+            _materialize(REGISTRY[name].fn(spark, tiny))
+        spark.catalog.clearCache()
 
     # pair each sf1 timing with a back-to-back sf0.1 timing of the same
     # query on this clean session — the suite-loop sf0.1 numbers are not
@@ -262,6 +279,13 @@ def main() -> None:
     from discogs_load_spark.queries import REGISTRY
     from discogs_load_spark.session import get_spark
 
+    if os.environ.get("SPARK_GRAFT_SF1_SUBPROC") == "1":
+        # child mode: run ONLY the sf1 tier on this pristine JVM and
+        # hand the result back as the last stdout line
+        sf1 = bench_sf1(None, REGISTRY, sf_dir)
+        print(json.dumps({"sf1_full": sf1}, separators=(",", ":")), flush=True)
+        return
+
     spark = get_spark(app_name="discogs_load_spark_bench")
     # Warm the one-time paths so per-query timings measure the engine, not
     # startup: JVM/codegen/noop sink, the fixture re-shard cache + page
@@ -343,7 +367,24 @@ def main() -> None:
     sf1 = None
     if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
-            sf1 = bench_sf1(spark, REGISTRY, sf_dir)
+            # fresh PROCESS, not just a fresh session: the paired
+            # timings need a pristine JVM (see bench_sf1 docstring)
+            import subprocess
+
+            spark.stop()
+            env = dict(os.environ, SPARK_GRAFT_SF1_SUBPROC="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
+                timeout=3600,
+            )
+            last = [
+                l for l in proc.stdout.splitlines() if l.startswith("{")
+            ][-1]
+            sf1 = json.loads(last)["sf1_full"]
         except Exception as e:  # never lose the suite line to the sf1 tier
             sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(json.dumps({"sf1_full": sf1}), file=sys.stderr)

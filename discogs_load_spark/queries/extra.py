@@ -1165,6 +1165,8 @@ def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact bigints, identical expression text in both engines.
     (Counts stay in BIGINT: the s1 term is bounded by n_keys^2 *
     max_count — switch to DECIMAL(38,0) sums beyond ~1e9 keys.)"""
+    from pyspark.storagelevel import StorageLevel
+
     tables = load_tables(
         spark, sf_dir, sorted({t for t, _ in SKEW_KEYS})
     )
@@ -1190,7 +1192,11 @@ def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m")
             .over(wv.rowsBetween(W.unboundedPreceding, W.currentRow))
             .alias("cum"),
-        )
+            # bounded: distinct count VALUES; persisted because w feeds
+            # the totals, the p99 probe, and (via tot) the final row —
+            # without it each branch re-runs the per-key count shuffle
+            # underneath (the shared-frame rule)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         tot = w.agg(
             F.sum("m").cast("bigint").alias("n_keys"),
             F.sum(F.expr("v * m")).cast("bigint").alias("total_rows"),

@@ -1083,10 +1083,15 @@ def q185_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source), then everything runs on the sources-sized frame — the
     1-row total and leftover ride hinted broadcasts, and the remainder
     window sorts #sources rows, never the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
+    # bounded: one row per source; persisted because counts feeds the
+    # total, the quota frame, and (via quota) the leftover — without it
+    # each branch re-runs the corpus count shuffle (shared-frame rule)
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n"))
     quota = counts.crossJoin(F.broadcast(tot)).select(
         "source",

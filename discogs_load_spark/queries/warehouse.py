@@ -293,13 +293,19 @@ def q189_quantile_cut_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, and a bins-sized rollup."""
     from pyspark.sql import Window as W
 
+    from pyspark.storagelevel import StorageLevel
+
     (orders,) = _t(spark, sf_dir, "orders")
+    # bounded: distinct price values; persisted because vc feeds the
+    # total, the cumulative window, and the bin assignment — without it
+    # each branch re-runs the corpus value-histogram shuffle
     vc = (
         orders.select(
             F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c")
         )
         .groupBy("c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = vc.agg(F.sum("m").cast("bigint").alias("n"))
     # bounded: the window runs over distinct price VALUES, not rows

@@ -1313,3 +1313,72 @@ def test_q190_streamed_sketch_equals_batch_sketch(spark):
     got = {r.user_id: (r.exact_count, r.est_count) for r in rows}
     assert got == want
     assert all(r.est_count >= r.exact_count for r in rows)
+
+
+def test_q183_q188_null_edges_cross_engine(spark, duck, tmp_path):
+    """NULL-robustness pins for the r07 additions that touch nullable
+    inputs: a NULL-text doc in q183 (GREATEST skips NULLs Postgres-style
+    in BOTH engines -> weight 1, doc still sampled deterministically)
+    and a NULL-value event in q188 (SUM skips it, n_events counts it) —
+    fixture data has no NULLs, so without these fixtures the agreement
+    is untested."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from discogs_load_spark.queries import REGISTRY
+
+    sf_dir = tmp_path / "sf_edge"
+    sf_dir.mkdir()
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["one two three four", None, "alpha beta"],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [18, 0, 10],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), sf_dir / "documents.parquet")
+    events = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-03 11:00", "2024-01-03 12:00"]
+            ),
+            "user_id": [7, 7, 8],
+            "event_type": ["click"] * 3,
+            "value": [10.0, None, 4.0],
+            "props": ['{"k": 1}'] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events), sf_dir / "events.parquet")
+
+    for table in ("documents", "events"):
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {table} AS "
+            f"SELECT * FROM '{sf_dir / (table + '.parquet')}'"
+        )
+
+    for qname in ("q183_weighted_priority_sample", "q188_halflife_decay"):
+        spec = REGISTRY[qname]
+        srows = [tuple(r) for r in spec.fn(spark, str(sf_dir)).collect()]
+        drows = [tuple(r) for r in duck.execute(spec.oracle).fetchall()]
+        assert srows == drows, qname
+
+    # semantic spot-checks: the NULL-text doc got weight 1 and is
+    # present; the NULL-value event counts toward n_events but not sums
+    s183 = {
+        r.doc_id: r
+        for r in REGISTRY["q183_weighted_priority_sample"]
+        .fn(spark, str(sf_dir))
+        .collect()
+    }
+    assert s183[1].weight == 1
+    s188 = {
+        r.user_id: r
+        for r in REGISTRY["q188_halflife_decay"].fn(spark, str(sf_dir)).collect()
+    }
+    assert s188[7].n_events == 2
+    assert s188[7].raw_value == 10.0  # NULL value skipped by the sums
