@@ -104,19 +104,10 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
     _materialize(warm.mapInPandas(lambda it: it, "id long"))
-    # image-path warm (numpy + codec import in every worker) — without
-    # it the first mapInPandas pair (q71) absorbs the imports into its
-    # sf0.1 side and reads as a bogus scale_x < 1
-    from discogs_load_spark.operators.multimodal import (
-        image_ahash,
-        render_procedural_bmp,
-    )
-
-    _materialize(
-        image_ahash(
-            render_procedural_bmp(warm, 16, 16, id_col="id"), id_col="id"
-        )
-    )
+    # image-path warm — without it the first mapInPandas pair (q71)
+    # absorbs the per-worker imports into its sf0.1 side and reads as a
+    # bogus scale_x < 1
+    _warm_image_path(spark, warm)
 
     t0 = _t.monotonic()
     gen_s = 0.0
@@ -208,6 +199,24 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _warm_image_path(spark, warm) -> None:
+    """Exercise the image codec path once (numpy + package import in
+    every Python worker) so the first image query doesn't absorb ~20 s
+    of one-time per-worker imports into its own timing. ONE definition
+    for both the suite and the sf1 sessions — the pairing's 'same
+    warmup both tiers' claim depends on these staying identical."""
+    from discogs_load_spark.operators.multimodal import (
+        image_ahash,
+        render_procedural_bmp,
+    )
+
+    _materialize(
+        image_ahash(
+            render_procedural_bmp(warm, 16, 16, id_col="id"), id_col="id"
+        )
+    )
 
 
 XML_BENCH_SHARDS = int(os.environ.get("SPARK_GRAFT_XML_SHARDS", "32"))
@@ -302,19 +311,10 @@ def main() -> None:
 
     warm = spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     _materialize(warm.mapInPandas(lambda it: it, "id long"))
-    # ... and the numpy/codec import in every worker: whichever query
-    # first touches the image path otherwise absorbs ~20 s of one-time
-    # per-worker imports into ITS timing (observed on q181 in r07)
-    from discogs_load_spark.operators.multimodal import (
-        image_ahash,
-        render_procedural_bmp,
-    )
-
-    _materialize(
-        image_ahash(
-            render_procedural_bmp(warm, 16, 16, id_col="id"), id_col="id"
-        )
-    )
+    # ... and the image path: whichever query first touched it
+    # otherwise absorbs ~20 s of one-time per-worker imports into ITS
+    # timing (observed on q181 in r07)
+    _warm_image_path(spark, warm)
 
     # ingest microbench first: measured on a young JVM for run-to-run
     # comparability (after ~60 queries the session carries listener/GC
@@ -369,21 +369,29 @@ def main() -> None:
         try:
             # fresh PROCESS, not just a fresh session: the paired
             # timings need a pristine JVM (see bench_sf1 docstring)
+            import signal
             import subprocess
 
             spark.stop()
             env = dict(os.environ, SPARK_GRAFT_SF1_SUBPROC="1")
-            proc = subprocess.run(
+            # own session/process group: on timeout we must kill the
+            # child's whole group, or its Spark JVM (multi-GB local[32]
+            # heap) survives the python kill and poisons later runs
+            child = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=sys.stderr,
                 text=True,
-                timeout=3600,
+                start_new_session=True,
             )
-            last = [
-                l for l in proc.stdout.splitlines() if l.startswith("{")
-            ][-1]
+            try:
+                out, _ = child.communicate(timeout=3600)
+            except subprocess.TimeoutExpired:
+                os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+                child.wait()
+                raise
+            last = [l for l in out.splitlines() if l.startswith("{")][-1]
             sf1 = json.loads(last)["sf1_full"]
         except Exception as e:  # never lose the suite line to the sf1 tier
             sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}

@@ -173,7 +173,14 @@ def dec_ols_sql(x: str, y: str, scale: int = 2) -> dict[str, str]:
     it closes with a single exact ``/ m`` (m is a power of ten, and the
     whole chain is correctly-rounded IEEE either way). Zero-variance x
     (vertical groups) yields NULL via the same CASE guard both engines
-    honor; r² additionally guards zero-variance y."""
+    honor; r² additionally guards zero-variance y.
+
+    Like :func:`dec_corr_sql`, assumes x and y are non-null on the SAME
+    rows: n and the x-sums count every non-null-x row while the y- and
+    xy-sums skip null-y rows, so a column pair with one-sided nulls
+    mixes populations and yields a silently wrong (non-NULL) fit —
+    identical in both engines, hence invisible to the cross-engine gate.
+    Filter to rows where both are non-null before aggregating."""
     m = 10 ** scale
     cx = f"CAST(ROUND(({x}) * {m}) AS BIGINT)"
     cy = f"CAST(ROUND(({y}) * {m}) AS BIGINT)"

@@ -834,7 +834,7 @@ def q180_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries never rescan the corpus — that is the sketch's contract."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..functions.textfns import hex_prefix_num_sql, norm_sql, tokens_sql
+    from ..functions.textfns import norm_sql, tokens_sql
 
     (docs,) = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -850,16 +850,9 @@ def q180_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cell_expr = F.expr(
-        hex_prefix_num_sql("md5(concat(token, '#', CAST(d AS STRING)))", 8)
-        + f" % {CMS_WIDTH}"
-    )
-    hashed = tc.select(
-        "source",
-        "token",
-        "c",
-        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
-    ).withColumn("cell", cell_expr)
+    from ..operators.sketch import cms_fanout, cms_point_query
+
+    hashed = cms_fanout(tc, "token", CMS_DEPTH, CMS_WIDTH)
     per_source = hashed.groupBy("source", "d", "cell").agg(
         F.sum("c").alias("c")
     )
@@ -872,26 +865,7 @@ def q180_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), "token")
         .limit(CMS_TOP)
     )
-    probes = exact.select(
-        "token",
-        "exact_count",
-        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"),
-    ).withColumn("cell", cell_expr)
-    est = (
-        probes.join(F.broadcast(grid), ["d", "cell"])
-        .groupBy("token", "exact_count")
-        .agg(F.min("cell_count").alias("est_count"))
-    )
-    return est.select(
-        "token",
-        "exact_count",
-        "est_count",
-        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
-        F.row_number()
-        .over(W.orderBy(F.col("exact_count").desc(), F.col("token")))
-        .cast("int")
-        .alias("rank"),
-    ).orderBy(F.col("exact_count").desc(), "token")
+    return cms_point_query(grid, exact, "token", CMS_DEPTH, CMS_WIDTH)
 
 
 BLOOM_WORDS = 256  # 256 x 32-bit words = 8192 bits per source filter
@@ -1040,11 +1014,9 @@ def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pbits = probes.withColumn("h", F.md5("sh")).select(
         "sh",
-        "n_sources_true",
         F.posexplode(pos_arr).alias("j", "pos"),
     ).select(
         "sh",
-        "n_sources_true",
         "j",
         F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word"),
         F.expr(

@@ -181,10 +181,16 @@ def q181_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % {_Q181_SHIFTS}) — then :func:`image_ahash` decodes the
     bytes back and computes the integer block-mean/global-mean bit
     signature. The shift leaves every aHash bit unchanged (both sides of
-    the cross-multiplied compare move together), so the groups this
-    query emits are exactly the families an exact-checksum dedup CANNOT
-    see: every payload in a family is byte-distinct
-    (tests/test_llm_ops.py pins that contrast). The oracle recomputes
+    the cross-multiplied compare move together), so the hash groups the
+    shift-distinct family members an exact-checksum dedup CANNOT see.
+    Scope of that contrast: (seed, shift) is injective over doc_ids
+    below lcm({_Q181_SEEDS}, {_Q181_SHIFTS}) * 3 = 840, so within that
+    range family payloads are pairwise byte-distinct
+    (tests/test_llm_ops.py pins it there); larger fixtures recycle the
+    {_Q181_SEEDS * _Q181_SHIFTS} (seed, shift) combos, so families then
+    ALSO contain exact byte-duplicates — which the perceptual hash
+    groups regardless (aHash groups are a superset of checksum groups
+    by construction). The oracle recomputes
     the full hash analytically from the generation rule, so any decoder
     or hash-layout bug (BGR order, row flip, block indexing, bit order)
     hash-mismatches.

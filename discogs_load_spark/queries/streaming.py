@@ -550,19 +550,26 @@ SCMS_TOP = 20
 def _scms_oracle() -> str:
     from ..functions.textfns import hex_prefix_num_sql
 
-    cell = (
-        hex_prefix_num_sql(
-            "md5(CAST(user_id AS VARCHAR) || '#' || CAST(d AS VARCHAR))", 8
+    def cell(uid_col: str, d_col: str) -> str:
+        # re-derive per call site with qualified columns (q180's robust
+        # pattern) — never string-surgery on an emitted expression
+        return (
+            hex_prefix_num_sql(
+                f"md5(CAST({uid_col} AS VARCHAR) || '#' "
+                f"|| CAST({d_col} AS VARCHAR))",
+                8,
+            )
+            + f" % {SCMS_WIDTH}"
         )
-        + f" % {SCMS_WIDTH}"
-    )
+
     return f"""
     WITH uc AS (
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
         FROM events GROUP BY user_id
     ),
     grid AS (
-        SELECT d, {cell} AS cell, CAST(SUM(c) AS BIGINT) AS cell_count
+        SELECT d, {cell('user_id', 'd')} AS cell,
+               CAST(SUM(c) AS BIGINT) AS cell_count
         FROM uc, generate_series(0, {SCMS_DEPTH - 1}) AS g(d)
         GROUP BY d, cell
     ),
@@ -571,7 +578,8 @@ def _scms_oracle() -> str:
         ORDER BY c DESC, user_id LIMIT {SCMS_TOP}
     ),
     probes AS (
-        SELECT e.user_id, e.exact_count, s.d, {cell.replace('user_id', 'e.user_id').replace('(d ', '(s.d ')} AS cell
+        SELECT e.user_id, e.exact_count, s.d,
+               {cell('e.user_id', 's.d')} AS cell
         FROM exact e, generate_series(0, {SCMS_DEPTH - 1}) AS s(d)
     ),
     est AS (
@@ -612,7 +620,7 @@ def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (constant), the estimate query reads partials only — never the event
     history — and per-user state never exists anywhere (that is the
     sketch's point; the exact side here is the fixture-scale referee)."""
-    from ..functions.textfns import hex_prefix_num_sql
+    from ..operators.sketch import cms_fanout, cms_point_query
 
     events = load_tables(spark, sf_dir, ["events"])["events"]
     src = os.path.join(
@@ -622,25 +630,13 @@ def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.write.mode("overwrite").parquet(src)
 
     ledger = tempfile.mkdtemp(prefix="q190_cms_ledger_")
-    cell_expr = (
-        hex_prefix_num_sql(
-            "md5(concat(CAST(user_id AS STRING), '#', CAST(d AS STRING)))", 8
-        )
-        + f" % {SCMS_WIDTH}"
-    )
 
     def land_partial(batch_df: DataFrame, _batch_id: int) -> None:
+        counts = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
         (
-            batch_df.groupBy("user_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .select(
-                "user_id",
-                "c",
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(SCMS_DEPTH - 1))
-                ).alias("d"),
-            )
-            .withColumn("cell", F.expr(cell_expr))
+            cms_fanout(counts, "user_id", SCMS_DEPTH, SCMS_WIDTH)
             .groupBy("d", "cell")
             .agg(F.sum("c").cast("bigint").alias("c_partial"))
             .write.mode("append")
@@ -670,25 +666,4 @@ def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), "user_id")
         .limit(SCMS_TOP)
     )
-    probes = exact.select(
-        "user_id",
-        "exact_count",
-        F.explode(F.sequence(F.lit(0), F.lit(SCMS_DEPTH - 1))).alias("d"),
-    ).withColumn("cell", F.expr(cell_expr))
-    est = (
-        probes.join(F.broadcast(grid), ["d", "cell"])
-        .groupBy("user_id", "exact_count")
-        .agg(F.min("cell_count").alias("est_count"))
-    )
-    from pyspark.sql import Window as W
-
-    return est.select(
-        "user_id",
-        "exact_count",
-        "est_count",
-        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
-        F.row_number()
-        .over(W.orderBy(F.col("exact_count").desc(), F.col("user_id")))
-        .cast("int")
-        .alias("rank"),
-    ).orderBy(F.col("exact_count").desc(), "user_id")
+    return cms_point_query(grid, exact, "user_id", SCMS_DEPTH, SCMS_WIDTH)

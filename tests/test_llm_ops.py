@@ -865,8 +865,15 @@ def test_q181_phash_groups_what_checksums_cannot(spark):
     got = {r.doc_id: r.phash for r in image_ahash(rendered).collect()}
     assert got == {i: py_phash(i) for i in img_ids}
 
-    # (b) every rendered payload is byte-distinct -> exact dedup silent
-    payloads = [bytes(r.payload) for r in rendered.collect()]
+    # (b) below doc_id lcm(40,7)*3 = 840 the (seed, shift) pair is
+    # injective, so every rendered payload is byte-distinct -> exact
+    # dedup silent there (bigger fixtures recycle the 280 combos and
+    # legitimately contain exact duplicates too — see the q181
+    # docstring; scope the assert to the provable range)
+    payloads = [
+        bytes(r.payload) for r in rendered.filter("doc_id < 840").collect()
+    ]
+    assert payloads, "fixture should have image docs below id 840"
     assert len(set(payloads)) == len(payloads)
     rendered.unpersist()
 
