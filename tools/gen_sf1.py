@@ -43,7 +43,7 @@ def _h(*cols) -> F.Column:
     return F.pmod(F.xxhash64(*lits), F.lit(2**31))
 
 
-def _gen_documents(spark: SparkSession, src_dir: str) -> DataFrame:
+def _gen_documents(spark: SparkSession, src_dir: str, scale: int = 1) -> DataFrame:
     vocab = sorted(
         r[0]
         for r in spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
@@ -53,7 +53,7 @@ def _gen_documents(spark: SparkSession, src_dir: str) -> DataFrame:
     )
     varr = F.array([F.lit(w) for w in vocab])
     nv = len(vocab)
-    base = spark.range(DOCS_N).withColumnRenamed("id", "doc_id")
+    base = spark.range(DOCS_N * scale).withColumnRenamed("id", "doc_id")
     n_words = (F.lit(10) + _h(F.col("doc_id"), "n") % 91).cast("int")
     text = F.array_join(
         F.transform(
@@ -80,8 +80,8 @@ def _gen_documents(spark: SparkSession, src_dir: str) -> DataFrame:
     ).withColumn("n_chars", F.length("text").cast("int"))
 
 
-def _gen_embeddings(spark: SparkSession, dim: int = 64) -> DataFrame:
-    base = spark.range(EMB_N).withColumnRenamed("id", "vec_id")
+def _gen_embeddings(spark: SparkSession, dim: int = 64, scale: int = 1) -> DataFrame:
+    base = spark.range(EMB_N * scale).withColumnRenamed("id", "vec_id")
 
     def gauss(j):
         # Irwin-Hall(3), centered and scaled to sigma ~= 0.125
@@ -98,8 +98,8 @@ def _gen_embeddings(spark: SparkSession, dim: int = 64) -> DataFrame:
     )
 
 
-def _gen_events(spark: SparkSession) -> DataFrame:
-    base = spark.range(EVENTS_N).withColumnRenamed("id", "event_id")
+def _gen_events(spark: SparkSession, scale: int = 1) -> DataFrame:
+    base = spark.range(EVENTS_N * scale).withColumnRenamed("id", "event_id")
     h = _h(F.col("event_id"), "e")
     epoch_us = F.lit(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z
     span_us = 30 * 86_400 * 1_000_000
@@ -110,7 +110,7 @@ def _gen_events(spark: SparkSession) -> DataFrame:
         F.timestamp_micros(
             (epoch_us + (_h(F.col("event_id"), "t") * F.lit(977)) % span_us).cast("long")
         ).alias("ts"),
-        (_h(F.col("event_id"), "u") % USERS_N).alias("user_id"),
+        (_h(F.col("event_id"), "u") % (USERS_N * scale)).alias("user_id"),
         F.element_at(types, (h % 5 + 1).cast("int")).alias("event_type"),
         F.round(-F.lit(50.0) * F.log(F.lit(1.0) - u), 2).alias("value"),
         F.concat(F.lit('{"k": '), (_h(F.col("event_id"), "k") % 100).cast("string"), F.lit("}")).alias(
@@ -119,10 +119,10 @@ def _gen_events(spark: SparkSession) -> DataFrame:
     )
 
 
-def _tile(df: DataFrame, shifts: dict[str, int]) -> DataFrame:
-    """Union TILES key-shifted replicas; non-key columns repeat verbatim."""
+def _tile(df: DataFrame, shifts: dict[str, int], tiles: int = TILES) -> DataFrame:
+    """Union ``tiles`` key-shifted replicas; non-key columns repeat verbatim."""
     parts = []
-    for k in range(TILES):
+    for k in range(tiles):
         cols = [
             (F.col(c) + k * off).alias(c) if k else F.col(c)
             for c, off in shifts.items()
@@ -135,7 +135,11 @@ def _tile(df: DataFrame, shifts: dict[str, int]) -> DataFrame:
     return out
 
 
-def generate_sf1(spark: SparkSession, src_dir: str, out_dir: str) -> None:
+def generate_sf1(spark: SparkSession, src_dir: str, out_dir: str, scale: int = 1) -> None:
+    """scale=1 tiles src 10x (the sf0.1 -> sf1 tier); scale=N multiplies
+    the synthetic tables by N on top and tiles the TPC-H tables 10*N x,
+    so generate_sf1(spark, sf0.1_dir, out, scale=10) is the sf10 tier
+    used for third-decade spot probes."""
     os.makedirs(out_dir, exist_ok=True)
     # micros on disk, like the driver fixtures — Spark's default INT96
     # surfaces as timestamp[ns] to pyarrow and would trip the loader's
@@ -157,17 +161,22 @@ def generate_sf1(spark: SparkSession, src_dir: str, out_dir: str) -> None:
     plans = {
         "region": src("region"),
         "nation": src("nation"),
-        "customer": _tile(src("customer"), {"c_custkey": cust_n}),
-        "supplier": _tile(src("supplier"), {"s_suppkey": supp_n}),
-        "part": _tile(src("part"), {"p_partkey": part_n}),
-        "orders": _tile(src("orders"), {"o_orderkey": ord_n, "o_custkey": cust_n}),
+        "customer": _tile(src("customer"), {"c_custkey": cust_n}, TILES * scale),
+        "supplier": _tile(src("supplier"), {"s_suppkey": supp_n}, TILES * scale),
+        "part": _tile(src("part"), {"p_partkey": part_n}, TILES * scale),
+        "orders": _tile(
+            src("orders"),
+            {"o_orderkey": ord_n, "o_custkey": cust_n},
+            TILES * scale,
+        ),
         "lineitem": _tile(
             src("lineitem"),
             {"l_orderkey": ord_n, "l_partkey": part_n, "l_suppkey": supp_n},
+            TILES * scale,
         ),
-        "documents": _gen_documents(spark, src_dir),
-        "embeddings": _gen_embeddings(spark),
-        "events": _gen_events(spark),
+        "documents": _gen_documents(spark, src_dir, scale),
+        "embeddings": _gen_embeddings(spark, scale=scale),
+        "events": _gen_events(spark, scale=scale),
     }
     for name, df in plans.items():
         path = os.path.join(out_dir, f"{name}.parquet")
