@@ -169,22 +169,52 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
             _materialize(REGISTRY[name].fn(spark, tiny))
         spark.catalog.clearCache()
 
-    # pair each sf1 timing with a back-to-back sf0.1 timing of the same
-    # query on this clean session — the suite-loop sf0.1 numbers are not
-    # comparable (session churn inflates some, cache plan-matching
-    # deflates others)
-    t01: dict[str, float] = {}
-    t1: dict[str, float] = {}
-    for name in SF1_QUERIES:
+    # base-side sanity gate (VERDICT r07 item 2): the committed r07
+    # artifact carried sf0.1 base readings (q181 18.75 s, q95 13.2 s)
+    # that contradicted the suite's own ~1-3 s numbers for the same
+    # queries — one-off worker-respawn/GC hits that poison the published
+    # scale_x. The parent passes its per-query suite timings down
+    # (SPARK_GRAFT_SUITE_TIMINGS); any pair whose base reading exceeds
+    # 3x the suite reading (+1 s absolute slack for sub-second queries)
+    # is re-measured and the min-base attempt kept. Pairs still in
+    # violation after retries are published under `base_suspect` so a
+    # reader never has to reverse-engineer which rows to distrust.
+    suite_t: dict[str, float] = {}
+    st_path = os.environ.get("SPARK_GRAFT_SUITE_TIMINGS")
+    if st_path and os.path.exists(st_path):
+        suite_t = json.loads(Path(st_path).read_text())
+
+    def time_pair(name: str) -> tuple[float, float]:
         t0 = _t.monotonic()
         _materialize(REGISTRY[name].fn(spark, sf_dir))
-        t01[name] = round(_t.monotonic() - t0, 2)
+        base = round(_t.monotonic() - t0, 2)
         t0 = _t.monotonic()
         _materialize(REGISTRY[name].fn(spark, SF1_DIR))
-        t1[name] = round(_t.monotonic() - t0, 2)
+        big = round(_t.monotonic() - t0, 2)
         # queries share helper lineages (q154/q169 reuse the same kmeans
         # frame): drop plan-matched caches so every pair starts cold
         spark.catalog.clearCache()
+        return base, big
+
+    t01: dict[str, float] = {}
+    t1: dict[str, float] = {}
+    suspect: list[str] = []
+    retried: list[str] = []
+    for name in SF1_QUERIES:
+        base, big = time_pair(name)
+        cap = 3.0 * suite_t[name] + 1.0 if name in suite_t else None
+        tries = 0
+        while cap is not None and base > cap and tries < 2:
+            tries += 1
+            b2, g2 = time_pair(name)
+            if b2 < base:
+                base, big = b2, g2
+        if tries:
+            retried.append(name.split("_", 1)[0])
+        if cap is not None and base > cap:
+            suspect.append(name.split("_", 1)[0])
+        t01[name] = base
+        t1[name] = big
     scale = {
         n.split("_", 1)[0]: round(t1[n] / t01[n], 1) for n in SF1_QUERIES
     }
@@ -194,6 +224,8 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
+        "base_retried": retried,
+        "base_suspect": suspect,
     }
 
 
@@ -371,9 +403,22 @@ def main() -> None:
             # timings need a pristine JVM (see bench_sf1 docstring)
             import signal
             import subprocess
+            import tempfile
 
             spark.stop()
-            env = dict(os.environ, SPARK_GRAFT_SF1_SUBPROC="1")
+            # hand the child the suite's per-query timings so its
+            # base-side sanity gate (bench_sf1) can reject inflated
+            # sf0.1 readings instead of publishing them
+            st = tempfile.NamedTemporaryFile(
+                "w", suffix="_suite_timings.json", delete=False
+            )
+            json.dump(timings, st)
+            st.close()
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SF1_SUBPROC="1",
+                SPARK_GRAFT_SUITE_TIMINGS=st.name,
+            )
             # own session/process group: on timeout we must kill the
             # child's whole group, or its Spark JVM (multi-GB local[32]
             # heap) survives the python kill and poisons later runs
@@ -396,6 +441,37 @@ def main() -> None:
         except Exception as e:  # never lose the suite line to the sf1 tier
             sf1 = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(json.dumps({"sf1_full": sf1}), file=sys.stderr)
+
+    # Persist the FULL per-query map as a committed repo sidecar
+    # (VERDICT r07 item 3): the driver keeps only a ~2 KB stdout tail, so
+    # BENCH_r0{5,7}.json's inline maps were truncated and round-over-round
+    # per-query regression analysis was impossible from committed
+    # artifacts. The round number is inferred as 1 + the newest committed
+    # BENCH_r*.json (the driver writes BENCH_r{N} for the round AFTER
+    # this run completes); a custom SF dir skips the sidecar — that's
+    # someone measuring something specific, not the round's record.
+    if abs(sf - 0.1) < 1e-9:
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in REPO.glob("BENCH_r*.json")
+            for m in [_re.match(r"BENCH_r(\d+)\.json$", p.name)]
+            if m
+        ]
+        rnd = max(rounds, default=0) + 1
+        sidecar = {
+            "round_guess": rnd,
+            "suite_total_s": total,
+            "n_queries": len(timings),
+            "per_query": timings,
+            "xml_ingest": ingest,
+        }
+        if sf1 is not None:
+            sidecar["sf1"] = sf1
+        (REPO / f"BENCH_perquery_r{rnd:02d}.json").write_text(
+            json.dumps(sidecar, indent=1, sort_keys=True)
+        )
 
     TOP_N = 18
     short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}

@@ -49,73 +49,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 # listed here FIRST; everything else follows in registration order. Names not
 # in this list keep their relative registration order after the listed ones.
 PRIORITY: list[str] = [
-    # --- r06 gate window (first 50; the driver checks these) ---
-    # Policy (VERDICT r05 item 1): changed-oracle queries first, then
-    # the stalest greens. r05 burned its whole budget replaying the
-    # r04 window; this block instead banks (a) the round's six BRAND-NEW
-    # queries (q170 pre-shard lineage, q171/q172 BPE train/apply, q173
-    # hybrid RRF, q174 schema evolution, q175 OPH MinHash) and the two
-    # oracles that changed
-    # in r05/r06 (q71 closed-form BMP decode, q72 zero-frame edge), then
-    # (b) the queries whose only driver row dates to ROUND 1 — three
-    # rounds of shared-helper churn (functions/numeric.py, textfns.py)
-    # unverified since — then (c) composed r02-era pipelines as
-    # regression re-proof (the tail past slot 50 waits for r07).
-    # tests/test_priority_rotation.py enforces the no-replay property
-    # against the committed artifacts.
-    "q170_preshard_ingest",
-    # new in r06, never driver-checked:
-    "q171_bpe_merges",
-    "q172_bpe_encode",
-    "q173_hybrid_rrf",
-    "q174_schema_evolution",
-    "q175_oph_minhash_pairs",
-    "q176_quality_classifier",
-    "q177_feature_auc",
-    "q178_kneser_ney",
-    "q179_kmv_sketch",
-    # new in r07, never driver-checked:
-    "q180_countmin_heavy_hitters",
-    "q181_image_phash_dedup",
-    "q182_pmi_collocations",
-    "q183_weighted_priority_sample",
-    "q184_bloom_membership",
-    "q185_stratified_allocation",
-    "q186_join_key_skew_profile",
-    "q187_grouped_ols",
-    "q188_halflife_decay",
-    "q189_quantile_cut_bins",
-    "q190_streaming_countmin",
-    "q71_multimodal_features",
-    "q72_frame_sampling",
-    # (b) r01-only greens, registration order:
-    "q82_retention_cohorts",
-    "q83_event_transitions",
-    "q01_pricing_summary",
-    "q02_scan_project",
-    "q03_point_lookup",
-    "q04_range_filter",
-    "q05_revenue_per_customer",
-    "q06_lineitem_orders_priority",
-    "q07_customers_per_region",
-    "q08_brand_supplier_revenue",
-    "q09_left_join_order_counts",
-    "q10_semi_join",
-    "q11_anti_join",
-    "q12_agg_suite",
-    "q13_having",
-    "q14_rollup",
-    "q15_cube",
-    "q16_window_topk_per_group",
-    "q17_window_running",
-    "q18_global_topk",
-    "q19_set_ops",
-    "q20_scalar_functions",
-    "q21_date_functions",
-    "q22_distinct",
-    "q24_case_bucketing",
-    "q37_shipping_priority",
-    "q50_exact_dedup",
+    # --- r08 gate window (first 50; the driver checks these) ---
+    # Policy: with all 185 queries settled after r07 (CORRECTNESS_r07
+    # 50/50 green), the window shifts to STALENESS ROTATION (VERDICT r07
+    # item 1): (a) this round's brand-new queries first — they have no
+    # driver row; then (b) the queries whose NEWEST green driver row is
+    # oldest — the 17 whose only full-hash row dates to ROUND 1 (q28 is
+    # excluded: its best possible row is rows-only `no_oracle` by design,
+    # so a gate slot re-earns nothing); then (c) r02-stale greens in
+    # registration order to fill the 50. None of these appear in
+    # CORRECTNESS_r07.json, so the no-replay guard
+    # (tests/test_priority_rotation.py) holds by construction.
+    # (a) new in r08, never driver-checked:
+    "q191_best_fuzzy_match",
+    "q192_best_embedding_match",
+    "q193_copy_codec_roundtrip",
+    "q194_salted_join_autotune",
+    "q195_minhash_best_match",
+    # (b) newest green row = r01 (three+ rounds of shared-helper churn
+    # since), registration order:
     "q51_minhash_lsh_pairs",
     "q52_jaccard_neardup",
     "q53_simhash",
@@ -129,31 +81,64 @@ PRIORITY: list[str] = [
     "q27_correlated_subquery",
     "q35_merge_upsert",
     "q44_time_range_join",
-    "q28_approx_aggregates",
     "q29_grouping_sets",
     "q36_window_suite",
     "q45_bucketized_range_join",
     "q47_scd2_history",
-    # (c) composed regression re-proof (last checked r02). NOTE: the six
-    # new r06 queries above pushed these past slot 50, so they will NOT
-    # be driver-checked this round — deferred to the r07 window head
-    # (they stay green in the local 172-query sweep every test run):
+    # (c) newest green row = r02, registration order, fill to 50:
+    "q30_shred_parent_project",
+    "q31_shred_child_posexplode",
+    "q33_first_wins_dedup",
+    "q34_bridge_table",
+    "q54_embedding_neardup",
+    "q55_ann_bruteforce_topk",
+    "q56_ann_lsh_topk",
+    "q57_ann_ivf",
+    "q60_token_stats",
+    "q61_quality_signals",
+    "q62_langid_confusion",
+    "q63_fingerprint",
     "q65_corpus_pipeline",
+    "q66_rolling_hash",
+    "q73_local_supplier_volume",
+    "q74_volume_shipping",
+    "q75_market_share",
+    "q76_returned_items",
+    "q77_small_quantity_revenue",
+    "q78_large_volume_customer",
+    "q79_top_supplier",
+    "q80_dormant_customers",
+    "q38_disjunctive_predicates",
+    "q39_exists_order_priority",
+    "q48_price_histogram",
+    "q49_argmax_aggregates",
+    "q84_train_test_split",
+    "q85_balanced_sample",
+    # --- entries 51+: stalest-first-ish for future rotations, all
+    # covered by the local oracle-parity sweep every test run ---
+    "q28_approx_aggregates",
+    "q86_shard_manifest",
+    "q87_tfidf_topk",
+    "q88_streaming_tumbling",
+    "q90_sequence_packing",
+    "q91_contamination_check",
+    "q92_streaming_foreachbatch_sink",
+    "q93_udtf_sentences",
+    "q94_udaf_second_largest",
+    "q96_doc_chunks",
+    "q97_pii_redaction",
+    "q98_repetition_filter",
+    "q99_kmeans_clusters",
     "q100_incremental_dedup",
-    # --- entries 51+: green driver rows from r02-r05; kept in a
-    # stalest-first-ish order for future rotations, all covered by the
-    # local 165-query oracle-parity sweep every test run ---
+    "q101_interchange_roundtrip",
+    "q23_conditional_agg",
+    "q43_json_extraction",
+    "q70_multimodal_meta",
     "q81_conversion_funnel",
     "q130_event_pagerank",
-    "q99_kmeans_clusters",
-    "q23_conditional_agg",
     "q89_dedup_components",
     "q112_fuzzy_name_match",
     "q123_prefix_filter_jaccard",
-    "q55_ann_bruteforce_topk",
-    "q56_ann_lsh_topk",
-    "q54_embedding_neardup",
-    "q57_ann_ivf",
     "q138_ann_ivf_multiprobe",
     "q95_embedding_dedup_groups",
     "q108_filtered_ann",
@@ -166,7 +151,6 @@ PRIORITY: list[str] = [
     "q158_ivf_cell_balance",
     "q141_dedup_consensus",
     "q165_entity_clusters",
-    "q43_json_extraction",
     "q109_recursive_spine",
     "q163_trailing_window_revenue",
     "q106_unpivot_stats",
@@ -177,7 +161,6 @@ PRIORITY: list[str] = [
     "q167_quality_audit",
     "q152_basket_triangles",
     "q153_brand_jaccard",
-    "q101_interchange_roundtrip",
     "q111_partitioned_lake",
     "q132_bucketed_join",
     "q149_snapshot_diff",
@@ -185,43 +168,22 @@ PRIORITY: list[str] = [
     "q156_incremental_agg_maintenance",
     "q162_orc_roundtrip",
     "q164_compaction_plan",
-    "q70_multimodal_meta",
-    "q96_doc_chunks",
-    "q97_pii_redaction",
-    "q98_repetition_filter",
-    "q84_train_test_split",
-    "q85_balanced_sample",
-    "q86_shard_manifest",
-    "q90_sequence_packing",
-    "q91_contamination_check",
-    "q87_tfidf_topk",
     "q125_decontaminated_corpus",
     "q126_source_mix",
     "q131_chunked_packing",
     "q151_temperature_mixture",
     "q159_curriculum_budget",
     "q169_curation_pipeline",
-    "q30_shred_parent_project",
-    "q31_shred_child_posexplode",
     "q32_array_roundtrip",
-    "q33_first_wins_dedup",
-    "q34_bridge_table",
     "q168_shred_master_defaults",
     "q137_quirk_batch_scoped_dedup",
     "q133_shred_multiarray_parent",
-    "q88_streaming_tumbling",
-    "q92_streaming_foreachbatch_sink",
     "q110_streaming_dedup",
     "q114_streaming_sessions",
     "q115_stateful_running_totals",
     "q116_stream_stream_join",
     "q127_stream_static_join",
     "q161_streaming_matview",
-    "q60_token_stats",
-    "q61_quality_signals",
-    "q62_langid_confusion",
-    "q63_fingerprint",
-    "q66_rolling_hash",
     "q124_vocab_topk",
     "q134_inverted_index",
     "q135_conjunctive_search",
@@ -233,14 +195,6 @@ PRIORITY: list[str] = [
     "q147_dup_ngram_fraction",
     "q144_bigram_lm_counts",
     "q160_nucleus_vocab",
-    "q73_local_supplier_volume",
-    "q74_volume_shipping",
-    "q75_market_share",
-    "q76_returned_items",
-    "q77_small_quantity_revenue",
-    "q78_large_volume_customer",
-    "q79_top_supplier",
-    "q80_dormant_customers",
     "q102_order_count_distribution",
     "q103_promo_revenue_share",
     "q104_sole_late_supplier",
@@ -250,13 +204,7 @@ PRIORITY: list[str] = [
     "q120_supplier_part_counts",
     "q121_excess_shippers",
     "q122_forecast_revenue",
-    "q93_udtf_sentences",
-    "q94_udaf_second_largest",
     "q105_grouped_map_normalize",
-    "q38_disjunctive_predicates",
-    "q39_exists_order_priority",
-    "q48_price_histogram",
-    "q49_argmax_aggregates",
     "q148_scd2_dimension",
 ]
 

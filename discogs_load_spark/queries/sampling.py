@@ -949,10 +949,10 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WPS_K = 12  # sample size per source
-WPS_DOMAIN = 16 ** 8  # md5 8-hex-char prefix domain (functions/textfns)
 
 # Identical expression text in both dialects; one IEEE division of two
-# exactly-representable integers — bitwise deterministic cross-engine.
+# exactly-representable integers (u < 16**8, the md5 8-hex-char prefix
+# domain from functions/textfns) — bitwise deterministic cross-engine.
 _WPS_PRIORITY = "CAST(u AS DOUBLE) / weight"
 
 

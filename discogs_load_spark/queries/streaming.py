@@ -605,9 +605,13 @@ def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: q180's count-min sketch MAINTAINED by a
     Structured Streaming pipeline — each micro-batch lands its partial
     DEPTH x WIDTH grid (per-batch user counts hashed into cells) via
-    ``foreachBatch`` into an append-only parquet ledger, and the live
-    sketch is the cell-wise SUM of the partials (CMS merge = '+', so the
-    ledger is idempotent-append and replayable, the q161 matview
+    ``foreachBatch`` into a parquet ledger PARTITIONED BY batch_id and
+    written with dynamic-partition overwrite, and the live sketch is the
+    cell-wise SUM of the partials (CMS merge = '+'). foreachBatch is
+    at-least-once: a micro-batch replayed after a crash between the
+    parquet commit and the checkpoint commit re-lands under the SAME
+    batch_id and overwrites only its own partition, so the ledger is
+    idempotent under replay — not merely append-only (the q161 matview
     discipline applied to a sketch). Because every counter is an exact
     integer, the streamed-and-merged grid is BITWISE equal to the grid a
     batch job would build over the same history — which is exactly what
@@ -631,7 +635,7 @@ def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ledger = tempfile.mkdtemp(prefix="q190_cms_ledger_")
 
-    def land_partial(batch_df: DataFrame, _batch_id: int) -> None:
+    def land_partial(batch_df: DataFrame, batch_id: int) -> None:
         counts = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
@@ -639,7 +643,10 @@ def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             cms_fanout(counts, "user_id", SCMS_DEPTH, SCMS_WIDTH)
             .groupBy("d", "cell")
             .agg(F.sum("c").cast("bigint").alias("c_partial"))
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(ledger)
         )
 

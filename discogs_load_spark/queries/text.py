@@ -1682,8 +1682,8 @@ def q182_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfns import shingles_sql
 
     docs = _docs(spark, sf_dir)
-    # bounded: one row per doc, token array only (text dropped); feeds
-    # both the unigram and the bigram branch
+    # corpus-sized (one row per doc, text dropped — NOT value-domain-
+    # bounded); persisted so the unigram and bigram branches tokenize once
     tok_arrays = docs.select(
         F.expr(tokens_sql(norm_sql("text", "spark"), "spark")).alias("toks")
     ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -963,15 +963,17 @@ def test_q183_weighted_sample_properties(spark):
     per_source = Counter(r[0] for r in rows1)
     assert all(v == WPS_K for v in per_source.values())
 
+    # reference weight = the SAME tokenizer the query uses
+    # (functions/textfns.token_count_sql: alpha runs, digit runs, single
+    # punctuation) re-expressed in Python — a whitespace split only
+    # coincides on punctuation-free fixture text
+    import re as _re
+
     weights = {
-        r.doc_id: max(r.n, 1)
-        for r in _docs(spark)
-        .selectExpr(
-            "doc_id",
-            "size(split(trim(regexp_replace(regexp_replace(lower(text),"
-            " '[^a-z0-9 ]', ' '), ' +', ' ')), ' ')) AS n",
+        r.doc_id: max(
+            len(_re.findall(r"[a-z]+|[0-9]+|[^a-z0-9 ]", r.text.lower())), 1
         )
-        .collect()
+        for r in _docs(spark).select("doc_id", "text").collect()
     }
 
     # (c) shard-merge, recomputed independently in python: split the

@@ -88,44 +88,44 @@ def test_gate_window_does_not_replay_previous_round():
 
 
 def test_gate_window_leads_with_changed_or_new_oracles():
-    """The r06 rebuild puts the round's never-driver-checked deliverables
-    first: q170 (new), q171/q172 (new, BPE train/apply), q173 (new, RRF),
-    q174 (new, schema evolution), q175 (new, OPH MinHash), q176/q177
-    (new, GD classifier + AUC eval), q178 (new, Kneser-Ney), q179 (new,
-    KMV sketch), q71 (oracle rewritten r05), q72 (oracle fixed r06);
-    r07 appends its eleven new queries (q180 count-min, q181 perceptual
-    image dedup, q182 PMI collocations, q183 weighted sampling, q184
-    Bloom membership, q185 Hamilton allocation, q186 skew profile,
-    q187 grouped OLS, q188 half-life decay, q189 quantile-cut bins,
-    q190 streaming count-min) after q179 so the whole
-    never-driver-checked block stays contiguous.
+    """The r08 rebuild (VERDICT r07 item 1) switches to staleness
+    rotation: all 185 pre-r08 queries are settled, so the head is (a)
+    this round's brand-new queries — no driver row yet — then (b) the
+    queries whose newest green driver row is oldest (the r01-only block;
+    q28 excluded: its best row is rows-only `no_oracle` by design).
     Update this list when a future round changes other oracles."""
-    window = [n for n in PRIORITY if n in REGISTRY][:23]
-    assert window == [
-        "q170_preshard_ingest",
-        "q171_bpe_merges",
-        "q172_bpe_encode",
-        "q173_hybrid_rrf",
-        "q174_schema_evolution",
-        "q175_oph_minhash_pairs",
-        "q176_quality_classifier",
-        "q177_feature_auc",
-        "q178_kneser_ney",
-        "q179_kmv_sketch",
-        "q180_countmin_heavy_hitters",
-        "q181_image_phash_dedup",
-        "q182_pmi_collocations",
-        "q183_weighted_priority_sample",
-        "q184_bloom_membership",
-        "q185_stratified_allocation",
-        "q186_join_key_skew_profile",
-        "q187_grouped_ols",
-        "q188_halflife_decay",
-        "q189_quantile_cut_bins",
-        "q190_streaming_countmin",
-        "q71_multimodal_features",
-        "q72_frame_sampling",
+    new_r08 = [
+        "q191_best_fuzzy_match",
+        "q192_best_embedding_match",
+        "q193_copy_codec_roundtrip",
+        "q194_salted_join_autotune",
+        "q195_minhash_best_match",
     ]
+    r01_stale = [
+        "q51_minhash_lsh_pairs",
+        "q52_jaccard_neardup",
+        "q53_simhash",
+        "q64_simhash_hamming_pairs",
+        "q40_tumbling_window",
+        "q41_sessionization",
+        "q42_asof_join",
+        "q46_sliding_window",
+        "q25_percentiles_variance",
+        "q26_pivot",
+        "q27_correlated_subquery",
+        "q35_merge_upsert",
+        "q44_time_range_join",
+        "q29_grouping_sets",
+        "q36_window_suite",
+        "q45_bucketized_range_join",
+        "q47_scd2_history",
+    ]
+    expected = [n for n in new_r08 + r01_stale if n in REGISTRY]
+    window = [n for n in PRIORITY if n in REGISTRY][: len(expected)]
+    assert window == expected
+    # every implemented r08 query must sit in the gate window
+    implemented_new = [n for n in new_r08 if n in REGISTRY]
+    assert window[: len(implemented_new)] == implemented_new
 
 
 def test_every_oracle_is_single_statement():
