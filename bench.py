@@ -75,6 +75,13 @@ SF1_QUERIES = [
     "q186_join_key_skew_profile",
     # grouped OLS = one fact-dim join + one combinable aggregate
     "q187_grouped_ols",
+    # r08 bounded-output duals (VERDICT r07 item 4): same candidate
+    # generation as their pair-set forms (q112/q54/q51), but the argmax
+    # partially aggregates map-side, so scale_x should track the
+    # candidate join, not the output cardinality that made q112 read 35x
+    "q191_best_fuzzy_match",
+    "q192_best_embedding_match",
+    "q195_minhash_best_match",
 ]
 
 

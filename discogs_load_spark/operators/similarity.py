@@ -213,6 +213,65 @@ def ivf_topk_with_centroids(
     )
 
 
+def embedding_best_match(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = DEFAULT_PLANES,
+) -> DataFrame:
+    """Per-vector best LSH-bucket neighbor: (id, best_id, best_cosine,
+    n_candidates) — the BOUNDED-output dual of
+    :func:`embedding_near_dup_pairs`.
+
+    The pair form's output grows with pair density (a threshold that
+    admits x% of all pairs returns ~x·N²/2 rows); this returns <= one row
+    per vector by construction. The argmax is a plain aggregate (max over
+    a (cosine, -id) struct), so it partially aggregates map-side: each
+    task forwards at most one candidate per id into the shuffle and the
+    candidate set is never materialized. Candidate generation is the same
+    bucket equi-join (~N²/2^planes comparisons); at corpus scale n_planes
+    grows with log(N) to hold per-bucket population constant."""
+    bucket = lsh_bucket_sql(vec_col, n_planes, dim, "spark")
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.expr(bucket).alias("bucket"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("nrm"),
+    )
+    a = base.select(
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        "bucket",
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        "bucket",
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = F.expr(dot_sql("vec_a", "vec_b", dim, "spark")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cosine", sim)
+    )
+    best = F.max(
+        F.struct(F.col("cosine"), (-F.col("id_b")).alias("nb"))
+    ).alias("m")
+    return cand.groupBy("id_a").agg(
+        best, F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    ).select(
+        F.col("id_a").alias(id_col),
+        (-F.col("m.nb")).alias("best_id"),
+        F.col("m.cosine").alias("best_cosine"),
+        "n_candidates",
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

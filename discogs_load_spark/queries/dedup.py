@@ -364,6 +364,26 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q112_BAND = 3  # length-band width; |len diff| <= 2 spans <= 1 adjacent band
 
 
+def _fuzzy_matched_names(part: DataFrame) -> DataFrame:
+    """(n1, n2, edit_dist): distinct part-name pairs with Levenshtein
+    distance <= 2, via the length-banded vocab-domain self-join q112's
+    docstring explains. BOTH orders plus the diagonal are kept, so
+    callers can treat it as a symmetric match relation."""
+    names = part.select(F.col("p_name").alias("n1")).distinct()
+    band = (F.length("n1") / _Q112_BAND).cast("int")
+    probe = names.select(
+        "n1", F.explode(F.array(band - 1, band, band + 1)).alias("band")
+    )
+    home = names.select(F.col("n1").alias("n2"), band.alias("band"))
+    return (
+        probe.join(home, "band")
+        .filter(F.abs(F.length("n1") - F.length("n2")) <= 2)
+        .withColumn("edit_dist", F.levenshtein("n1", "n2").cast("bigint"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("n1", "n2", "edit_dist")
+    )
+
+
 @register(
     "q112_fuzzy_name_match",
     oracle="""
@@ -400,21 +420,7 @@ def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     a banded equi-join exactly like the LSH band joins. Levenshtein is
     classical edit distance in both engines → exact value-hash parity."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    names = part.select(F.col("p_name").alias("n1")).distinct()
-    band = (F.length("n1") / _Q112_BAND).cast("int")
-    probe = names.select(
-        "n1", F.explode(F.array(band - 1, band, band + 1)).alias("band")
-    )
-    home = names.select(
-        F.col("n1").alias("n2"), band.alias("band")
-    )
-    matched = (
-        probe.join(home, "band")
-        .filter(F.abs(F.length("n1") - F.length("n2")) <= 2)
-        .withColumn("edit_dist", F.levenshtein("n1", "n2").cast("bigint"))
-        .filter(F.col("edit_dist") <= 2)
-        .select("n1", "n2", "edit_dist")
-    )
+    matched = _fuzzy_matched_names(part)
     a = part.select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
@@ -434,6 +440,159 @@ def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+@register(
+    "q191_best_fuzzy_match",
+    oracle="""
+    WITH cand AS (
+        SELECT a.p_partkey AS id_a, a.p_name AS name_a,
+               b.p_partkey AS id_b, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT part_id, name, best_match_id, best_match_name, edit_dist,
+           n_candidates
+    FROM (
+        SELECT id_a AS part_id, name_a AS name, id_b AS best_match_id,
+               name_b AS best_match_name, edit_dist,
+               CAST(COUNT(*) OVER (PARTITION BY id_a) AS BIGINT)
+                   AS n_candidates,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY edit_dist, id_b
+               ) AS rn
+        FROM cand
+    ) t WHERE rn = 1
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution", "bounded-output"),
+)
+def q191_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-output dual of q112 (VERDICT r07 item 4): per catalog row,
+    its single best fuzzy match (min edit distance, then min partner id)
+    among same-brand parts within edit distance 2, plus the candidate
+    count — instead of the full pair set, whose cardinality grows
+    ~n²/|vocab| on dense fixtures (q112 measured 35x at 10x rows,
+    output-bound). This is the API a 100 TB entity-resolution caller
+    wants: output <= one row per input row BY CONSTRUCTION, whatever the
+    pair density does.
+
+    Scale shape: candidate generation is identical to q112 (vocab-domain
+    banded Levenshtein, row-level equi-joins on name+brand) — the
+    difference is what happens after: the argmax is a plain aggregate
+    (min over a (edit_dist, id, name) struct), so it PARTIALLY AGGREGATES
+    map-side — each task forwards at most one candidate row per part_id
+    into the shuffle, and the full candidate set is never materialized,
+    shipped, or returned. A window + rank formulation would shuffle every
+    candidate; the oracle uses that form because DuckDB's planner is not
+    the one under test."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    matched = _fuzzy_matched_names(part)
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    cand = (
+        a.join(matched, F.col("name_a") == F.col("n1"))
+        .join(
+            b,
+            (F.col("n2") == F.col("name_b"))
+            & (F.col("brand_a") == F.col("brand_b")),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    best = F.min(
+        F.struct(
+            F.col("edit_dist"),
+            F.col("id_b").alias("bid"),
+            F.col("name_b").alias("bname"),
+        )
+    ).alias("m")
+    return cand.groupBy("id_a", "name_a").agg(
+        best, F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    ).select(
+        F.col("id_a").alias("part_id"),
+        F.col("name_a").alias("name"),
+        F.col("m.bid").alias("best_match_id"),
+        F.col("m.bname").alias("best_match_name"),
+        F.col("m.edit_dist").alias("edit_dist"),
+        "n_candidates",
+    )
+
+
+@register(
+    "q195_minhash_best_match",
+    oracle=f"""
+    {_PAIRS_CTE},
+    sym AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b AS id_a, id_a AS id_b FROM pairs
+    ),
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents),
+    scored AS (
+        SELECT s.id_a, s.id_b,
+               CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                 / (len(sa.shset) + len(sb.shset)
+                    - len(list_intersect(sa.shset, sb.shset))) AS jaccard
+        FROM sym s
+        JOIN sets sa ON s.id_a = sa.doc_id
+        JOIN sets sb ON s.id_b = sb.doc_id
+    )
+    SELECT doc_id, best_id, best_jaccard, n_candidates FROM (
+        SELECT id_a AS doc_id, id_b AS best_id, jaccard AS best_jaccard,
+               CAST(COUNT(*) OVER (PARTITION BY id_a) AS BIGINT)
+                   AS n_candidates,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY jaccard DESC, id_b
+               ) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+    """,
+    tags=("dedup", "minhash", "lsh", "bounded-output"),
+)
+def q195_minhash_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-output dual of q51/q52: per document, its single best
+    near-duplicate candidate — the LSH-band candidate with the highest
+    exact Jaccard (ties to the smaller id) — plus the candidate count.
+    Where q52 returns the full verified pair set (output grows with pair
+    density), this returns <= one row per document BY CONSTRUCTION: the
+    dedup-pipeline API at 100 TB, where a keeper decision needs each
+    doc's best partner, not the whole quadratic neighborhood.
+
+    Scale shape: candidates come from the same banded equi-join as q51
+    (never all-pairs; mega-buckets capped), exact Jaccard from the same
+    two set joins as q52; the argmax is a map-side-combinable aggregate
+    (max over a (jaccard, -id) struct), so each task forwards at most
+    one row per doc into the final shuffle — no window over the full
+    candidate set, no pair set materialized."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    scored = jaccard_verify(docs, sym, "doc_id", "text", threshold=0.0)
+    best = F.max(
+        F.struct(F.col("jaccard"), (-F.col("id_b")).alias("nb"))
+    ).alias("m")
+    return scored.groupBy("id_a").agg(
+        best, F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    ).select(
+        F.col("id_a").alias("doc_id"),
+        (-F.col("m.nb")).alias("best_id"),
+        F.col("m.jaccard").alias("best_jaccard"),
+        "n_candidates",
     )
 
 

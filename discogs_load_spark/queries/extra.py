@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions.numeric import dec_corr_sql, dec_sum_sql, dec_var_sql
+from ..functions.numeric import dec_corr_sql, dec_sum, dec_sum_sql, dec_var_sql
 from ..session import load_tables
 from .registry import register
 
@@ -1255,4 +1255,78 @@ def q187_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(terms["r2"]).alias("r2"),
         )
         .orderBy("p_brand")
+    )
+
+
+@register(
+    "q194_salted_join_autotune",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_custkey
+    ),
+    prof AS (
+        SELECT CAST(
+            (MAX(c) * COUNT(*) + SUM(c) - 1) // SUM(c) AS BIGINT
+        ) AS n_salts
+        FROM counts
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dec_sum_sql("o.o_totalprice", "total_price")},
+           p.n_salts AS salts_used
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    CROSS JOIN prof p
+    GROUP BY c.c_mktsegment, p.n_salts
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "skew", "salting", "autotune"),
+)
+def q194_salted_join_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-driven salted join (VERDICT r07 item 7): q186's skew
+    profiler computes a ``recommended_salts`` factor but
+    operators/relational.salted_join took it as a caller constant — this
+    query WIRES them: profile the orders.o_custkey key distribution
+    (ceil(max_per_key * n_keys / total), the factor that levels the
+    hottest key to the mean), collect that ONE scalar, and run the
+    customer join through salted_join with it. The returned per-segment
+    rollup equals a plain join's — salting redistributes rows, never
+    changes the join result — and carries the derived factor as a column,
+    so the oracle (plain join + the same factor recomputed analytically)
+    verifies both the semantics-preservation AND the profile arithmetic
+    end-to-end.
+
+    Scale shape: the profile is two map-side-combinable aggregates
+    collapsing to ONE driver-side scalar (the same class of bounded
+    collect every adaptive engine does between stages — AQE reads shuffle
+    stats the same way); the salted join shuffles the fact side on
+    (key, salt) — the hot key now spans n_salts partitions — and
+    replicates the dim side n_salts× with an explode, not a shuffle."""
+    from ..operators.relational import salted_join
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    orders, customer = t["orders"], t["customer"]
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # bounded: ONE row, three bigints — the stage-boundary statistic an
+    # adaptive planner reads; never grows with data
+    prof = counts.agg(
+        F.expr(
+            "CAST((MAX(c) * COUNT(*) + SUM(c) - 1) DIV SUM(c) AS BIGINT)"
+        ).alias("n_salts")
+    ).first()
+    n_salts = int(prof["n_salts"])
+    joined = salted_join(
+        orders, customer, "o_custkey", "c_custkey", n_salts=n_salts
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+        .withColumn("salts_used", F.lit(n_salts).cast("bigint"))
+        .orderBy("c_mktsegment")
     )

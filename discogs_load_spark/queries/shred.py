@@ -429,3 +429,84 @@ def q170_preshard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("text_bytes"),
     )
+
+
+@register(
+    "q193_copy_codec_roundtrip",
+    oracle="""
+    SELECT s_suppkey,
+           concat(s_name, chr(9), 'x', chr(10), chr(92), chr(13), s_name)
+               AS gnarly,
+           concat_ws('|', s_name, '"q,u', chr(92), '') AS parts_joined,
+           s_acctbal,
+           s_nationkey,
+           CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_name END
+               AS maybe_null
+    FROM supplier
+    """,
+    # python-seam: the COPY codec is Python BY DESIGN — it exists to feed
+    # psycopg2's copy_expert per partition (write_copy), so the Arrow
+    # batch stage here is the production shape, not an accidental UDF
+    tags=("sink", "postgres", "copy", "roundtrip", "python-seam"),
+)
+def q193_copy_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible proof of the Postgres COPY codec (§2 A13-A15, the
+    one component family with no oracle row before r08): every supplier
+    row — widened with a deliberately hostile string (embedded tab,
+    newline, carriage return, backslash), a text[] column whose elements
+    carry quotes, commas, a bare backslash and an empty string, and a
+    sometimes-NULL column — is ENCODED to a COPY text line
+    (sinks/postgres.copy_encode_row, the bytes a server would ingest;
+    reference db.rs:55-244 drives the same wire format) and DECODED back
+    (copy_decode_row, the server's input functions re-implemented), all
+    inside an Arrow-batched mapInPandas stage. The oracle recomputes the
+    staged columns directly from the parquet, so a green row means
+    decode∘encode == id THROUGH the real codec for every escape class
+    the format defines — the q170 pre-sharder discipline applied to the
+    sink side. The array ships as a '|'-join (driver canonicalizer
+    can't hash list cells; elements are pipe-free by construction).
+
+    Scale shape: one narrow scan, one mapInPandas over Arrow batches (the
+    exact shape write_copy streams through psycopg2 per partition), no
+    shuffle, no collect."""
+    import pandas as pd
+
+    from ..sinks.postgres import copy_decode_row, copy_encode_row
+
+    (sup,) = _t(spark, sf_dir, "supplier")
+    staged = sup.select(
+        "s_suppkey",
+        F.concat(
+            F.col("s_name"),
+            F.lit("\tx\n\\\r"),
+            F.col("s_name"),
+        ).alias("gnarly"),
+        F.array(
+            F.col("s_name"), F.lit('"q,u'), F.lit("\\"), F.lit("")
+        ).alias("parts"),
+        "s_acctbal",
+        "s_nationkey",
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("s_name")
+        ).alias("maybe_null"),
+    )
+    schema = staged.schema
+
+    def codec(batches):
+        for pdf in batches:
+            lines = [
+                copy_encode_row(row, schema)
+                for row in pdf.itertuples(index=False, name=None)
+            ]
+            decoded = [copy_decode_row(line, schema) for line in lines]
+            yield pd.DataFrame(decoded, columns=list(pdf.columns))
+
+    roundtripped = staged.mapInPandas(codec, schema)
+    return roundtripped.select(
+        "s_suppkey",
+        "gnarly",
+        F.array_join("parts", "|").alias("parts_joined"),
+        "s_acctbal",
+        "s_nationkey",
+        "maybe_null",
+    )

@@ -16,6 +16,7 @@ from ..functions.vectors import cosine_sql, lsh_bucket_sql, norm2_sql
 from ..operators.dedup import MEMBER_CAP
 from ..operators.similarity import (
     cosine_topk,
+    embedding_best_match,
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
@@ -118,6 +119,52 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         DIM,
         threshold=NEARDUP_THRESHOLD,
         n_planes=NEARDUP_PLANES,
+    )
+
+
+def _best_match_oracle() -> str:
+    bucket = lsh_bucket_sql("embedding", ANN_PLANES, DIM, "duckdb")
+    cos = cosine_sql("x.embedding", "y.embedding", DIM, "duckdb")
+    return f"""
+    WITH buck AS (SELECT vec_id, embedding, {bucket} AS bucket
+                  FROM embeddings),
+    scored AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cosine
+        FROM buck x JOIN buck y
+          ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    )
+    SELECT vec_id, best_id, best_cosine, n_candidates FROM (
+        SELECT id_a AS vec_id, id_b AS best_id, cosine AS best_cosine,
+               CAST(COUNT(*) OVER (PARTITION BY id_a) AS BIGINT)
+                   AS n_candidates,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY cosine DESC, id_b
+               ) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+    """
+
+
+@register(
+    "q192_best_embedding_match",
+    oracle=_best_match_oracle(),
+    tags=("dedup", "similarity", "embedding", "bounded-output"),
+)
+def q192_best_embedding_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-output dual of q54 (VERDICT r07 item 4): per vector, its
+    single best bucket-mate by exact cosine (ties to the smaller id) plus
+    the candidate count — instead of the full thresholded pair set, whose
+    cardinality is output-bound (q54's threshold admits ~2.3% of ALL
+    pairs on the fixture). Output <= one row per vector by construction —
+    the SemDeDup-style keeper decision needs each vector's nearest
+    neighbor, not the whole neighborhood. Uses the 8-plane bucketing
+    (256 buckets) rather than q54's 4: the pair form needs loose buckets
+    for recall on mid-similarity pairs; best-match wants tight buckets
+    because only the argmax survives anyway (at corpus scale n_planes
+    grows with log N). The argmax is a map-side-combinable aggregate —
+    see operators/similarity.embedding_best_match."""
+    return embedding_best_match(
+        _emb(spark, sf_dir), "vec_id", "embedding", DIM, n_planes=ANN_PLANES
     )
 
 

@@ -1,0 +1,241 @@
+"""Plain-Python pins for the r08 bounded-output / composed queries
+(q191-q195): each query's result is recomputed with an independent
+reference implementation (no Spark, no DuckDB) at sf0.001, so a green
+oracle row can't be a shared-mistake artifact of the dual-dialect
+expression builders.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+
+from discogs_load_spark.queries.registry import REGISTRY
+from discogs_load_spark.session import load_tables
+
+from .conftest import SF_SMALL
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_q191_best_fuzzy_match_python_reference(spark):
+    """Per-part best fuzzy match recomputed by brute force over all
+    same-brand pairs with a textbook DP Levenshtein — the query's banded
+    vocab-domain join must reproduce it exactly (bounded output: at most
+    one row per part, only parts with >= 1 candidate appear)."""
+    part = load_tables(spark, SF_SMALL, ["part"])["part"]
+    rows = [
+        (r.p_partkey, r.p_name, r.p_brand)
+        for r in part.select("p_partkey", "p_name", "p_brand").collect()
+    ]
+    by_brand = defaultdict(list)
+    for pk, name, brand in rows:
+        by_brand[brand].append((pk, name))
+
+    # distance on the name DOMAIN (vocab² not catalog²), like the query
+    want = {}
+    for members in by_brand.values():
+        for pk, name in members:
+            cands = []
+            for pk2, name2 in members:
+                if pk2 == pk:
+                    continue
+                d = _levenshtein(name, name2)
+                if d <= 2:
+                    cands.append((d, pk2, name2))
+            if cands:
+                d, pk2, name2 = min(cands)
+                want[pk] = (name, pk2, name2, d, len(cands))
+
+    got = {
+        r.part_id: (
+            r.name,
+            r.best_match_id,
+            r.best_match_name,
+            r.edit_dist,
+            r.n_candidates,
+        )
+        for r in REGISTRY["q191_best_fuzzy_match"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain at least one fuzzy pair"
+
+
+def _fold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def test_q192_best_embedding_match_python_reference(spark):
+    """Three pinned properties of the per-vector best match: (a) the
+    reported cosine IS the exact cosine of the reported pair, recomputed
+    with the same left-fold association in plain Python (bitwise); (b) it
+    never exceeds the true brute-force best over ALL other vectors (LSH
+    can miss, never invent); (c) the result is run-to-run deterministic."""
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    norms = {i: math.sqrt(_fold_dot(v, v)) for i, v in emb.items()}
+
+    def cos(i, j):
+        return _fold_dot(emb[i], emb[j]) / (norms[i] * norms[j])
+
+    fn = REGISTRY["q192_best_embedding_match"].fn
+    rows = fn(spark, SF_SMALL).collect()
+    assert rows
+    brute_best = {
+        i: max(cos(i, j) for j in emb if j != i) for i in emb
+    }
+    for r in rows:
+        assert r.best_cosine == cos(r.vec_id, r.best_id)  # bitwise
+        assert r.best_cosine <= brute_best[r.vec_id] + 0.0
+        assert r.n_candidates >= 1
+
+    again = {
+        (r.vec_id, r.best_id, r.best_cosine, r.n_candidates)
+        for r in fn(spark, SF_SMALL).collect()
+    }
+    assert again == {
+        (r.vec_id, r.best_id, r.best_cosine, r.n_candidates) for r in rows
+    }
+
+
+def _shingle_set(text: str, k: int = 3) -> frozenset[str]:
+    norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+    toks = norm.split(" ") if norm else []
+    return frozenset(
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    )
+
+
+def test_q195_minhash_best_match_python_reference(spark):
+    """(a) every reported best_jaccard is the exact Jaccard of the
+    reported pair (recomputed from plain-Python shingle sets); (b) it
+    never exceeds the brute-force best over all other docs; (c) every doc
+    whose TRUE best Jaccard clears the q52 threshold (the planted
+    near-dup pairs) is found with exactly that partner — on this corpus
+    the banding catches all of them (q51's oracle is the all-pairs form,
+    so a miss here would contradict the q51/q52 green rows)."""
+    docs = {
+        r.doc_id: r.text
+        for r in load_tables(spark, SF_SMALL, ["documents"])["documents"]
+        .select("doc_id", "text")
+        .collect()
+    }
+    sets = {i: _shingle_set(t) for i, t in docs.items()}
+
+    def jac(i, j):
+        inter = len(sets[i] & sets[j])
+        return inter / (len(sets[i]) + len(sets[j]) - inter)
+
+    rows = REGISTRY["q195_minhash_best_match"].fn(spark, SF_SMALL).collect()
+    assert rows
+    got = {r.doc_id: r for r in rows}
+    assert len(got) == len(rows)  # bounded: one row per doc
+
+    brute = {
+        i: max(
+            ((jac(i, j), -j) for j in sets if j != i), default=(0.0, 0)
+        )
+        for i in sets
+    }
+    for r in rows:
+        assert r.best_jaccard == jac(r.doc_id, r.best_id)  # exact
+        assert r.best_jaccard <= brute[r.doc_id][0]
+
+    planted = {i for i, (bj, _) in brute.items() if bj >= 0.8}
+    assert planted, "fixture should contain planted near-dup pairs"
+    for i in planted:
+        bj, nj = brute[i]
+        assert i in got and got[i].best_id == -nj
+        assert got[i].best_jaccard == bj
+
+
+def test_q193_copy_codec_roundtrip_python_reference(spark):
+    """The COPY-codec round-trip query must return EXACTLY the staged
+    values, recomputed here in plain Python from the supplier rows —
+    including the hostile string (tab/newline/CR/backslash), the
+    quoted/empty/comma array elements, and the NULL branch."""
+    sup = [
+        (r.s_suppkey, r.s_name, r.s_nationkey, r.s_acctbal)
+        for r in load_tables(spark, SF_SMALL, ["supplier"])["supplier"]
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect()
+    ]
+    want = {
+        pk: (
+            name + "\tx\n\\\r" + name,
+            "|".join([name, '"q,u', "\\", ""]),
+            bal,
+            nk,
+            None if pk % 3 == 0 else name,
+        )
+        for pk, name, nk, bal in sup
+    }
+    rows = (
+        REGISTRY["q193_copy_codec_roundtrip"].fn(spark, SF_SMALL).collect()
+    )
+    got = {
+        r.s_suppkey: (
+            r.gnarly,
+            r.parts_joined,
+            r.s_acctbal,
+            r.s_nationkey,
+            r.maybe_null,
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_q194_salted_join_autotune_python_reference(spark):
+    """The profile->salt->join composition recomputed in plain Python:
+    the per-segment order counts and exact decimal sums of a dict join,
+    and the salt factor ceil(max_per_key * n_keys / total). The salted
+    join must change NOTHING about the result except carrying the
+    factor."""
+    t = load_tables(spark, SF_SMALL, ["orders", "customer"])
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in t["customer"].select("c_custkey", "c_mktsegment").collect()
+    }
+    per_key = defaultdict(int)
+    agg = defaultdict(lambda: [0, 0])  # segment -> [n, cents]
+    for r in t["orders"].select("o_custkey", "o_totalprice").collect():
+        per_key[r.o_custkey] += 1
+        a = agg[seg[r.o_custkey]]
+        a[0] += 1
+        a[1] += round(r.o_totalprice * 10**4)  # DECIMAL(38,4) quantum
+    n_keys, total = len(per_key), sum(per_key.values())
+    want_salts = (max(per_key.values()) * n_keys + total - 1) // total
+    want = {
+        s: (n, float(c) / 10**4, want_salts) for s, (n, c) in agg.items()
+    }
+
+    rows = (
+        REGISTRY["q194_salted_join_autotune"].fn(spark, SF_SMALL).collect()
+    )
+    got = {
+        r.c_mktsegment: (r.n_orders, r.total_price, r.salts_used)
+        for r in rows
+    }
+    assert got == want
+    assert want_salts >= 1

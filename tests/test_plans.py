@@ -512,3 +512,48 @@ def test_bloom_probe_join_broadcasts_filter_grid(spark):
     kinds = join_kinds(REGISTRY["q184_bloom_membership"].fn(spark, SF_SMALL))
     assert "CartesianProduct" not in kinds
     assert "BroadcastHashJoin" in kinds
+
+
+def test_best_match_argmax_is_partial_aggregate(spark):
+    """The r08 bounded-output duals (q191/q192/q195) exist so the full
+    candidate set is never shuffled or returned: the argmax must compile
+    to a HashAggregate pair with a map-side partial (partial_min/
+    partial_max over the tie-break struct), NOT a Window over the
+    candidates, and candidate generation must stay equi-join."""
+    for q, fn_name, window_ok in (
+        ("q191_best_fuzzy_match", "partial_min", False),
+        ("q192_best_embedding_match", "partial_max", False),
+        # q195's one Window is the mega-bucket cap inside
+        # lsh_candidate_pairs (row_number over band buckets — bounded by
+        # construction), not an argmax over the candidate set
+        ("q195_minhash_best_match", "partial_max", True),
+    ):
+        plan = _plan(spark, q)
+        assert fn_name in plan, q
+        if not window_ok:
+            assert "Window" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_copy_codec_is_one_arrow_stage_no_shuffle(spark):
+    """q193 is a scan -> Arrow-batched mapInPandas -> project: the COPY
+    codec path a partition streams through psycopg2 must not introduce a
+    shuffle (one Exchange would mean the sink path repartitions data it
+    should write in place)."""
+    plan = _plan(spark, "q193_copy_codec_roundtrip")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_salted_join_autotune_salts_the_fact_side(spark):
+    """q194's join must run on the composite (key, salt): the fact side
+    carries the rand salt, the dim side the explode replication; no
+    cartesian anywhere."""
+    df = REGISTRY["q194_salted_join_autotune"].fn(spark, SF_SMALL)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    plan = formatted_plan(df)
+    assert "rand(42)" in plan  # the salt column reached the physical plan
+    assert "explode" in plan.lower()  # dim replication, not a shuffle
