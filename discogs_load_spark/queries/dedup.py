@@ -11,7 +11,7 @@ Jaccard-verify pipeline recovers exactly those.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.textfns import (
     SIMHASH_BITS,
@@ -479,52 +479,97 @@ def q191_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants: output <= one row per input row BY CONSTRUCTION, whatever the
     pair density does.
 
-    Scale shape: candidate generation is identical to q112 (vocab-domain
-    banded Levenshtein, row-level equi-joins on name+brand) — the
-    difference is what happens after: the argmax is a plain aggregate
-    (min over a (edit_dist, id, name) struct), so it PARTIALLY AGGREGATES
-    map-side — each task forwards at most one candidate row per part_id
-    into the shuffle, and the full candidate set is never materialized,
-    shipped, or returned. A window + rank formulation would shuffle every
-    candidate; the oracle uses that form because DuckDB's planner is not
-    the one under test."""
+    Scale shape — the argmax is carried through the (brand, name) DOMAIN,
+    never row×candidate grain (a first row-grain formulation measured 59x
+    at 10x rows: with name multiplicity m, every matched name pair fans
+    out m² catalog-row candidates before any aggregate can cap it — the
+    tiled sf1 fixture has m growing WITH the corpus, and real catalogs'
+    hot names do too). All rows sharing (brand, name) see the same
+    candidate groups, and within a group every member carries the same
+    edit distance, so a group is fully represented by (cnt, min_id,
+    second_min_id): per (brand, n1) we aggregate S = Σ cnt (candidate
+    count + self), A = min(d, min_id) over matched groups (the best when
+    the row is NOT its own group's min), and B = the same min with the
+    own-group term demoted to second_min_id (the best when it IS). The
+    row level then just picks A or B with one equi-join — no candidate
+    row ever materializes. Row-grain cost: two map-side-combinable
+    shuffles of part on (brand, name) (count + a WindowGroupLimit'd
+    top-2-ids window, the q183 discipline) plus the final summary join;
+    everything else is vocab²-bounded."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
+
+    # --- row grain: (brand, name) group stats, linear, 2 shuffles ------
+    cnts = part.groupBy("p_brand", "p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = W.partitionBy("p_brand", "p_name").orderBy("p_partkey")
+    top2 = (
+        part.select("p_brand", "p_name", "p_partkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)  # WindowGroupLimit: <=2 rows/group/task
+    )
+    ids2 = top2.groupBy("p_brand", "p_name").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("p_partkey"))).alias("min_id"),
+        F.min(F.when(F.col("rn") == 2, F.col("p_partkey"))).alias(
+            "second_id"
+        ),
+    )
+    groups = cnts.join(ids2, ["p_brand", "p_name"])
+
+    # --- vocab grain: matched names x candidate groups -----------------
     matched = _fuzzy_matched_names(part)
-    a = part.select(
-        F.col("p_partkey").alias("id_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_brand").alias("brand_a"),
+    cg = matched.join(
+        groups.select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_name").alias("n2"),
+            "cnt",
+            "min_id",
+            "second_id",
+        ),
+        "n2",
     )
-    b = part.select(
-        F.col("p_partkey").alias("id_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_brand").alias("brand_b"),
+    own = F.col("n2") == F.col("n1")
+    a_term = F.struct(
+        F.col("edit_dist"), F.col("min_id").alias("bid"),
+        F.col("n2").alias("bname"),
     )
-    cand = (
-        a.join(matched, F.col("name_a") == F.col("n1"))
+    b_term = F.when(~own, a_term).otherwise(
+        F.when(
+            F.col("second_id").isNotNull(),
+            F.struct(
+                F.col("edit_dist"), F.col("second_id").alias("bid"),
+                F.col("n2").alias("bname"),
+            ),
+        )
+    )
+    summ = cg.groupBy("brand", "n1").agg(
+        F.sum("cnt").alias("s_cnt"),
+        F.min(a_term).alias("a"),
+        F.min(b_term).alias("b"),
+        F.min(F.when(own, F.col("min_id"))).alias("own_min"),
+    )
+
+    # --- row grain: pick A or B, one equi-join, no fanout ---------------
+    best = F.when(F.col("p_partkey") == F.col("own_min"), F.col("b")).otherwise(
+        F.col("a")
+    )
+    return (
+        part.select("p_partkey", "p_name", "p_brand")
         .join(
-            b,
-            (F.col("n2") == F.col("name_b"))
-            & (F.col("brand_a") == F.col("brand_b")),
+            summ,
+            (F.col("p_brand") == F.col("brand"))
+            & (F.col("p_name") == F.col("n1")),
         )
-        .filter(F.col("id_a") != F.col("id_b"))
-    )
-    best = F.min(
-        F.struct(
-            F.col("edit_dist"),
-            F.col("id_b").alias("bid"),
-            F.col("name_b").alias("bname"),
+        .withColumn("m", best)
+        .filter(F.col("m").isNotNull() & (F.col("s_cnt") > 1))
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("name"),
+            F.col("m.bid").alias("best_match_id"),
+            F.col("m.bname").alias("best_match_name"),
+            F.col("m.edit_dist").alias("edit_dist"),
+            (F.col("s_cnt") - 1).alias("n_candidates"),
         )
-    ).alias("m")
-    return cand.groupBy("id_a", "name_a").agg(
-        best, F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-    ).select(
-        F.col("id_a").alias("part_id"),
-        F.col("name_a").alias("name"),
-        F.col("m.bid").alias("best_match_id"),
-        F.col("m.bname").alias("best_match_name"),
-        F.col("m.edit_dist").alias("edit_dist"),
-        "n_candidates",
     )
 
 

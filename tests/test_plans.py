@@ -521,7 +521,11 @@ def test_best_match_argmax_is_partial_aggregate(spark):
     partial_max over the tie-break struct), NOT a Window over the
     candidates, and candidate generation must stay equi-join."""
     for q, fn_name, window_ok in (
-        ("q191_best_fuzzy_match", "partial_min", False),
+        # q191's one Window is the top-2-ids group stat over part keyed
+        # by (brand, name) — WindowGroupLimit'd (asserted below), so each
+        # map task forwards <= 2 rows per group; the argmax itself is
+        # domain-grain aggregates
+        ("q191_best_fuzzy_match", "partial_min", True),
         ("q192_best_embedding_match", "partial_max", False),
         # q195's one Window is the mega-bucket cap inside
         # lsh_candidate_pairs (row_number over band buckets — bounded by
@@ -534,6 +538,7 @@ def test_best_match_argmax_is_partial_aggregate(spark):
             assert "Window" not in plan, q
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+    assert "WindowGroupLimit" in _plan(spark, "q191_best_fuzzy_match")
 
 
 def test_copy_codec_is_one_arrow_stage_no_shuffle(spark):
