@@ -82,6 +82,10 @@ SF1_QUERIES = [
     "q191_best_fuzzy_match",
     "q192_best_embedding_match",
     "q195_minhash_best_match",
+    # sorted-neighborhood blocking: distributed rank + w-neighbor equi-join
+    # (output exactly w*N); sparse lexical best-match: df-capped posting join
+    "q196_sorted_neighborhood",
+    "q197_sparse_best_match",
 ]
 
 

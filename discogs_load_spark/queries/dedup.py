@@ -573,6 +573,93 @@ def q191_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNB_WINDOW = 3  # sorted-neighborhood: pair each row with its next w rows
+
+
+@register(
+    "q196_sorted_neighborhood",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT p_partkey, p_name,
+               ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rk
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(b.rk - a.rk AS BIGINT) AS gap,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON b.rk BETWEEN a.rk + 1 AND a.rk + {SNB_WINDOW}
+    """,
+    tags=("dedup", "entity-resolution", "blocking", "bounded-output"),
+)
+def q196_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo merge/purge): sort
+    the catalog on the blocking key (name), pair each row with its next
+    {SNB_WINDOW} neighbors, and score the pairs (edit distance here) —
+    the classic alternative to LSH/banding when the match signal is
+    lexical locality. Output is exactly w·(N - w/2) pairs — LINEAR in the
+    catalog by construction, the property that makes this blocking family
+    survive any corpus where threshold-pair enumeration explodes.
+
+    Scale shape — the global sort is the method, so it must not become a
+    single-partition window: ranks are computed DISTRIBUTED, the
+    standard two-pass recipe — range-repartition on the sort key, rank
+    locally per partition (a parallel window keyed by partition id),
+    then add broadcast per-partition offsets (one bounded row per
+    partition — the frame every distributed rank/sort implementation
+    maintains). The final rank is a pure function of the (name, id)
+    total order, so it is invariant to where the range sampler happens
+    to cut the boundaries. Neighbor pairing is then an exact equi-join
+    on rank+g (g exploded from 1..w, the q112 banding trick with an
+    integer key), never a range/theta join."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    base = part.select("p_partkey", "p_name").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "p_name", "p_partkey"
+    )
+    loc = base.withColumn("pid", F.spark_partition_id())
+    wloc = W.partitionBy("pid").orderBy("p_name", "p_partkey")
+    loc = loc.withColumn("lrn", F.row_number().over(wloc))
+    # bounded: one row per shuffle partition
+    sizes = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    ranked = (
+        loc.join(F.broadcast(offsets), "pid")
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("lrn") + F.col("off")).cast("bigint").alias("rk"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    )
+    probe = ranked.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(*[F.lit(g) for g in range(1, SNB_WINDOW + 1)])
+        ).alias("g"),
+        F.col("rk").alias("rk_a"),
+    ).withColumn("rk_b", F.col("rk_a") + F.col("g"))
+    build = ranked.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return probe.join(build, "rk_b").select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.col("g").cast("bigint").alias("gap"),
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+    )
+
+
 @register(
     "q195_minhash_best_match",
     oracle=f"""

@@ -66,6 +66,8 @@ PRIORITY: list[str] = [
     "q193_copy_codec_roundtrip",
     "q194_salted_join_autotune",
     "q195_minhash_best_match",
+    "q196_sorted_neighborhood",
+    "q197_sparse_best_match",
     # (b) newest green row = r01 (three+ rounds of shared-helper churn
     # since), registration order:
     "q51_minhash_lsh_pairs",

@@ -1730,3 +1730,143 @@ def q182_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     ).orderBy(F.col("lift").desc(), "w1", "w2")
+
+
+SLM_DF_CAP = 64  # tokens in more than this many docs are pruned (stopwords)
+
+
+def _q197_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    keep AS (
+        SELECT token FROM tf GROUP BY token
+        HAVING COUNT(*) <= {SLM_DF_CAP}
+    ),
+    post AS (
+        SELECT t.doc_id, t.token, t.tf FROM tf t JOIN keep USING (token)
+    ),
+    n2 AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+        FROM post GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM post a JOIN post b
+          ON a.token = b.token AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT d.id_a, d.id_b,
+               CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                   AS cosine
+        FROM dots d
+        JOIN n2 na ON na.doc_id = d.id_a
+        JOIN n2 nb ON nb.doc_id = d.id_b
+    )
+    SELECT doc_id, best_id, best_cosine, n_candidates FROM (
+        SELECT id_a AS doc_id, id_b AS best_id, cosine AS best_cosine,
+               CAST(COUNT(*) OVER (PARTITION BY id_a) AS BIGINT)
+                   AS n_candidates,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY cosine DESC, id_b
+               ) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+    """
+
+
+@register(
+    "q197_sparse_best_match",
+    oracle=_q197_oracle(),
+    tags=("similarity", "retrieval", "sparse", "bounded-output"),
+)
+def q197_sparse_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse LEXICAL best match — the posting-list counterpart to q192's
+    dense-embedding best match: per document, the other document with
+    the highest term-frequency cosine over shared rare tokens, plus the
+    candidate count. Weighting is exact-integer by design: tf vectors
+    restricted to tokens with df <= {SLM_DF_CAP} (the stopword prune a
+    tf-idf's idf would do, discretized — ln is in the transcendental
+    class the cross-engine hash gate bans), so dot products and norms
+    are INTEGER sums (order-insensitive with no decimal quantization at
+    all) and the single double division + sqrt at the end is the same
+    IEEE op sequence in both engines.
+
+    Scale shape: candidates come from the posting-list self-join on
+    token — the df cap bounds it by cap x |postings| (linear in the
+    corpus, the prefix-filter discipline of q123 applied to cosine);
+    the pair-grain dot is a map-side-combinable integer aggregate, the
+    per-doc argmax another (max over a (cosine, -id) struct); nothing
+    shuffles at candidate grain twice."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_sql(norm_sql("text", "spark"), "spark")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.expr(toks)).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    # posting lists feed the df filter, both join sides, and the norms —
+    # one corpus tokenize, persisted (the shared-frame rule)
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    keep = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SLM_DF_CAP)
+        .select("token")
+    )
+    post = tf.join(keep, "token").persist(StorageLevel.MEMORY_AND_DISK)
+    n2 = post.groupBy("doc_id").agg(
+        F.sum(F.expr("tf * tf")).cast("bigint").alias("n2")
+    )
+    a = post.select(
+        F.col("token"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    )
+    b = post.select(
+        F.col("token"), F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.expr("tf_a * tf_b")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            n2.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2_a")),
+            "id_a",
+        )
+        .join(
+            n2.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2_b")),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.expr(
+                "CAST(dot AS DOUBLE)"
+                " / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE))"
+            ),
+        )
+    )
+    best = F.max(
+        F.struct(F.col("cosine"), (-F.col("id_b")).alias("nb"))
+    ).alias("m")
+    return scored.groupBy("id_a").agg(
+        best, F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    ).select(
+        F.col("id_a").alias("doc_id"),
+        (-F.col("m.nb")).alias("best_id"),
+        F.col("m.cosine").alias("best_cosine"),
+        "n_candidates",
+    )

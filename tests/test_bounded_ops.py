@@ -1,5 +1,5 @@
 """Plain-Python pins for the r08 bounded-output / composed queries
-(q191-q195): each query's result is recomputed with an independent
+(q191-q197): each query's result is recomputed with an independent
 reference implementation (no Spark, no DuckDB) at sf0.001, so a green
 oracle row can't be a shared-mistake artifact of the dual-dialect
 expression builders.
@@ -239,3 +239,81 @@ def test_q194_salted_join_autotune_python_reference(spark):
     }
     assert got == want
     assert want_salts >= 1
+
+
+def test_q196_sorted_neighborhood_python_reference(spark):
+    """The distributed global rank must reproduce the single-machine
+    truth: sort all (name, id) pairs in Python, pair each row with its
+    next w neighbors, and compare the full output including gaps and DP
+    Levenshtein distances."""
+    from discogs_load_spark.queries.dedup import SNB_WINDOW
+
+    part = load_tables(spark, SF_SMALL, ["part"])["part"]
+    rows = sorted(
+        (r.p_name, r.p_partkey)
+        for r in part.select("p_partkey", "p_name").collect()
+    )
+    want = set()
+    for i, (name_a, id_a) in enumerate(rows):
+        for g in range(1, SNB_WINDOW + 1):
+            if i + g < len(rows):
+                name_b, id_b = rows[i + g]
+                want.add(
+                    (id_a, id_b, name_a, name_b, g, _levenshtein(name_a, name_b))
+                )
+    got = {
+        (r.id_a, r.id_b, r.name_a, r.name_b, r.gap, r.edit_dist)
+        for r in REGISTRY["q196_sorted_neighborhood"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert len(got) == SNB_WINDOW * len(rows) - SNB_WINDOW * (SNB_WINDOW + 1) // 2
+
+
+def test_q197_sparse_best_match_python_reference(spark):
+    """Brute-force sparse cosine in plain Python: tokenize with the
+    query's own regex pipeline, drop tokens with df > cap, compute every
+    pairwise integer-tf cosine, and check the per-doc argmax, candidate
+    count, and the bitwise value of the reported cosine."""
+    from collections import Counter
+
+    from discogs_load_spark.queries.text import SLM_DF_CAP
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_tables(spark, SF_SMALL, ["documents"])["documents"]
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def toks(text):
+        norm = re.sub(
+            r" +", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())
+        ).strip()
+        return norm.split(" ") if norm else []
+
+    tf = {i: Counter(toks(t)) for i, t in docs.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    keep = {t for t, d in df.items() if d <= SLM_DF_CAP}
+    vec = {i: {t: n for t, n in c.items() if t in keep} for i, c in tf.items()}
+    n2 = {i: sum(n * n for n in v.values()) for i, v in vec.items()}
+
+    want = {}
+    for i, vi in vec.items():
+        cands = []
+        for j, vj in vec.items():
+            if i == j:
+                continue
+            dot = sum(n * vj[t] for t, n in vi.items() if t in vj)
+            if dot > 0:
+                cos = float(dot) / math.sqrt(float(n2[i]) * float(n2[j]))
+                cands.append((cos, -j))
+        if cands:
+            cos, nj = max(cands)
+            want[i] = (-nj, cos, len(cands))
+
+    got = {
+        r.doc_id: (r.best_id, r.best_cosine, r.n_candidates)
+        for r in REGISTRY["q197_sparse_best_match"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert want, "fixture should produce sparse matches"

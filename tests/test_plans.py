@@ -541,6 +541,44 @@ def test_best_match_argmax_is_partial_aggregate(spark):
     assert "WindowGroupLimit" in _plan(spark, "q191_best_fuzzy_match")
 
 
+def test_sorted_neighborhood_rank_is_distributed(spark):
+    """q196's global rank must never collapse to a single-partition
+    window over ROW data (the classic row_number-over-everything trap):
+    the row-grain rank window is keyed by partition id, and the only
+    SinglePartition exchange in the plan is the bounded per-partition
+    COUNTS frame (<= one row per shuffle partition — the offsets
+    cumsum, same class as q186's distinct-value windows). The offsets
+    join is a broadcast; neighbor pairing is an equi-join on rank — no
+    range/theta join, no cartesian."""
+    df = REGISTRY["q196_sorted_neighborhood"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # the row-grain rank is pid-partitioned (parallel)...
+    assert "row_number() windowspecdefinition(pid" in plan
+    # ...and no SinglePartition exchange carries row-grain columns —
+    # only the bounded per-partition counts frame may funnel
+    row_grain = [
+        seg
+        for seg in plan.split("\n\n")
+        if "SinglePartition" in seg
+        and ("p_partkey" in seg or "p_name" in seg)
+    ]
+    assert not row_grain, row_grain
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
+    assert "BroadcastHashJoin" in kinds  # the offsets join
+
+
+def test_sparse_best_match_posting_join_and_partial_argmax(spark):
+    """q197's candidates must come from the token-keyed posting equi-join
+    (never all-pairs) and the argmax must partially aggregate."""
+    df = REGISTRY["q197_sparse_best_match"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_copy_codec_is_one_arrow_stage_no_shuffle(spark):
     """q193 is a scan -> Arrow-batched mapInPandas -> project: the COPY
     codec path a partition streams through psycopg2 must not introduce a

@@ -100,6 +100,8 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q193_copy_codec_roundtrip",
         "q194_salted_join_autotune",
         "q195_minhash_best_match",
+        "q196_sorted_neighborhood",
+        "q197_sparse_best_match",
     ]
     r01_stale = [
         "q51_minhash_lsh_pairs",
