@@ -86,6 +86,10 @@ SF1_QUERIES = [
     # (output exactly w*N); sparse lexical best-match: df-capped posting join
     "q196_sorted_neighborhood",
     "q197_sparse_best_match",
+    # linkage scoring = linear blocking + broadcast scalar marginals;
+    # adaptive LSH = the q192 fix (prefix ladder holds bucket pop bounded)
+    "q198_linkage_score",
+    "q199_adaptive_lsh_best_match",
 ]
 
 

@@ -143,3 +143,31 @@ def lsh_bucket_sql(vec: str, n_planes: int, dim: int, dialect: str) -> str:
     if dialect == "duckdb":
         return "(" + " || ".join(bits) + ")"
     return f"concat({', '.join(bits)})"
+
+
+ADAPTIVE_LSH_MAX_PLANES = 16
+ADAPTIVE_LSH_TARGET = 16  # max expected bucket population per band edge
+
+
+def adaptive_planes_sql(n_col: str = "n_rows") -> str:
+    """Hyperplane count as a CASE ladder over the corpus row count: the
+    smallest even p (in this ladder) with n / 2^p <= 16 at each band's
+    upper edge, so expected bucket population — and with it the
+    candidate count N·(N/2^p) — stays bounded per row as the corpus
+    grows. Pure integer comparisons (log2 is transcendental and banned
+    by the cross-engine hash gate); identical text in both dialects.
+    Thresholds are 16·2^p for p = 8, 10, 12, 14.
+
+    The population target (16) is sized for THIS engine's per-candidate
+    cost — cosine via interpreted higher-order-function folds, measured
+    ~1e5 pairs/core/s — so the candidate term stays comparable to the
+    per-row sign computation. An engine with codegen'd dot products
+    would raise the target (the first ladder revision used 1024 and the
+    fixture tiers never left p=8 — the MECHANISM is the ladder, the
+    target is a cost-model constant)."""
+    return (
+        f"(CASE WHEN {n_col} <= 4096 THEN 8"
+        f" WHEN {n_col} <= 16384 THEN 10"
+        f" WHEN {n_col} <= 65536 THEN 12"
+        f" WHEN {n_col} <= 262144 THEN 14 ELSE 16 END)"
+    )

@@ -213,32 +213,10 @@ def ivf_topk_with_centroids(
     )
 
 
-def embedding_best_match(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    dim: int,
-    n_planes: int = DEFAULT_PLANES,
-) -> DataFrame:
-    """Per-vector best LSH-bucket neighbor: (id, best_id, best_cosine,
-    n_candidates) — the BOUNDED-output dual of
-    :func:`embedding_near_dup_pairs`.
-
-    The pair form's output grows with pair density (a threshold that
-    admits x% of all pairs returns ~x·N²/2 rows); this returns <= one row
-    per vector by construction. The argmax is a plain aggregate (max over
-    a (cosine, -id) struct), so it partially aggregates map-side: each
-    task forwards at most one candidate per id into the shuffle and the
-    candidate set is never materialized. Candidate generation is the same
-    bucket equi-join (~N²/2^planes comparisons); at corpus scale n_planes
-    grows with log(N) to hold per-bucket population constant."""
-    bucket = lsh_bucket_sql(vec_col, n_planes, dim, "spark")
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.expr(bucket).alias("bucket"),
-        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("nrm"),
-    )
+def _best_match_from_bucketed(base: DataFrame, id_col: str, dim: int) -> DataFrame:
+    """Shared argmax tail for the best-match operators: bucket equi-join,
+    exact cosine, per-id map-side-combinable argmax + candidate count.
+    ``base`` must carry (vid, vec, bucket, nrm)."""
     a = base.select(
         F.col("vid").alias("id_a"),
         F.col("vec").alias("vec_a"),
@@ -270,6 +248,82 @@ def embedding_best_match(
         F.col("m.cosine").alias("best_cosine"),
         "n_candidates",
     )
+
+
+def embedding_best_match_adaptive(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    max_planes: int | None = None,
+) -> DataFrame:
+    """Best bucket-mate with a DATA-ADAPTIVE plane count: sign bits for
+    ``max_planes`` hyperplanes are computed once per vector, and the
+    bucket key is the PREFIX of that sign string whose length the
+    corpus row count picks through :func:`adaptive_planes_sql`'s integer
+    CASE ladder — so expected bucket population (and with it the
+    candidate count per row) stays bounded as the corpus grows, inside
+    ONE static plan with no replan or recompile. This is the fix for the
+    fixed-plane form's quadratic candidate term (measured 49.8x at
+    sf1→sf10 with p frozen at 8; the prefix ladder re-measures ~linear).
+
+    The row count is a broadcast scalar (one stage-boundary statistic,
+    the q194 discipline); prefix-of-signs means the ladder can only
+    COARSEN or REFINE the same partitioning family, so results remain a
+    pure deterministic function of the input set in both engines."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.vectors import (
+        ADAPTIVE_LSH_MAX_PLANES,
+        adaptive_planes_sql,
+    )
+
+    mp = max_planes or ADAPTIVE_LSH_MAX_PLANES
+    signs = lsh_bucket_sql(vec_col, mp, dim, "spark")
+    nr = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    base = (
+        df.crossJoin(F.broadcast(nr))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.expr(
+                f"substring({signs}, 1, {adaptive_planes_sql('n_rows')})"
+            ).alias("bucket"),
+            F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("nrm"),
+        )
+        # both self-join sides reuse the 16-plane sign computation
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _best_match_from_bucketed(base, id_col, dim)
+
+
+def embedding_best_match(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = DEFAULT_PLANES,
+) -> DataFrame:
+    """Per-vector best LSH-bucket neighbor: (id, best_id, best_cosine,
+    n_candidates) — the BOUNDED-output dual of
+    :func:`embedding_near_dup_pairs`.
+
+    The pair form's output grows with pair density (a threshold that
+    admits x% of all pairs returns ~x·N²/2 rows); this returns <= one row
+    per vector by construction. The argmax is a plain aggregate (max over
+    a (cosine, -id) struct), so it partially aggregates map-side: each
+    task forwards at most one candidate per id into the shuffle and the
+    candidate set is never materialized. Candidate generation is the same
+    bucket equi-join (~N²/2^planes comparisons); at corpus scale n_planes
+    grows with log(N) to hold per-bucket population constant."""
+    bucket = lsh_bucket_sql(vec_col, n_planes, dim, "spark")
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.expr(bucket).alias("bucket"),
+        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("nrm"),
+    )
+    return _best_match_from_bucketed(base, id_col, dim)
 
 
 def embedding_near_dup_pairs(

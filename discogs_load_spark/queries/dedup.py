@@ -576,6 +576,56 @@ def q191_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 SNB_WINDOW = 3  # sorted-neighborhood: pair each row with its next w rows
 
 
+def _snb_pairs(
+    part: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (id_a, id_b, name_a, name_b,
+    g) with optional carried attribute columns suffixed _a/_b — the
+    blocking engine shared by q196 (pair emission) and q198 (linkage
+    scoring). See q196's docstring for the distributed-rank recipe."""
+    from pyspark.storagelevel import StorageLevel
+
+    sc_parallelism = part.sparkSession.sparkContext.defaultParallelism
+    base = part.select("p_partkey", "p_name", *carry).repartitionByRange(
+        sc_parallelism, "p_name", "p_partkey"
+    )
+    loc = base.withColumn("pid", F.spark_partition_id())
+    wloc = W.partitionBy("pid").orderBy("p_name", "p_partkey")
+    loc = loc.withColumn("lrn", F.row_number().over(wloc))
+    # bounded: one row per shuffle partition
+    sizes = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    ranked = (
+        loc.join(F.broadcast(offsets), "pid")
+        .select(
+            "p_partkey",
+            "p_name",
+            *carry,
+            (F.col("lrn") + F.col("off")).cast("bigint").alias("rk"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    )
+    probe = ranked.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+        F.explode(
+            F.array(*[F.lit(g) for g in range(1, SNB_WINDOW + 1)])
+        ).alias("g"),
+        F.col("rk").alias("rk_a"),
+    ).withColumn("rk_b", F.col("rk_a") + F.col("g"))
+    build = ranked.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+        F.col("rk").alias("rk_b"),
+    )
+    return probe.join(build, "rk_b")
+
+
 @register(
     "q196_sorted_neighborhood",
     oracle=f"""
@@ -614,49 +664,200 @@ def q196_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     on rank+g (g exploded from 1..w, the q112 banding trick with an
     integer key), never a range/theta join."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    base = part.select("p_partkey", "p_name").repartitionByRange(
-        spark.sparkContext.defaultParallelism, "p_name", "p_partkey"
-    )
-    loc = base.withColumn("pid", F.spark_partition_id())
-    wloc = W.partitionBy("pid").orderBy("p_name", "p_partkey")
-    loc = loc.withColumn("lrn", F.row_number().over(wloc))
-    # bounded: one row per shuffle partition
-    sizes = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
-    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    ranked = (
-        loc.join(F.broadcast(offsets), "pid")
-        .select(
-            "p_partkey",
-            "p_name",
-            (F.col("lrn") + F.col("off")).cast("bigint").alias("rk"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
-    )
-    probe = ranked.select(
-        F.col("p_partkey").alias("id_a"),
-        F.col("p_name").alias("name_a"),
-        F.explode(
-            F.array(*[F.lit(g) for g in range(1, SNB_WINDOW + 1)])
-        ).alias("g"),
-        F.col("rk").alias("rk_a"),
-    ).withColumn("rk_b", F.col("rk_a") + F.col("g"))
-    build = ranked.select(
-        F.col("p_partkey").alias("id_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("rk").alias("rk_b"),
-    )
-    return probe.join(build, "rk_b").select(
+    return _snb_pairs(part).select(
         "id_a",
         "id_b",
         "name_a",
         "name_b",
         F.col("g").cast("bigint").alias("gap"),
         F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+    )
+
+
+FS_M = "0.95"  # P(field agrees | true match) — the fixed m-probability
+FS_1M = "0.05"  # 1 - m, as literal text shared by both dialects
+
+
+def _fs_weight(agree_sql: str, num_col: str) -> str:
+    """Fellegi-Sunter field weight as IDENTICAL expression text for both
+    dialects: m/u on agreement, (1-m)/(1-u) on disagreement, with
+    u = num / n_rows² computed from exact integer corpus marginals."""
+    u = (
+        f"(CAST({num_col} AS DOUBLE)"
+        " / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))"
+    )
+    return (
+        f"CASE WHEN {agree_sql} THEN {FS_M} / {u}"
+        f" ELSE {FS_1M} / (1.0 - {u}) END"
+    )
+
+
+_FS_AGREE = {
+    "name": "levenshtein(name_a, name_b) <= 2",
+    "brand": "p_brand_a = p_brand_b",
+    "type": "p_type_a = p_type_b",
+    "size": "abs(p_size_a - p_size_b) <= 1",
+}
+_FS_SCORE = "(((w_name * w_brand) * w_type) * w_size)"
+
+
+def _q198_oracle() -> str:
+    w_cols = ",\n               ".join(
+        f"{_fs_weight(a, f'u_{f}_num')} AS w_{f}"
+        for f, a in _FS_AGREE.items()
+    )
+    agree_cols = ", ".join(
+        f"CAST({a} AS INT) AS agree_{f}" for f, a in _FS_AGREE.items()
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT p_partkey, p_name, p_brand, p_type, p_size,
+               ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rk
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               a.p_brand AS p_brand_a, b.p_brand AS p_brand_b,
+               a.p_type AS p_type_a, b.p_type AS p_type_b,
+               a.p_size AS p_size_a, b.p_size AS p_size_b
+        FROM ranked a JOIN ranked b
+          ON b.rk BETWEEN a.rk + 1 AND a.rk + {SNB_WINDOW}
+    ),
+    nc AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS c
+           FROM part GROUP BY p_name),
+    u_name AS (
+        SELECT CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS BIGINT)
+               AS u_name_num
+        FROM nc a JOIN nc b ON levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    bc AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS c
+           FROM part GROUP BY p_brand),
+    u_brand AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)
+               AS u_brand_num FROM bc
+    ),
+    tc AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM part GROUP BY p_type),
+    u_type AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)
+               AS u_type_num FROM tc
+    ),
+    sc AS (SELECT p_size, CAST(COUNT(*) AS BIGINT) AS c
+           FROM part GROUP BY p_size),
+    u_size AS (
+        SELECT CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS BIGINT)
+               AS u_size_num
+        FROM sc a JOIN sc b ON abs(a.p_size - b.p_size) <= 1
+    ),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM part),
+    weighted AS (
+        SELECT id_a, id_b, {agree_cols},
+               {w_cols}
+        FROM pairs
+        CROSS JOIN u_name CROSS JOIN u_brand CROSS JOIN u_type
+        CROSS JOIN u_size CROSS JOIN nr
+    )
+    SELECT id_a, id_b, agree_name, agree_brand, agree_type, agree_size,
+           {_FS_SCORE} AS match_weight
+    FROM weighted
+    """
+
+
+@register(
+    "q198_linkage_score",
+    oracle=_q198_oracle(),
+    tags=("dedup", "entity-resolution", "linkage", "scoring"),
+)
+def q198_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring (1969; the Splink-style
+    unsupervised variant) over the sorted-neighborhood candidates: each
+    blocked pair gets a composite likelihood ratio Π_f w_f where
+    w_f = m/u_f on field agreement and (1-m)/(1-u_f) on disagreement —
+    m fixed (P(agree|match)={FS_M}), and each u_f (P(agree|random pair))
+    estimated EXACTLY from corpus value frequencies: u = Σ c_v·c_v' over
+    agreeing value pairs, divided by n². No logs anywhere (the classic
+    formulation sums log-weights; the hash gate bans transcendentals, so
+    the score is the equivalent fixed-order product of IEEE ratios —
+    rank order identical), so the score is bitwise cross-engine.
+
+    Completes the entity-resolution stack: blocking (q196) → scoring
+    (here) → per-row best match (q191) → transitive clustering (q165).
+
+    Scale shape: the four u statistics are value-domain aggregates
+    (brand/type/size/name-vocab grain — the name term rides the q112
+    banded vocab join, the size ±1 term an explode-minted equi-join),
+    collapsing to ONE broadcast scalar row; pairs come from the linear
+    w·N blocking; scoring is a per-row projection. Nothing pair-grain
+    ever shuffles."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    from pyspark.storagelevel import StorageLevel
+
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)  # 5 marginal scans
+    pairs = _snb_pairs(part, carry=("p_brand", "p_type", "p_size"))
+
+    dec_cc = "CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)"
+    nc = part.groupBy("p_name").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    matched = _fuzzy_matched_names(part)
+    u_name = (
+        matched.join(nc.select(F.col("p_name").alias("n1"), F.col("c").alias("c1")), "n1")
+        .join(nc.select(F.col("p_name").alias("n2"), F.col("c").alias("c2")), "n2")
+        .agg(
+            F.expr("CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)")
+            .alias("u_name_num")
+        )
+    )
+    u_brand = (
+        part.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.expr(dec_cc).alias("u_brand_num"))
+    )
+    u_type = (
+        part.groupBy("p_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.expr(dec_cc).alias("u_type_num"))
+    )
+    # size +-1 agreement: mint the equi key by exploding each size value
+    # to its 3-neighborhood — value-domain bounded (distinct sizes)
+    scnt = part.groupBy("p_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s_probe = scnt.select(
+        F.col("c").alias("c_a"),
+        F.explode(
+            F.array(
+                F.col("p_size") - 1, F.col("p_size"), F.col("p_size") + 1
+            )
+        ).alias("v"),
+    )
+    s_build = scnt.select(F.col("p_size").alias("v"), F.col("c").alias("c_b"))
+    u_size = (
+        s_probe.join(s_build, "v")
+        .agg(
+            F.expr("CAST(SUM(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)")
+            .alias("u_size_num")
+        )
+    )
+    nr = part.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    stats = (
+        u_name.crossJoin(F.broadcast(u_brand))
+        .crossJoin(F.broadcast(u_type))
+        .crossJoin(F.broadcast(u_size))
+        .crossJoin(F.broadcast(nr))
+    )
+    weighted = pairs.crossJoin(F.broadcast(stats))
+    for f, agree in _FS_AGREE.items():
+        weighted = weighted.withColumn(
+            f"agree_{f}", F.expr(agree).cast("int")
+        ).withColumn(f"w_{f}", F.expr(_fs_weight(agree, f"u_{f}_num")))
+    return weighted.select(
+        "id_a",
+        "id_b",
+        "agree_name",
+        "agree_brand",
+        "agree_type",
+        "agree_size",
+        F.expr(_FS_SCORE).alias("match_weight"),
     )
 
 

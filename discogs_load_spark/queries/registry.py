@@ -68,6 +68,8 @@ PRIORITY: list[str] = [
     "q195_minhash_best_match",
     "q196_sorted_neighborhood",
     "q197_sparse_best_match",
+    "q198_linkage_score",
+    "q199_adaptive_lsh_best_match",
     # (b) newest green row = r01 (three+ rounds of shared-helper churn
     # since), registration order:
     "q51_minhash_lsh_pairs",

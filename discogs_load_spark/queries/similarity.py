@@ -17,6 +17,7 @@ from ..operators.dedup import MEMBER_CAP
 from ..operators.similarity import (
     cosine_topk,
     embedding_best_match,
+    embedding_best_match_adaptive,
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
@@ -165,6 +166,61 @@ def q192_best_embedding_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/similarity.embedding_best_match."""
     return embedding_best_match(
         _emb(spark, sf_dir), "vec_id", "embedding", DIM, n_planes=ANN_PLANES
+    )
+
+
+def _adaptive_best_match_oracle() -> str:
+    from ..functions.vectors import (
+        ADAPTIVE_LSH_MAX_PLANES,
+        adaptive_planes_sql,
+    )
+
+    signs = lsh_bucket_sql("embedding", ADAPTIVE_LSH_MAX_PLANES, DIM, "duckdb")
+    cos = cosine_sql("x.embedding", "y.embedding", DIM, "duckdb")
+    return f"""
+    WITH nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM embeddings),
+    b AS (SELECT vec_id, embedding,
+                 substring({signs}, 1, {adaptive_planes_sql("n_rows")})
+                     AS bucket
+          FROM embeddings CROSS JOIN nr),
+    scored AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cosine
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    )
+    SELECT vec_id, best_id, best_cosine, n_candidates FROM (
+        SELECT id_a AS vec_id, id_b AS best_id, cosine AS best_cosine,
+               CAST(COUNT(*) OVER (PARTITION BY id_a) AS BIGINT)
+                   AS n_candidates,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY cosine DESC, id_b
+               ) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+    """
+
+
+@register(
+    "q199_adaptive_lsh_best_match",
+    oracle=_adaptive_best_match_oracle(),
+    tags=("dedup", "similarity", "embedding", "adaptive", "bounded-output"),
+)
+def q199_adaptive_lsh_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q192 with a DATA-ADAPTIVE plane count — the scale fix for the one
+    superlinear r08 reading: with planes frozen at 8, candidate volume is
+    N²/256 and the third-decade probe read 49.8x (85.9 s) at sf1→sf10.
+    Here every vector computes 16 sign bits once, and the bucket key is
+    the PREFIX whose length an integer CASE ladder picks from the corpus
+    row count (functions/vectors.adaptive_planes_sql: smallest even p
+    with n/2^p <= 1024 per band), so expected bucket population — and
+    candidates per row — stays bounded as the corpus grows, inside one
+    static dual-dialect plan. n_rows is a broadcast scalar, the same
+    stage-boundary statistic q194 reads; prefix-of-signs keeps the
+    partitioning family nested (a longer prefix only splits buckets),
+    and the result stays a pure function of the input set, so the DuckDB
+    oracle reproduces it bitwise at any sf."""
+    return embedding_best_match_adaptive(
+        _emb(spark, sf_dir), "vec_id", "embedding", DIM
     )
 
 

@@ -317,3 +317,125 @@ def test_q197_sparse_best_match_python_reference(spark):
     }
     assert got == want
     assert want, "fixture should produce sparse matches"
+
+
+def test_q198_linkage_score_python_reference(spark):
+    """Fellegi-Sunter scoring recomputed end-to-end in plain Python:
+    sort, block with the same window, derive each field's u-probability
+    from value marginals, and rebuild every pair's composite ratio with
+    the same fixed multiply order — match_weight must agree bitwise, and
+    pairs that agree on more fields must never score below pairs that
+    agree on a subset of those fields."""
+    from discogs_load_spark.queries.dedup import SNB_WINDOW
+
+    part = [
+        (r.p_partkey, r.p_name, r.p_brand, r.p_type, r.p_size)
+        for r in load_tables(spark, SF_SMALL, ["part"])["part"]
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .collect()
+    ]
+    n = len(part)
+    rows = sorted(part, key=lambda r: (r[1], r[0]))
+
+    from collections import Counter
+
+    nc = Counter(r[1] for r in part)
+    bc = Counter(r[2] for r in part)
+    tc = Counter(r[3] for r in part)
+    sc = Counter(r[4] for r in part)
+    u_name = sum(
+        c1 * c2
+        for n1, c1 in nc.items()
+        for n2, c2 in nc.items()
+        if _levenshtein(n1, n2) <= 2
+    )
+    u_brand = sum(c * c for c in bc.values())
+    u_type = sum(c * c for c in tc.values())
+    u_size = sum(
+        ca * cb
+        for va, ca in sc.items()
+        for vb, cb in sc.items()
+        if abs(va - vb) <= 1
+    )
+
+    def w(agree, num):
+        u = float(num) / (float(n) * float(n))
+        return 0.95 / u if agree else 0.05 / (1.0 - u)
+
+    want = {}
+    for i, (id_a, name_a, b_a, t_a, s_a) in enumerate(rows):
+        for g in range(1, SNB_WINDOW + 1):
+            if i + g >= len(rows):
+                continue
+            id_b, name_b, b_b, t_b, s_b = rows[i + g]
+            a_name = _levenshtein(name_a, name_b) <= 2
+            a_brand = b_a == b_b
+            a_type = t_a == t_b
+            a_size = abs(s_a - s_b) <= 1
+            score = (
+                (w(a_name, u_name) * w(a_brand, u_brand))
+                * w(a_type, u_type)
+            ) * w(a_size, u_size)
+            want[(id_a, id_b)] = (
+                int(a_name), int(a_brand), int(a_type), int(a_size), score
+            )
+
+    got = {
+        (r.id_a, r.id_b): (
+            r.agree_name, r.agree_brand, r.agree_type, r.agree_size,
+            r.match_weight,
+        )
+        for r in REGISTRY["q198_linkage_score"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    # monotonicity: agreeing on a superset of fields never scores lower
+    by_bits = {}
+    for *bits, score in got.values():
+        by_bits.setdefault(tuple(bits), set()).add(score)
+    for bits_hi, scores_hi in by_bits.items():
+        for bits_lo, scores_lo in by_bits.items():
+            if bits_hi != bits_lo and all(
+                h >= l for h, l in zip(bits_hi, bits_lo)
+            ):
+                assert min(scores_hi) > max(scores_lo)
+
+
+def test_q199_adaptive_planes_python_reference(spark):
+    """The adaptive variant must (a) report bitwise-exact cosines for its
+    reported pairs, (b) never exceed the brute-force best (LSH can only
+    miss), and (c) pick the ladder's plane count for the fixture size —
+    at sf0.001 that is p=8, so q199's result must EQUAL q192's whenever
+    both use 8 planes ... except q192 keys on the full 8-plane string
+    while q199 keys on the 8-prefix of 16 — identical keys, identical
+    buckets, identical result."""
+    from discogs_load_spark.functions.vectors import adaptive_planes_sql
+
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert len(emb) <= 262144  # ladder picks p=8 for the fixture
+    norms = {i: math.sqrt(_fold_dot(v, v)) for i, v in emb.items()}
+
+    def cos(i, j):
+        return _fold_dot(emb[i], emb[j]) / (norms[i] * norms[j])
+
+    rows = (
+        REGISTRY["q199_adaptive_lsh_best_match"].fn(spark, SF_SMALL).collect()
+    )
+    assert rows
+    brute_best = {i: max(cos(i, j) for j in emb if j != i) for i in emb}
+    for r in rows:
+        assert r.best_cosine == cos(r.vec_id, r.best_id)  # bitwise
+        assert r.best_cosine <= brute_best[r.vec_id]
+
+    q192 = {
+        (r.vec_id, r.best_id, r.best_cosine, r.n_candidates)
+        for r in REGISTRY["q192_best_embedding_match"].fn(spark, SF_SMALL).collect()
+    }
+    q199 = {
+        (r.vec_id, r.best_id, r.best_cosine, r.n_candidates) for r in rows
+    }
+    assert q199 == q192  # same p=8 partitioning family at fixture size

@@ -5,10 +5,25 @@ pushdown, a join flipping to cartesian) fails CI.
 
 from __future__ import annotations
 
+import pytest
+
 from discogs_load_spark.plans import formatted_plan, join_kinds
 from discogs_load_spark.queries import REGISTRY
 
 from .conftest import SF_SMALL
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    """Plan-shape assertions must see the PLANNED tree, not whatever a
+    previously-run query left persisted: the CacheManager plan-matches
+    cached frames into InMemoryTableScan nodes, which silently swallows
+    the windows/joins/scans these tests assert on (observed: q196's
+    pid-window vanished when its own earlier run's `ranked` cache
+    matched; q02's ReadSchema widened when q198's persisted `part`
+    matched)."""
+    spark.catalog.clearCache()
+    yield
 
 
 def _plan(spark, name: str) -> str:
@@ -567,6 +582,34 @@ def test_sorted_neighborhood_rank_is_distributed(spark):
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" not in kinds
     assert "BroadcastHashJoin" in kinds  # the offsets join
+
+
+def test_linkage_score_scalar_crossjoins_are_broadcasts(spark):
+    """q198's five u-statistic scalars must reach the pair frame as
+    hinted broadcasts (the q81-funnel discipline); the pair grain itself
+    never shuffles — scoring is a projection."""
+    df = REGISTRY["q198_linkage_score"].fn(spark, SF_SMALL)
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 5
+
+
+def test_adaptive_lsh_prefix_key_reaches_the_join(spark):
+    """q199's bucket key must be the substring-of-signs whose length the
+    corpus-count ladder picks — visible in the plan as a substring over
+    the CASE ladder — and candidates must stay an equi-join."""
+    df = REGISTRY["q199_adaptive_lsh_best_match"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "substring" in plan
+    assert "CASE WHEN (n_rows" in plan
+    assert "partial_max" in plan
+    kinds = join_kinds(df)
+    assert "CartesianProduct" not in kinds
+    # BroadcastNestedLoopJoins are the hinted one-row n_rows scalar
+    # reaching each branch (the q182 discipline); the candidate join
+    # itself must be an equi hash join
+    assert "BroadcastHashJoin" in kinds or "SortMergeJoin" in kinds
 
 
 def test_sparse_best_match_posting_join_and_partial_argmax(spark):

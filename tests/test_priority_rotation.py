@@ -102,6 +102,8 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q195_minhash_best_match",
         "q196_sorted_neighborhood",
         "q197_sparse_best_match",
+        "q198_linkage_score",
+        "q199_adaptive_lsh_best_match",
     ]
     r01_stale = [
         "q51_minhash_lsh_pairs",
