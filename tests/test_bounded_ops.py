@@ -1,5 +1,5 @@
 """Plain-Python pins for the r08 bounded-output / composed queries
-(q191-q197): each query's result is recomputed with an independent
+(q191-q199): each query's result is recomputed with an independent
 reference implementation (no Spark, no DuckDB) at sf0.001, so a green
 oracle row can't be a shared-mistake artifact of the dual-dialect
 expression builders.
