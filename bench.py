@@ -90,6 +90,7 @@ SF1_QUERIES = [
     # adaptive LSH = the q192 fix (prefix ladder holds bucket pop bounded)
     "q198_linkage_score",
     "q199_adaptive_lsh_best_match",
+    "q200_merge_purge_pipeline",
 ]
 
 

@@ -861,6 +861,76 @@ def q198_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FS_MATCH_T = 100.0  # likelihood-ratio threshold: name + >= 2 other fields
+
+
+def _q200_oracle() -> str:
+    return f"""
+    WITH RECURSIVE scored AS ({_q198_oracle()}),
+    -- MATERIALIZED: the recursive walk references edges every iteration
+    -- (the q89 discipline)
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        WHERE match_weight > {FS_MATCH_T}
+        UNION
+        SELECT id_b, id_a FROM scored WHERE match_weight > {FS_MATCH_T}
+    ),
+    nodes AS (SELECT p_partkey AS node FROM part),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS entity_id FROM walk GROUP BY node)
+    SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           COALESCE(array_to_string(list_sort(list(node))[1:{MEMBER_CAP}],
+                                    '|'), '') AS member_ids
+    FROM comp GROUP BY entity_id
+    """
+
+
+@register(
+    "q200_merge_purge_pipeline",
+    oracle=_q200_oracle(),
+    tags=("dedup", "entity-resolution", "pipeline", "composed"),
+)
+def q200_merge_purge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full merge/purge pipeline END-TO-END — what an ER user
+    actually runs, composed from the round's pieces: sorted-neighborhood
+    blocking (q196) → Fellegi-Sunter scoring (q198) → likelihood-ratio
+    threshold (> {FS_MATCH_T}: on every fixture tier this admits exactly
+    the name-agree + >= 2-other-field patterns, min admitted weight
+    ~117 vs next pattern ~2.6 — an ~45x margin) → connected components →
+    one canonical entity row per component, INCLUDING singletons (every
+    input record maps to an entity; components only cover edge-touched
+    nodes, so unmatched records coalesce to themselves). Oracle: the
+    q198 score stack wrapped in the recursive-CTE reachability closure —
+    an independent algorithm, so a propagation bug can't self-confirm.
+
+    Scale shape: all stages inherit their linearity — w·N blocked pairs,
+    broadcast-scalar scoring, log-round star components on the (sparse)
+    thresholded edge set, capped member rollup (rank before collect;
+    n_members still counts every member)."""
+    scored = q198_linkage_score(spark, sf_dir)
+    edges = scored.filter(F.col("match_weight") > FS_MATCH_T).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(edges)
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    full = (
+        part.select(F.col("p_partkey").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "node", F.coalesce("component", "node").alias("entity_id")
+        )
+    )
+    return capped_member_rollup(full, "entity_id", "node", MEMBER_CAP).select(
+        "entity_id",
+        "n_members",
+        F.col("members").alias("member_ids"),
+    )
+
+
 @register(
     "q195_minhash_best_match",
     oracle=f"""

@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "q197_sparse_best_match",
     "q198_linkage_score",
     "q199_adaptive_lsh_best_match",
+    "q200_merge_purge_pipeline",
     # (b) newest green row = r01 (three+ rounds of shared-helper churn
     # since), registration order:
     "q51_minhash_lsh_pairs",

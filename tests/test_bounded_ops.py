@@ -439,3 +439,94 @@ def test_q199_adaptive_planes_python_reference(spark):
         (r.vec_id, r.best_id, r.best_cosine, r.n_candidates) for r in rows
     }
     assert q199 == q192  # same p=8 partitioning family at fixture size
+
+
+def test_q200_merge_purge_python_reference(spark):
+    """End-to-end merge/purge recomputed in plain Python: the q198
+    reference scorer (same u-marginals, same fixed-order product), the
+    > 100 threshold, union-find over the admitted edges, singletons as
+    their own entities — entity ids, member counts, and member lists
+    must all agree."""
+    from collections import Counter
+
+    from discogs_load_spark.queries.dedup import (
+        FS_MATCH_T,
+        SNB_WINDOW,
+    )
+    from discogs_load_spark.operators.dedup import MEMBER_CAP
+
+    part = [
+        (r.p_partkey, r.p_name, r.p_brand, r.p_type, r.p_size)
+        for r in load_tables(spark, SF_SMALL, ["part"])["part"]
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .collect()
+    ]
+    n = len(part)
+    rows = sorted(part, key=lambda r: (r[1], r[0]))
+    nc = Counter(r[1] for r in part)
+    bc = Counter(r[2] for r in part)
+    tc = Counter(r[3] for r in part)
+    sc = Counter(r[4] for r in part)
+    u_name = sum(
+        c1 * c2
+        for n1, c1 in nc.items()
+        for n2, c2 in nc.items()
+        if _levenshtein(n1, n2) <= 2
+    )
+    u_brand = sum(c * c for c in bc.values())
+    u_type = sum(c * c for c in tc.values())
+    u_size = sum(
+        ca * cb
+        for va, ca in sc.items()
+        for vb, cb in sc.items()
+        if abs(va - vb) <= 1
+    )
+
+    def w(agree, num):
+        u = float(num) / (float(n) * float(n))
+        return 0.95 / u if agree else 0.05 / (1.0 - u)
+
+    parent = {pk: pk for pk, *_ in part}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for i, (id_a, name_a, b_a, t_a, s_a) in enumerate(rows):
+        for g in range(1, SNB_WINDOW + 1):
+            if i + g >= len(rows):
+                continue
+            id_b, name_b, b_b, t_b, s_b = rows[i + g]
+            score = (
+                (
+                    w(_levenshtein(name_a, name_b) <= 2, u_name)
+                    * w(b_a == b_b, u_brand)
+                )
+                * w(t_a == t_b, u_type)
+            ) * w(abs(s_a - s_b) <= 1, u_size)
+            if score > FS_MATCH_T:
+                union(id_a, id_b)
+
+    members = defaultdict(list)
+    for pk, *_ in part:
+        members[find(pk)].append(pk)
+    want = {
+        root: (
+            len(ms),
+            "|".join(str(i) for i in sorted(ms)[:MEMBER_CAP]),
+        )
+        for root, ms in members.items()
+    }
+    got = {
+        r.entity_id: (r.n_members, r.member_ids)
+        for r in REGISTRY["q200_merge_purge_pipeline"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert any(v[0] > 1 for v in want.values()), "expected >= 1 merged entity"

@@ -104,6 +104,7 @@ def test_gate_window_leads_with_changed_or_new_oracles():
         "q197_sparse_best_match",
         "q198_linkage_score",
         "q199_adaptive_lsh_best_match",
+        "q200_merge_purge_pipeline",
     ]
     r01_stale = [
         "q51_minhash_lsh_pairs",
