@@ -212,7 +212,8 @@ def q199_adaptive_lsh_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here every vector computes 16 sign bits once, and the bucket key is
     the PREFIX whose length an integer CASE ladder picks from the corpus
     row count (functions/vectors.adaptive_planes_sql: smallest even p
-    with n/2^p <= 1024 per band), so expected bucket population — and
+    in the ladder with n/2^p <= 16 = ADAPTIVE_LSH_TARGET), so expected
+    bucket population — and
     candidates per row — stays bounded as the corpus grows, inside one
     static dual-dialect plan. n_rows is a broadcast scalar, the same
     stage-boundary statistic q194 reads; prefix-of-signs keeps the

@@ -387,18 +387,22 @@ def test_semdedup_pair_join_is_cluster_equi(spark):
     assert "SortMergeJoin" in kinds or "ShuffledHashJoin" in kinds, kinds
 
 
-def test_priority_list_names_are_registered(spark):
-    """A typo'd or stale name in registry.PRIORITY would silently fall out
-    of the driver's top-50 rotation (rank.get defaults past the end) —
-    assert every PRIORITY entry exists and none repeats."""
+def test_priority_order_covers_registry_exactly(spark):
+    """priority_order() is the driver-facing iteration order: it must be a
+    permutation of REGISTRY (a dropped or duplicated name would silently
+    lose a query from the contract), and every RECHECK entry — the one
+    remaining manual knob — must name a real query (a typo would silently
+    skip the re-verification it was added to force)."""
     from collections import Counter
 
-    from discogs_load_spark.queries.registry import PRIORITY
+    from discogs_load_spark.queries.registry import RECHECK, priority_order
 
-    missing = [n for n in PRIORITY if n not in REGISTRY]
-    assert not missing, f"PRIORITY names not in REGISTRY: {missing}"
-    dupes = [n for n, c in Counter(PRIORITY).items() if c > 1]
-    assert not dupes, f"duplicate PRIORITY names: {dupes}"
+    order = priority_order()
+    assert Counter(order) == Counter(REGISTRY.keys()), (
+        "not a permutation of REGISTRY"
+    )
+    missing = [n for n in RECHECK if n not in REGISTRY]
+    assert not missing, f"RECHECK names not in REGISTRY: {missing}"
 
 
 def test_nucleus_windows_share_one_partition(spark):
