@@ -38,7 +38,6 @@ SF1_QUERIES = [
     "q95_embedding_dedup_groups",
     "q100_incremental_dedup",
     "q104_sole_late_supplier",
-    "q112_fuzzy_name_match",
     "q123_prefix_filter_jaccard",
     "q130_event_pagerank",
     "q154_semdedup",
@@ -80,7 +79,6 @@ SF1_QUERIES = [
     # partially aggregates map-side, so scale_x should track the
     # candidate join, not the output cardinality that made q112 read 35x
     "q191_best_fuzzy_match",
-    "q192_best_embedding_match",
     "q195_minhash_best_match",
     # sorted-neighborhood blocking: distributed rank + w-neighbor equi-join
     # (output exactly w*N); sparse lexical best-match: df-capped posting join
@@ -91,7 +89,31 @@ SF1_QUERIES = [
     "q198_linkage_score",
     "q199_adaptive_lsh_best_match",
     "q200_merge_purge_pipeline",
+    # r09 adaptive-parameter family (VERDICT r08 item 7): band ladder,
+    # CDC chunk rollup (map-side HOFs + one chunk-grain shuffle),
+    # sqrt(N) df-cap posting join, keeper argmax over CC clusters
+    "q201_adaptive_band_neardup",
+    "q202_cdc_chunk_dedup",
+    "q203_adaptive_sparse_match",
+    "q204_neardup_keepers",
 ]
+
+# Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness
+# rows kept: these are the oracle-simple REFEREE forms whose committed
+# probes read superlinear by construction — q112 enumerates an unbounded
+# pair set (output ~n²/|vocab|; 30.7-34.6x at 10x), q192 keys on a fixed
+# 8-plane bucket (candidates ~N²/256; 49.8x at sf1→sf10,
+# SCALE_PROBES_r08.json), q54 shares q192's fixed-plane blocking plus an
+# output-bound threshold (~2.3% of all pairs; probed r09). Their
+# scale-safe duals ARE measured every round (q191, q199, q195/q192-
+# adaptive), so re-timing the referees only makes the tier's "worst
+# scale_x" headline a known-by-design number. Expected exponents stay on
+# record in SCALE_PROBES_r0{8,9}.json.
+SF1_REFEREE_EXCLUDED = {
+    "q112_fuzzy_name_match": "output-bound pair enumeration; bounded dual q191",
+    "q192_best_embedding_match": "fixed 8-plane LSH; adaptive dual q199",
+    "q54_embedding_neardup": "fixed 4-plane LSH + output-bound threshold; duals q192/q199",
+}
 
 
 def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
@@ -242,6 +264,9 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "scale_x": scale,
         "base_retried": retried,
         "base_suspect": suspect,
+        "referee_excluded": sorted(
+            n.split("_", 1)[0] for n in SF1_REFEREE_EXCLUDED
+        ),
     }
 
 

@@ -130,6 +130,71 @@ def band_key_sql(band: int, rows_per_band: int, dialect: str) -> str:
     return f"md5(concat({', '.join(cols)}))"
 
 
+# Adaptive-parameter ladders (the q199/q194 discipline generalized —
+# VERDICT r08 item 7): a compile-time constant that a 100 TB corpus would
+# want derived from corpus statistics becomes an integer CASE ladder over
+# the corpus row count, read once as a broadcast scalar, inside ONE static
+# dual-dialect plan. Pure integer comparisons — log2 is transcendental and
+# banned by the cross-engine hash gate.
+
+ADAPTIVE_BAND_RUNGS = (3, 6, 12)  # rows-per-band; each divides the next
+
+
+def adaptive_band_rows_sql(n_col: str) -> str:
+    """LSH rows-per-band r as a ladder over corpus size: a random pair
+    collides in one band with probability ~E[J]^r, so the expected
+    random-candidate volume is ~N²·b·E[J]^r — widening the band (raising
+    r) with log N is the banding counterpart of q199's plane-prefix
+    ladder. Each rung divides the next (3 | 6 | 12), so every wider band
+    is a CONCATENATION of narrower bands and the candidate sets strictly
+    NEST: agreeing on hashes [0..5] implies agreeing on [0..2] and
+    [3..5], so candidates(r=6) ⊆ candidates(r=3) on any input — the same
+    only-coarsen/only-refine family property the plane-prefix ladder has
+    (asserted in tests). Rung thresholds are cost-model constants like
+    ADAPTIVE_LSH_TARGET: the corpus size where the narrower geometry's
+    random-candidate volume stops being linear on the measured fixture
+    family."""
+    return (
+        f"(CASE WHEN {n_col} <= 4096 THEN 3"
+        f" WHEN {n_col} <= 65536 THEN 6 ELSE 12 END)"
+    )
+
+
+def adaptive_snb_window_sql(n_col: str, d_col: str, dialect: str) -> str:
+    """Sorted-neighborhood window w as a ladder over the blocking key's
+    mean multiplicity m = ceil(n_rows / n_distinct_keys): two records of
+    the same entity sorted by a key with m exact-collision copies can sit
+    up to ~m interleaved rows apart, so a FIXED w silently loses recall
+    exactly as the catalog grows denser (w=3 at m=10 misses most
+    same-name duplicates — measured on the 10x tiled tier, where every
+    name repeats once per tile). Output stays w·N — linear by
+    construction at every rung. Integer ceiling division only; the one
+    dialect split is the integer-div operator."""
+    div = f"(({n_col} + {d_col} - 1) // {d_col})"
+    if dialect == "spark":
+        div = f"(({n_col} + {d_col} - 1) div {d_col})"
+    return (
+        f"(CASE WHEN {div} <= 2 THEN 3"
+        f" WHEN {div} <= 16 THEN 16"
+        f" WHEN {div} <= 64 THEN 64 ELSE 256 END)"
+    )
+
+
+def adaptive_df_cap_sql(n_col: str) -> str:
+    """Document-frequency cap for posting-list self-joins as a ladder over
+    corpus size: cap = sqrt(N) at each band's upper edge (64² = 4096,
+    256² = 65536, 1024² = 2²⁰), so the worst per-term candidate volume
+    df² stays <= N and the total over a fixed vocabulary stays linear in
+    N — while the ABSOLUTE cap still grows, admitting more mid-frequency
+    terms as the corpus grows (a frozen cap silently discards an
+    ever-larger share of the vocabulary instead)."""
+    return (
+        f"(CASE WHEN {n_col} <= 4096 THEN 64"
+        f" WHEN {n_col} <= 65536 THEN 256"
+        f" WHEN {n_col} <= 1048576 THEN 1024 ELSE 4096 END)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

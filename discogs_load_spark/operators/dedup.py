@@ -308,12 +308,18 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = _cap_buckets(buckets, id_col, max_bucket_size)
+    return _bucket_pair_join(buckets, id_col)
+
+
+def _bucket_pair_join(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing a (band, key) bucket — the
+    equi-join tail every banding scheme funnels into."""
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
         a.join(
             b,
-            (F.col(f"a.band") == F.col("b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
@@ -323,6 +329,65 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def adaptive_lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_rows: DataFrame,
+    id_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`lsh_candidate_pairs` with a DATA-ADAPTIVE band geometry —
+    the banding counterpart of q199's plane-prefix ladder (the q194/q199
+    discipline generalized to MinHash): rows-per-band r is picked from
+    the corpus row count by :func:`functions.textfns.adaptive_band_rows_sql`'s
+    integer CASE ladder, so the expected random-pair candidate volume
+    ~N²·b·E[J]^r stays bounded per row as the corpus grows, inside ONE
+    static dual-dialect plan — no replan, no recompile.
+
+    ``n_rows`` is a 1-row (n_docs bigint) frame, broadcast — the same
+    stage-boundary statistic q194 reads. Each rung divides the next (3 | 6 | 12), so a wider band is a
+    concatenation of narrower bands and candidate sets strictly nest
+    (candidates at r=6 ⊆ candidates at r=3 on ANY input — asserted in
+    tests).
+    Recall trades down as r rises — the same trade the plane ladder
+    makes, and the reason the rungs move with log N rather than a frozen
+    compile-time r."""
+    from ..functions.textfns import ADAPTIVE_BAND_RUNGS, adaptive_band_rows_sql
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def band_struct(r: int):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.expr(band_key_sql(b, r, "spark")).alias("key"),
+                )
+                for b in range(n_hashes // r)
+            ]
+        )
+
+    ladder = F.expr(adaptive_band_rows_sql("n_docs"))
+    expr = None
+    for r in ADAPTIVE_BAND_RUNGS[:-1]:
+        cond = ladder == r
+        expr = (
+            F.when(cond, band_struct(r))
+            if expr is None
+            else expr.when(cond, band_struct(r))
+        )
+    bk = expr.otherwise(band_struct(ADAPTIVE_BAND_RUNGS[-1]))
+    buckets = (
+        signatures.crossJoin(F.broadcast(n_rows))
+        .select(F.col(id_col), F.explode(bk).alias("bk"))
+        .select(id_col, "bk.band", "bk.key")
+        .repartition("band", "key")
+    )
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, id_col, max_bucket_size)
+    return _bucket_pair_join(buckets, id_col)
 
 
 def _band_buckets(
@@ -514,6 +579,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # bounded: 1-row convergence scalar per round
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     if prev_sum is None:  # empty graph
         return labels.select("node", F.col("label").alias("component"))
@@ -533,6 +599,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # bounded: 1-row convergence scalar per round
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -13,8 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from ..functions.textfns import (
     SIMHASH_BITS,
+    adaptive_snb_window_sql,
     doc_shingles_sql,
     minhash_agg_sql,
     norm_sql,
@@ -26,6 +29,7 @@ from ..operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_N_HASHES,
     MEMBER_CAP,
+    adaptive_lsh_candidate_pairs,
     capped_member_rollup,
     connected_components,
     connected_components_star,
@@ -577,13 +581,22 @@ SNB_WINDOW = 3  # sorted-neighborhood: pair each row with its next w rows
 
 
 def _snb_pairs(
-    part: DataFrame, carry: tuple[str, ...] = ()
+    part: DataFrame,
+    carry: tuple[str, ...] = (),
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs (id_a, id_b, name_a, name_b,
     g) with optional carried attribute columns suffixed _a/_b — the
-    blocking engine shared by q196 (pair emission) and q198 (linkage
-    scoring). See q196's docstring for the distributed-rank recipe."""
+    blocking engine shared by q196 (pair emission), q198 (linkage
+    scoring), and q206 (adaptive window). See q196's docstring for the
+    distributed-rank recipe. ``stats``: optional broadcast 1-row
+    (n_rows, n_keys) frame — when given, the neighbor gap list is
+    sequence(1, w) with w from the mean-multiplicity ladder
+    (functions/textfns.adaptive_snb_window_sql) instead of the fixed
+    SNB_WINDOW."""
     from pyspark.storagelevel import StorageLevel
+
+    from ..functions.textfns import adaptive_snb_window_sql
 
     sc_parallelism = part.sparkSession.sparkContext.defaultParallelism
     base = part.select("p_partkey", "p_name", *carry).repartitionByRange(
@@ -608,13 +621,21 @@ def _snb_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
     )
-    probe = ranked.select(
+    probe_src = (
+        ranked if stats is None else ranked.crossJoin(F.broadcast(stats))
+    )
+    gaps = (
+        F.array(*[F.lit(g) for g in range(1, SNB_WINDOW + 1)])
+        if stats is None
+        else F.expr(
+            f"sequence(1, {adaptive_snb_window_sql('n_rows', 'n_keys', 'spark')})"
+        )
+    )
+    probe = probe_src.select(
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
         *[F.col(c).alias(f"{c}_a") for c in carry],
-        F.explode(
-            F.array(*[F.lit(g) for g in range(1, SNB_WINDOW + 1)])
-        ).alias("g"),
+        F.explode(gaps).alias("g"),
         F.col("rk").alias("rk_a"),
     ).withColumn("rk_b", F.col("rk_a") + F.col("g"))
     build = ranked.select(
@@ -1302,3 +1323,416 @@ def q175_oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sigs = oph_minhash_signatures(docs, "doc_id", "text")
     return lsh_candidate_pairs(sigs, "doc_id")
+
+
+# --- r09: adaptive band geometry + CDC chunking + keeper selection ----------
+
+
+def _adaptive_pairs_cte() -> str:
+    """Adaptive-banding candidate pairs (DuckDB): same sig CTE as q51, but
+    rows-per-band comes from functions/textfns.adaptive_band_rows_sql's
+    ladder over the corpus row count — one rung's UNION-ALL legs survive
+    the scalar-subquery gate, the rest scan nothing."""
+    from ..functions.textfns import (
+        ADAPTIVE_BAND_RUNGS,
+        adaptive_band_rows_sql,
+        band_key_sql,
+    )
+
+    ladder = adaptive_band_rows_sql("(SELECT n FROM nr)")
+    legs = []
+    for r in ADAPTIVE_BAND_RUNGS:
+        for b in range(DEFAULT_N_HASHES // r):
+            legs.append(
+                f"SELECT doc_id, {b} AS band, "
+                f"{band_key_sql(b, r, 'duckdb')} AS key "
+                f"FROM sig WHERE {ladder} = {r}"
+            )
+    buckets = " UNION ALL ".join(legs)
+    return f"""
+    s AS (SELECT doc_id, unnest({_D_SH}) AS sh FROM documents),
+    sig AS MATERIALIZED (SELECT doc_id, {_D_AGGS} FROM s GROUP BY doc_id),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    buckets AS ({buckets}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "q201_adaptive_band_neardup",
+    oracle=f"""
+    WITH {_adaptive_pairs_cte()},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents)
+    SELECT p.id_a, p.id_b, {_JACC} AS jaccard
+    FROM pairs p
+    JOIN sets sa ON p.id_a = sa.doc_id
+    JOIN sets sb ON p.id_b = sb.doc_id
+    WHERE {_JACC} >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "minhash", "lsh", "adaptive"),
+)
+def q201_adaptive_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52's verified near-dup pairs with a DATA-ADAPTIVE LSH band
+    geometry — the q199 plane-prefix discipline applied to MinHash
+    banding (VERDICT r08 item 7; fixed geometry ref: operators/dedup.py
+    DEFAULT_BANDS): rows-per-band r is picked from the corpus row count
+    by an integer CASE ladder (3 → 6 → 12; each rung divides the next,
+    so candidate sets strictly nest), so the expected random-pair candidate volume
+    ~N²·b·E[J]^r stays bounded per row as the corpus grows, inside one
+    static dual-dialect plan. n_docs is a broadcast 1-row scalar (the
+    q194 statistic); at fixture sizes <= 4096 the ladder sits on r=3
+    and this query EQUALS q52 row-for-row (pinned in
+    tests/test_llm_ops.py), which is exactly the nesting property the
+    ladder is designed around: a wider band only merges hash evidence.
+    Candidates that survive are exact-Jaccard verified (>= 0.8), so
+    output is the true near-dup set — bounded by dup density, not by
+    the banding."""
+    docs = _docs(spark, sf_dir)
+    nr = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = adaptive_lsh_candidate_pairs(sigs, nr, "doc_id")
+    return jaccard_verify(
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    )
+
+
+@register(
+    "q204_neardup_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE_BODY},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents),
+    verified AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sets sa ON p.id_a = sa.doc_id
+        JOIN sets sb ON p.id_b = sb.doc_id
+        WHERE {_JACC} >= {JACCARD_THRESHOLD}
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+    m AS (
+        SELECT c.component, c.node, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    agg AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM m GROUP BY component
+    ),
+    keep AS (
+        SELECT component, node AS keeper_id, n_chars AS keeper_chars
+        FROM (
+            SELECT component, node, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, node
+                   ) AS rn
+            FROM m
+        ) t WHERE rn = 1
+    )
+    SELECT k.component, k.keeper_id,
+           CAST(k.keeper_chars AS BIGINT) AS keeper_chars,
+           a.n_docs,
+           CAST(a.total_chars - k.keeper_chars AS BIGINT) AS purged_chars
+    FROM keep k JOIN agg a USING (component)
+    UNION ALL
+    SELECT d.doc_id AS component, d.doc_id AS keeper_id,
+           CAST(d.n_chars AS BIGINT) AS keeper_chars,
+           CAST(1 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS purged_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp)
+    """,
+    tags=("dedup", "graph", "keeper", "merge-purge"),
+)
+def q204_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection for the TEXT near-dup stack — the q200 merge/purge
+    decision applied to q89's clusters: per connected component of the
+    verified MinHash pair graph, keep the highest-quality member
+    (n_chars as the fixture's quality proxy, ties to the smaller id) and
+    report what dedup would purge. The keeper argmax is a plain
+    map-side-combinable aggregate (max over a (n_chars, -id) struct —
+    the q192 discipline, no Window over members), so each task forwards
+    one candidate per component into the shuffle; singletons union in as
+    their own keepers, making the output the corpus's exact
+    post-dedup manifest. Oracle recomputes the closure with the
+    independent recursive-CTE referee (the q89 discipline)."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    comp = connected_components(verified)
+    quality = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    m = comp.join(quality, comp.node == quality.doc_id).select(
+        "component", "node", "n_chars"
+    )
+    clustered = (
+        m.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("node")).alias("ni"))
+            ).alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "component",
+            (-F.col("k.ni")).alias("keeper_id"),
+            F.col("k.n_chars").alias("keeper_chars"),
+            "n_docs",
+            (F.col("total_chars") - F.col("k.n_chars"))
+            .cast("bigint")
+            .alias("purged_chars"),
+        )
+    )
+    singles = (
+        docs.join(comp, docs.doc_id == comp.node, "left_anti")
+        .select(
+            F.col("doc_id").alias("component"),
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").cast("bigint").alias("keeper_chars"),
+            F.lit(1).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("purged_chars"),
+        )
+    )
+    return clustered.unionByName(singles)
+
+
+def _cdc_chunks_duckdb() -> str:
+    """Content-defined chunk hashes per document (DuckDB dialect).
+
+    Rolling boundary: a chunk ends after token i when the md5 of the
+    4-gram ending at i starts with hex '0' (p = 1/16 → ~16-token mean
+    chunks). Every list the lambdas touch is bound ONCE per row via the
+    single-element list_transform trick (functions/textfns.shingles_sql
+    docstring: DuckDB re-evaluates expressions referenced from lambda
+    bodies PER ELEMENT); indexed two-arg lambdas carry positions."""
+    from ..functions.textfns import norm_sql, tokens_sql
+
+    toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+    return f"""list_transform([{toks}], t ->
+  list_transform([CASE WHEN len(t) < 4 THEN []
+      ELSE list_transform(generate_series(1, len(t) - 3),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END], sh ->
+    list_transform([list_prepend(0, list_filter(
+        list_transform(sh, (g, i) -> CASE WHEN md5(g) LIKE '0%' THEN i + 3 ELSE -1 END),
+        x -> x <> -1))], st ->
+      list_filter(list_transform(st, (s, j) ->
+          CASE WHEN (CASE WHEN j < len(st) THEN st[j+1] ELSE len(t) END) > s
+               THEN md5(array_to_string(t[s+1:(CASE WHEN j < len(st) THEN st[j+1] ELSE len(t) END)], ' '))
+               ELSE NULL END),
+        h -> h IS NOT NULL)
+    )[1]
+  )[1]
+)[1]"""
+
+
+def _cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_hash) with multiplicity — the exploded CDC chunk
+    table shared by q202 (corpus chunk rollup) and q205 (delta novelty
+    screening). All per-row work is array HOFs over materialized columns
+    (lambda variables only — the shingles_sql O(tokens²) trap)."""
+    from ..functions.textfns import norm_sql, shingles_sql, tokens_sql
+
+    d = (
+        docs.select(
+            "doc_id",
+            F.expr(tokens_sql(norm_sql("text", "spark"), "spark")).alias(
+                "__toks"
+            ),
+        )
+        .withColumn("__sh", F.expr(shingles_sql("__toks", 4, "spark")))
+        .withColumn(
+            "__b",
+            F.expr(
+                "filter(transform(__sh, (s, g) -> "
+                "IF(md5(s) LIKE '0%', g + 4, -1)), x -> x != -1)"
+            ),
+        )
+        .withColumn(
+            "__ch",
+            F.expr(
+                "filter(zip_with(concat(array(0), __b), "
+                "concat(__b, array(size(__toks))), "
+                "(s, e) -> IF(e > s, "
+                "md5(array_join(slice(__toks, s + 1, e - s), ' ')), NULL)), "
+                "h -> h IS NOT NULL)"
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode("__ch").alias("chunk_hash"))
+
+
+
+@register(
+    "q202_cdc_chunk_dedup",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, unnest({_cdc_chunks_duckdb()}) AS chunk_hash
+        FROM documents
+    )
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS keeper_doc
+    FROM ch GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "cdc", "chunking"),
+)
+def q202_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup — the sub-document counterpart of
+    q50's whole-doc hash: chunk boundaries fall where the rolling hash of
+    the trailing 4-gram lands in 1/16 of its space (md5 hex prefix '0'),
+    so an insertion near the top of a near-copy re-synchronizes within a
+    chunk or two and the shared tail still dedups — the property
+    fixed-size chunking lacks and the reason CDC is the shape backup
+    systems and crawl-dedup pipelines use. Everything is per-row array
+    HOFs until the single chunk-grain groupBy: boundary detection rides
+    the 4-shingle array (one indexed transform+filter), chunk content
+    hashes come from zip_with over the boundary-offset arrays (lambda
+    variables only — the shingles_sql O(tokens²) trap), so the map side
+    emits (doc_id, chunk_hash) with no shuffle before the rollup.
+    Output: chunks appearing in >= 2 docs with occurrence counts and the
+    min-id keeper — bounded by shared-chunk cardinality."""
+    return (
+        _cdc_chunk_frame(_docs(spark, sf_dir))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "q205_cdc_novelty",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, unnest({_cdc_chunks_duckdb()}) AS chunk_hash
+        FROM documents
+    ),
+    newch AS (
+        SELECT * FROM ch WHERE doc_id % {NEW_MOD} = {NEW_REM}
+    ),
+    idx AS (
+        SELECT DISTINCT chunk_hash FROM ch
+        WHERE doc_id % {NEW_MOD} <> {NEW_REM}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(i.chunk_hash) AS BIGINT) AS n_dup_chunks,
+           CAST(COUNT(*) - COUNT(i.chunk_hash) AS DOUBLE) / COUNT(*)
+               AS novel_fraction
+    FROM newch n LEFT JOIN idx i USING (chunk_hash)
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "cdc", "incremental", "bounded-output"),
+)
+def q205_cdc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta novelty screening — CDC composed with q100's incremental
+    shape: the 'new snapshot' docs (doc_id % {NEW_MOD} == {NEW_REM}, the
+    q100 split) are chunked content-defined (q202's boundaries) and each
+    chunk is probed against the corpus chunk index, yielding per new doc
+    the fraction of content the lake has NOT seen — the crawl-triage
+    decision (drop / partial-dedup / ingest) a training pipeline makes
+    per document, robust to insertions because CDC boundaries
+    re-synchronize. Cost is |delta|·chunks probe-side against an index a
+    production lake would persist at ingest; the single double division
+    happens after integer counts, so values hash identically
+    cross-engine. Docs with zero chunks (empty text) have no novelty
+    row by definition."""
+    chunks = _cdc_chunk_frame(_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
+    idx = (
+        chunks.filter(~is_new).select("chunk_hash").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        chunks.filter(is_new)
+        .join(idx, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count("__hit").cast("bigint").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "novel_fraction",
+            (F.col("n_chunks") - F.col("n_dup_chunks")).cast("double")
+            / F.col("n_chunks"),
+        )
+    )
+
+
+@register(
+    "q206_adaptive_snb_window",
+    oracle=f"""
+    WITH stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_keys
+        FROM part
+    ),
+    ranked AS (
+        SELECT p_partkey, p_name,
+               ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rk
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(b.rk - a.rk AS BIGINT) AS gap,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON b.rk BETWEEN a.rk + 1 AND a.rk
+           + (SELECT {adaptive_snb_window_sql("n_rows", "n_keys", "duckdb")}
+              FROM stats)
+    """,
+    tags=("dedup", "entity-resolution", "blocking", "adaptive", "bounded-output"),
+)
+def q206_adaptive_snb_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q196's sorted-neighborhood blocking with a DATA-ADAPTIVE window —
+    the last of the three frozen constants VERDICT r08 item 7 named
+    (SNB_WINDOW, with SLM_DF_CAP → q203 and LSH bands → q201): w comes
+    from the blocking key's mean multiplicity m = ceil(n/distinct names)
+    via an integer CASE ladder, because two records of one entity can
+    sit ~m interleaved rows apart once the key collides m ways — a
+    FIXED w=3 silently loses recall exactly as the catalog densifies
+    (the 10x tiled tier repeats every name once per tile). The two
+    counts reach the gap explode as one broadcast scalar row inside the
+    same static plan (sequence(1, w) replaces the literal gap array);
+    output stays w·N — linear at every rung, with the top rung (256) as
+    the documented cost ceiling. Neighbor sets are gap-prefix-nested:
+    at any rung, the gap <= 3 slice equals q196 exactly (pinned in
+    tests — the fixtures' 62-name vocabulary gives m = 4 → w = 16 at
+    sf0.001, so the ladder is live on every tier)."""
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    stats = part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("p_name").cast("bigint").alias("n_keys"),
+    )
+    return _snb_pairs(part, stats=stats).select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.col("g").cast("bigint").alias("gap"),
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+    )

@@ -312,14 +312,14 @@ def _q170_dump_path(docs: DataFrame, sf_dir: str) -> str:
 
     Harness shim for the pre-shard surface: real dumps arrive as files; here
     the fixture IS the source of truth, so the XML must be derived from it
-    deterministically. Driver-side render is fixture-bounded (≤ ~50k short
-    records at sf1) and paid once per process per sf_dir. The text rides in
-    <title> wrapped in [ ] sentinels so surrounding-whitespace trim semantics
-    in any XML reader can never change the recovered byte count."""
-    import gzip
+    deterministically. Records render executor-side and stream through the
+    single-partition gzip text sink (the dump must be ONE monolithic gzip —
+    the artifact the pre-sharder exists to split), paid once per process per
+    sf_dir; the driver only touches a 1-row fingerprint scalar. The text
+    rides in <title> wrapped in [ ] sentinels so surrounding-whitespace trim
+    semantics in any XML reader can never change the recovered byte count."""
     import os
     import tempfile
-    from xml.sax.saxutils import escape
 
     # content fingerprint in the cache key: the driver regenerates fixtures
     # between rounds, and a stale cached dump with the same ROW COUNT but
@@ -362,19 +362,54 @@ def _q170_dump_path(docs: DataFrame, sf_dir: str) -> str:
                 os.remove(stale)
         except OSError:
             pass
-    # bounded: fixture documents table (5k rows at sf0.1), rendered once
-    rows = docs.select("doc_id", "text", "lang").orderBy("doc_id").collect()
-    tmp = f"{path}.part{os.getpid()}"
-    with gzip.open(tmp, "wt", encoding="utf-8", compresslevel=1) as f:
-        f.write('<?xml version="1.0" encoding="UTF-8"?>\n<releases>\n')
-        for r in rows:
-            f.write(
-                f'<release id="{int(r["doc_id"])}" status="Accepted">'
-                f"<title>[{escape(r['text'])}]</title>"
-                f"<country>{escape(r['lang'])}</country></release>\n"
-            )
-        f.write("</releases>\n")
-    os.replace(tmp, path)  # atomic: concurrent builders converge
+    # Distributed render (VERDICT r08 item 6 — no corpus-shaped collect):
+    # records render executor-side as text rows, shuffle to ONE partition
+    # (the dump must be a single monolithic gzip — that is the artifact the
+    # pre-sharder exists to split), sort within it, and stream through the
+    # gzip text sink; the driver never holds the corpus.
+    spark = docs.sparkSession
+
+    def esc(c):  # xml.sax.saxutils.escape: & first, then < and >
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    rec = F.concat(
+        F.lit('<release id="'),
+        F.col("doc_id").cast("long").cast("string"),
+        F.lit('" status="Accepted"><title>['),
+        esc(F.col("text")),
+        F.lit("]</title><country>"),
+        esc(F.col("lang")),
+        F.lit("</country></release>"),
+    )
+    body = docs.select(
+        F.lit(1).alias("k0"),
+        F.col("doc_id").cast("long").alias("k1"),
+        rec.alias("line"),
+    )
+    edges = spark.createDataFrame(
+        [
+            (0, 0, '<?xml version="1.0" encoding="UTF-8"?>\n<releases>'),
+            (2, 0, "</releases>"),
+        ],
+        "k0 int, k1 long, line string",
+    )
+    tmp = f"{path}.build{os.getpid()}"
+    (
+        edges.unionByName(body)
+        .repartition(1)
+        .sortWithinPartitions("k0", "k1")
+        .select("line")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(tmp)
+    )
+    part = glob.glob(os.path.join(tmp, "part-*.txt.gz"))[0]
+    os.replace(part, path)  # atomic: concurrent builders converge
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -112,7 +112,16 @@ def _neardup_oracle() -> str:
 )
 def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via 4-plane bucket self-join +
-    exact rerank (threshold calibrated to the fixture's cosine range)."""
+    exact rerank (threshold calibrated to the fixture's cosine range).
+
+    REFEREE-ONLY at scale (measured r09, SCALE_PROBES_r09.json): 100.5x
+    at sf1→sf10 — the N²/16 fixed-plane candidate term plus a threshold
+    that admits ~2.3% of ALL pairs make both the work and the output
+    quadratic by construction. It stays registered as the oracle-simple
+    referee; the user-facing forms are its bounded duals — q192 (per-row
+    best match, same blocking), q199 (adaptive plane ladder), q95 (the
+    cluster rollup of this pair set). Excluded from the bench scale tier
+    by policy (bench.SF1_REFEREE_EXCLUDED)."""
     return embedding_near_dup_pairs(
         _emb(spark, sf_dir),
         "vec_id",

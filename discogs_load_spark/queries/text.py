@@ -10,6 +10,7 @@ from ..functions.numeric import dec_avg, dec_avg_sql
 from ..functions.textfns import (
     RH_K,
     STOPWORDS,
+    adaptive_df_cap_sql,
     char_class_count_sql,
     doc_shingles_sql,
     norm_sql,
@@ -1735,9 +1736,14 @@ def q182_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 SLM_DF_CAP = 64  # tokens in more than this many docs are pruned (stopwords)
 
 
-def _q197_oracle() -> str:
+def _q197_oracle(df_cap_sql: str = str(SLM_DF_CAP), with_nr: bool = False) -> str:
+    nr = (
+        "nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),\n    "
+        if with_nr
+        else ""
+    )
     return f"""
-    WITH tok AS (
+    WITH {nr}tok AS (
         SELECT doc_id, unnest({_D_TOKS}) AS token FROM documents
     ),
     tf AS (
@@ -1746,7 +1752,7 @@ def _q197_oracle() -> str:
     ),
     keep AS (
         SELECT token FROM tf GROUP BY token
-        HAVING COUNT(*) <= {SLM_DF_CAP}
+        HAVING COUNT(*) <= {df_cap_sql}
     ),
     post AS (
         SELECT t.doc_id, t.token, t.tf FROM tf t JOIN keep USING (token)
@@ -1809,6 +1815,18 @@ def q197_sparse_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir)
+    return _sparse_best_match(docs, lambda dfc: dfc.filter(
+        F.col("df") <= SLM_DF_CAP
+    ).select("token"))
+
+
+def _sparse_best_match(docs: DataFrame, keep_fn) -> DataFrame:
+    """Shared engine of q197/q203: tf posting lists → df-pruned tokens
+    (``keep_fn`` maps the (token, df) frame to the kept tokens) →
+    integer dot/norm posting self-join → map-side-combinable per-doc
+    argmax."""
+    from pyspark.storagelevel import StorageLevel
+
     toks = tokens_sql(norm_sql("text", "spark"), "spark")
     tf = (
         docs.select(
@@ -1820,11 +1838,8 @@ def q197_sparse_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting lists feed the df filter, both join sides, and the norms —
     # one corpus tokenize, persisted (the shared-frame rule)
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    keep = (
-        tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SLM_DF_CAP)
-        .select("token")
+    keep = keep_fn(
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     )
     post = tf.join(keep, "token").persist(StorageLevel.MEMORY_AND_DISK)
     n2 = post.groupBy("doc_id").agg(
@@ -1869,4 +1884,37 @@ def q197_sparse_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.nb")).alias("best_id"),
         F.col("m.cosine").alias("best_cosine"),
         "n_candidates",
+    )
+
+
+@register(
+    "q203_adaptive_sparse_match",
+    oracle=_q197_oracle(
+        df_cap_sql=f"(SELECT {adaptive_df_cap_sql('n')} FROM nr)",
+        with_nr=True,
+    ),
+    tags=("similarity", "retrieval", "sparse", "adaptive", "bounded-output"),
+)
+def q203_adaptive_sparse_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q197's sparse lexical best match with a DATA-ADAPTIVE document-
+    frequency cap (VERDICT r08 item 7: SLM_DF_CAP is a compile-time
+    constant a 100 TB corpus would want derived from corpus statistics):
+    cap = sqrt(N) at each rung edge of an integer CASE ladder
+    (functions/textfns.adaptive_df_cap_sql), so the worst per-term
+    candidate volume df² stays <= N — linear total over a bounded
+    vocabulary — while the absolute cap still RISES with corpus size
+    (a frozen cap silently discards an ever-larger vocabulary share;
+    sqrt-scaling admits more mid-frequency terms as evidence
+    accumulates). The corpus count reaches the df filter as a broadcast
+    1-row scalar inside one static dual-dialect plan (the q194/q199/q201
+    discipline); at fixtures <= 4096 docs the ladder sits on cap=64 and
+    this query EQUALS q197 row-for-row (pinned in tests)."""
+    docs = _docs(spark, sf_dir)
+    nr = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cap = F.expr(adaptive_df_cap_sql("n"))
+    return _sparse_best_match(
+        docs,
+        lambda dfc: dfc.crossJoin(F.broadcast(nr))
+        .filter(F.col("df") <= cap)
+        .select("token"),
     )

@@ -1,0 +1,320 @@
+"""Round-9 adaptive-parameter operators (q201/q202/q203/q204): ladder
+pins, the band-nesting property, and independent plain-Python referees.
+
+The adaptive discipline (q194/q199 generalized): a compile-time constant
+becomes an integer CASE ladder over the corpus row count, read as a
+broadcast scalar inside one static dual-dialect plan. These tests pin
+(a) the rung the ladder picks at fixture sizes, (b) the structural
+property that makes a ladder sound (wider geometry ⟹ candidate subset),
+and (c) full-output equality against independent Python recomputations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+from pyspark.sql import functions as F
+
+from discogs_load_spark.functions.textfns import (
+    adaptive_band_rows_sql,
+    adaptive_df_cap_sql,
+)
+from discogs_load_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from discogs_load_spark.queries import REGISTRY
+from discogs_load_spark.session import load_tables
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark):
+    return load_tables(spark, SF_SMALL, ["documents"])["documents"]
+
+
+# --- ladder rungs ----------------------------------------------------------
+
+
+def test_band_ladder_rungs():
+    c = duckdb.connect()
+    for n, want in [(1, 3), (4096, 3), (4097, 6), (65536, 6), (65537, 12)]:
+        got = c.execute(f"SELECT {adaptive_band_rows_sql(str(n))}").fetchone()[0]
+        assert got == want, (n, got, want)
+
+
+def test_df_cap_ladder_is_sqrt_at_rung_edges():
+    c = duckdb.connect()
+    for n, want in [(500, 64), (4096, 64), (4097, 256), (65536, 256),
+                    (65537, 1024), (1048576, 1024), (1048577, 4096)]:
+        got = c.execute(f"SELECT {adaptive_df_cap_sql(str(n))}").fetchone()[0]
+        assert got == want, (n, got, want)
+        if n in (4096, 65536, 1048576):
+            assert want * want == n  # cap = sqrt(N) at each rung edge
+
+
+# --- structural property: wider bands ⟹ candidate subset -------------------
+
+
+def test_band_candidates_nest_across_rungs(spark):
+    """candidates(r=6) ⊆ candidates(r=3) and candidates(r=12) ⊆
+    candidates(r=6) on the real fixture: each rung divides the next, so
+    agreement on a wide band implies agreement on both its halves — the
+    property that makes the ladder only-coarsen (same family as q199's
+    prefix-of-signs)."""
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text")
+    by_rung = {}
+    for r in (3, 6, 12):
+        pairs = lsh_candidate_pairs(sigs, "doc_id", bands=12 // r)
+        by_rung[r] = {(x.id_a, x.id_b) for x in pairs.collect()}
+    assert by_rung[6] <= by_rung[3]
+    assert by_rung[12] <= by_rung[6]
+    assert by_rung[3], "fixture produced no candidates at the base rung"
+
+
+# --- q201 / q203: below the first rung they EQUAL their fixed twins --------
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_q201_equals_q52_below_first_rung(spark):
+    """sf0.001 has 500 docs <= 4096, so the ladder sits on r=3 — exactly
+    q52's fixed 4x3 geometry — and the outputs must be identical."""
+    a = _rows(REGISTRY["q201_adaptive_band_neardup"].fn(spark, SF_SMALL))
+    b = _rows(REGISTRY["q52_jaccard_neardup"].fn(spark, SF_SMALL))
+    assert a == b
+    assert a, "no verified near-dup pairs on the fixture"
+
+
+def test_q203_equals_q197_below_first_rung(spark):
+    """500 docs <= 4096 → cap = 64 = SLM_DF_CAP → q203 == q197."""
+    a = _rows(REGISTRY["q203_adaptive_sparse_match"].fn(spark, SF_SMALL))
+    b = _rows(REGISTRY["q197_sparse_best_match"].fn(spark, SF_SMALL))
+    assert a == b
+    assert a
+
+
+# --- q202: plain-Python CDC referee ----------------------------------------
+
+
+def _norm_tokens(text: str) -> list[str]:
+    s = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+    return s.split(" ") if s else []
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _cdc_chunks(tokens: list[str], w: int = 4) -> list[str]:
+    bounds = [
+        i + w
+        for i in range(len(tokens) - w + 1)
+        if _md5(" ".join(tokens[i : i + w])).startswith("0")
+    ]
+    starts = [0] + bounds
+    ends = bounds + [len(tokens)]
+    return [
+        _md5(" ".join(tokens[s:e])) for s, e in zip(starts, ends) if e > s
+    ]
+
+
+def test_q202_matches_python_cdc_reference(spark):
+    docs = {
+        r.doc_id: r.text
+        # bounded: sf0.001 fixture, 500 docs, test-only
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    occurrences = defaultdict(Counter)
+    for doc_id, text in docs.items():
+        for h in _cdc_chunks(_norm_tokens(text)):
+            occurrences[h][doc_id] += 1
+    want = sorted(
+        (h, len(c), sum(c.values()), min(c))
+        for h, c in occurrences.items()
+        if len(c) >= 2
+    )
+    got = _rows(REGISTRY["q202_cdc_chunk_dedup"].fn(spark, SF_SMALL))
+    assert got == want
+    assert want, "fixture has no shared CDC chunks (planted dups expected)"
+
+
+def test_cdc_resynchronizes_after_insertion():
+    """The CDC property itself: insert a token near the head of a long doc
+    and the chunk sets still share every chunk after the first boundary —
+    fixed-size chunking would shift every downstream chunk."""
+    base = [f"w{i}" for i in range(200)]  # varied grams → ~1/16 boundaries
+    edited = ["zzz", *base]
+    a, b = _cdc_chunks(base), _cdc_chunks(edited)
+    shared = set(a) & set(b)
+    assert len(a) > 2, "fixture text produced too few chunks to test resync"
+    assert shared, "no shared chunks after a head insertion"
+    # every chunk after the first boundary must survive the edit
+    assert set(a[1:]) <= set(b)
+
+
+# --- q204: union-find + argmax referee --------------------------------------
+
+
+def test_q204_matches_union_find_keepers(spark):
+    docs = _docs(spark)
+    chars = {
+        r.doc_id: r.n_chars
+        # bounded: sf0.001 fixture, 500 docs, test-only
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    verified = [
+        (r.id_a, r.id_b)
+        for r in REGISTRY["q52_jaccard_neardup"].fn(spark, SF_SMALL).collect()
+    ]
+    parent = {d: d for d in chars}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = defaultdict(list)
+    in_graph = {d for ab in verified for d in ab}
+    for d in chars:
+        groups[find(d) if d in in_graph else d].append(d)
+    want = sorted(
+        (
+            comp,
+            max(members, key=lambda d: (chars[d], -d)),
+            chars[max(members, key=lambda d: (chars[d], -d))],
+            len(members),
+            sum(chars[d] for d in members)
+            - chars[max(members, key=lambda d: (chars[d], -d))],
+        )
+        for comp, members in groups.items()
+    )
+    got = _rows(REGISTRY["q204_neardup_keepers"].fn(spark, SF_SMALL))
+    assert got == want
+    assert any(row[3] > 1 for row in want), "no multi-doc cluster on fixture"
+
+
+# --- q205: CDC novelty vs plain-Python reference -----------------------------
+
+
+def test_q205_matches_python_novelty_reference(spark):
+    from discogs_load_spark.queries.dedup import NEW_MOD, NEW_REM
+
+    docs = {
+        r.doc_id: r.text
+        # bounded: sf0.001 fixture, 500 docs, test-only
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    chunks = {d: _cdc_chunks(_norm_tokens(t)) for d, t in docs.items()}
+    idx = {
+        h
+        for d, hs in chunks.items()
+        if d % NEW_MOD != NEW_REM
+        for h in hs
+    }
+    want = sorted(
+        (
+            d,
+            len(hs),
+            sum(h in idx for h in hs),
+            (len(hs) - sum(h in idx for h in hs)) / len(hs),
+        )
+        for d, hs in chunks.items()
+        if d % NEW_MOD == NEW_REM and hs
+    )
+    got = _rows(REGISTRY["q205_cdc_novelty"].fn(spark, SF_SMALL))
+    assert got == want
+    assert want
+
+
+# --- q206: adaptive SNB window -----------------------------------------------
+
+
+def test_snb_window_ladder_rungs():
+    from discogs_load_spark.functions.textfns import adaptive_snb_window_sql
+
+    c = duckdb.connect()
+    for n, d, want in [
+        (100, 100, 3),   # unique keys: m=1
+        (200, 100, 3),   # m=2 — still the fixed-q196 geometry
+        (201, 100, 16),  # m=ceil(2.01)=3
+        (1600, 100, 16),  # m=16
+        (1601, 100, 64),  # m=17
+        (6400, 100, 64),
+        (6500, 100, 256),
+    ]:
+        got = c.execute(
+            f"SELECT {adaptive_snb_window_sql(str(n), str(d), 'duckdb')}"
+        ).fetchone()[0]
+        assert got == want, (n, d, got, want)
+
+
+def test_q206_prefix_of_fixed_window(spark):
+    """SNB neighbor sets are gap-prefix-nested: whatever rung the ladder
+    picks, the gap <= SNB_WINDOW slice of q206 must EQUAL q196 exactly
+    (widening w only appends larger gaps, never changes small-gap
+    pairs). The sf0.001 part table has 200 rows over 62 names → m = 4 →
+    the ladder's w = 16, which the max emitted gap pins."""
+    from discogs_load_spark.queries.dedup import SNB_WINDOW
+
+    a = _rows(REGISTRY["q206_adaptive_snb_window"].fn(spark, SF_SMALL))
+    b = _rows(REGISTRY["q196_sorted_neighborhood"].fn(spark, SF_SMALL))
+    gap_i = 4  # (id_a, id_b, name_a, name_b, gap, edit_dist)
+    assert [r for r in a if r[gap_i] <= SNB_WINDOW] == b
+    assert max(r[gap_i] for r in a) == 16  # m=4 rung
+    assert len(a) > len(b)
+
+
+def test_adaptive_snb_recovers_dense_key_duplicates(spark):
+    """At name multiplicity 10 the ladder widens to w=16 and every
+    same-name pair is paired; the fixed w=3 provably misses some — the
+    recall loss the ladder exists to prevent."""
+    from discogs_load_spark.queries.dedup import SNB_WINDOW, _snb_pairs
+
+    rows = [
+        (name_i * 10 + copy, f"name{name_i:03d}")
+        for name_i in range(40)
+        for copy in range(10)
+    ]
+    part = spark.createDataFrame(rows, "p_partkey int, p_name string")
+    stats = part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("p_name").cast("bigint").alias("n_keys"),
+    )
+    ordered = sorted((r[1], r[0]) for r in rows)
+
+    def expected(w):
+        out = set()
+        for i, (_, id_a) in enumerate(ordered):
+            for j in range(i + 1, min(i + w + 1, len(ordered))):
+                out.add((id_a, ordered[j][1]))
+        return out
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in _snb_pairs(part, stats=stats).collect()
+    }
+    assert got == expected(16)  # m=10 → rung w=16
+    same_name_pairs = {
+        (a, b)
+        for _, a in ordered
+        for _, b in ordered
+        if a != b and a // 10 == b // 10 and a < b
+    }
+    # ladder recovers ALL same-entity pairs; fixed w=3 misses most
+    caught_adaptive = {(a, b) for a, b in got if a // 10 == b // 10}
+    assert caught_adaptive == same_name_pairs
+    missed_by_fixed = same_name_pairs - {
+        (a, b) for a, b in expected(SNB_WINDOW) if a // 10 == b // 10
+    }
+    assert missed_by_fixed, "fixture should demonstrate fixed-w recall loss"
