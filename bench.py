@@ -96,6 +96,10 @@ SF1_QUERIES = [
     "q202_cdc_chunk_dedup",
     "q203_adaptive_sparse_match",
     "q204_neardup_keepers",
+    # containment rides q51's banded candidates (shingle-bound); the
+    # chunk profile is one chunk-grain window + rollup
+    "q207_minhash_containment",
+    "q208_chunk_length_profile",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

@@ -479,6 +479,51 @@ def jaccard_verify(
     return out
 
 
+def containment_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT over candidate pairs — the asymmetric
+    dual of :func:`jaccard_verify`: C(A→B) = |A∩B| / |A| is ~1 when A is
+    quoted/embedded inside a larger B even though Jaccard is tiny (a
+    tweet inside an article scores J ≈ |tweet|/|article| but C ≈ 1) —
+    the quotation/subset-document signal corpus-curation pipelines use
+    where symmetric near-dup misses. Both directions are emitted
+    (id_sub ⊂ id_super); sizes are integer set cardinalities so the one
+    double division is bitwise cross-engine."""
+    sets = (
+        _shingle_col(df, text_col, k, "__sh")
+        .select(F.col(id_col), F.array_distinct("__sh").alias("shset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    joined = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("shset", "set_a")
+        .join(sets.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("shset", "set_b")
+        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
+    )
+    ab = joined.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        (F.col("n_inter").cast("double") / F.size("set_a")).alias(
+            "containment"
+        ),
+    )
+    ba = joined.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        (F.col("n_inter").cast("double") / F.size("set_b")).alias(
+            "containment"
+        ),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
 def simhash_near_dup_pairs(
     signatures: DataFrame,
     id_col: str,

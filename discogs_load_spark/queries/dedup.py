@@ -31,6 +31,7 @@ from ..operators.dedup import (
     MEMBER_CAP,
     adaptive_lsh_candidate_pairs,
     capped_member_rollup,
+    containment_verify,
     connected_components,
     connected_components_star,
     exact_dedup_groups,
@@ -1513,8 +1514,9 @@ def q204_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.unionByName(singles)
 
 
-def _cdc_chunks_duckdb() -> str:
-    """Content-defined chunk hashes per document (DuckDB dialect).
+def _cdc_chunks_duckdb(with_len: bool = False) -> str:
+    """Content-defined chunk hashes per document (DuckDB dialect);
+    ``with_len`` emits struct(h, l) with the chunk token count.
 
     Rolling boundary: a chunk ends after token i when the md5 of the
     4-gram ending at i starts with hex '0' (p = 1/16 → ~16-token mean
@@ -1525,6 +1527,13 @@ def _cdc_chunks_duckdb() -> str:
     from ..functions.textfns import norm_sql, tokens_sql
 
     toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+    end = "(CASE WHEN j < len(st) THEN st[j+1] ELSE len(t) END)"
+    body = f"md5(array_to_string(t[s+1:{end}], ' '))"
+    if with_len:
+        body = (
+            f"struct_pack(h := {body}, "
+            f"l := CAST({end} - s AS BIGINT))"
+        )
     return f"""list_transform([{toks}], t ->
   list_transform([CASE WHEN len(t) < 4 THEN []
       ELSE list_transform(generate_series(1, len(t) - 3),
@@ -1533,8 +1542,8 @@ def _cdc_chunks_duckdb() -> str:
         list_transform(sh, (g, i) -> CASE WHEN md5(g) LIKE '0%' THEN i + 3 ELSE -1 END),
         x -> x <> -1))], st ->
       list_filter(list_transform(st, (s, j) ->
-          CASE WHEN (CASE WHEN j < len(st) THEN st[j+1] ELSE len(t) END) > s
-               THEN md5(array_to_string(t[s+1:(CASE WHEN j < len(st) THEN st[j+1] ELSE len(t) END)], ' '))
+          CASE WHEN {end} > s
+               THEN {body}
                ELSE NULL END),
         h -> h IS NOT NULL)
     )[1]
@@ -1542,16 +1551,20 @@ def _cdc_chunks_duckdb() -> str:
 )[1]"""
 
 
-def _cdc_chunk_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, chunk_hash) with multiplicity — the exploded CDC chunk
-    table shared by q202 (corpus chunk rollup) and q205 (delta novelty
-    screening). All per-row work is array HOFs over materialized columns
-    (lambda variables only — the shingles_sql O(tokens²) trap)."""
+def _cdc_chunk_frame(
+    docs: DataFrame, with_len: bool = False, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, chunk_hash[, chunk_tokens][, *carry]) with multiplicity —
+    the exploded CDC chunk table shared by q202 (corpus chunk rollup),
+    q205 (delta novelty screening), and q208 (chunk-length profile). All
+    per-row work is array HOFs over materialized columns (lambda
+    variables only — the shingles_sql O(tokens²) trap)."""
     from ..functions.textfns import norm_sql, shingles_sql, tokens_sql
 
     d = (
         docs.select(
             "doc_id",
+            *carry,
             F.expr(tokens_sql(norm_sql("text", "spark"), "spark")).alias(
                 "__toks"
             ),
@@ -1569,13 +1582,18 @@ def _cdc_chunk_frame(docs: DataFrame) -> DataFrame:
             F.expr(
                 "filter(zip_with(concat(array(0), __b), "
                 "concat(__b, array(size(__toks))), "
-                "(s, e) -> IF(e > s, "
-                "md5(array_join(slice(__toks, s + 1, e - s), ' ')), NULL)), "
-                "h -> h IS NOT NULL)"
+                "(s, e) -> IF(e > s, struct("
+                "md5(array_join(slice(__toks, s + 1, e - s), ' ')) AS h, "
+                "CAST(e - s AS BIGINT) AS l), NULL)), "
+                "c -> c IS NOT NULL)"
             ),
         )
     )
-    return d.select("doc_id", F.explode("__ch").alias("chunk_hash"))
+    out = d.select("doc_id", *carry, F.explode("__ch").alias("__c"))
+    cols = ["doc_id", *carry, F.col("__c.h").alias("chunk_hash")]
+    if with_len:
+        cols.append(F.col("__c.l").alias("chunk_tokens"))
+    return out.select(*cols)
 
 
 
@@ -1735,4 +1753,126 @@ def q206_adaptive_snb_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.col("g").cast("bigint").alias("gap"),
         F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "q207_minhash_containment",
+    oracle=f"""
+    WITH {_PAIRS_CTE_BODY},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents),
+    joined AS (
+        SELECT p.id_a, p.id_b,
+               len(list_intersect(sa.shset, sb.shset)) AS n_inter,
+               len(sa.shset) AS n_a, len(sb.shset) AS n_b
+        FROM pairs p
+        JOIN sets sa ON p.id_a = sa.doc_id
+        JOIN sets sb ON p.id_b = sb.doc_id
+    ),
+    both_dirs AS (
+        SELECT id_a AS id_sub, id_b AS id_super,
+               CAST(n_inter AS DOUBLE) / n_a AS containment
+        FROM joined
+        UNION ALL
+        SELECT id_b AS id_sub, id_a AS id_super,
+               CAST(n_inter AS DOUBLE) / n_b AS containment
+        FROM joined
+    )
+    SELECT id_sub, id_super, containment
+    FROM both_dirs WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "minhash", "containment", "asymmetric"),
+)
+def q207_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — the quotation/subset-document signal
+    (Broder's containment, the other resemblance measure his original
+    MinHash paper defines next to Jaccard): C(A→B) = |A∩B|/|A| is ~1
+    when A rides inside a larger B even though their Jaccard is tiny, so
+    symmetric near-dup misses exactly the quoted-tweet-in-article /
+    boilerplate-wrapped-reprint shape corpus curation needs to catch.
+    Candidates come from the SAME banded MinHash equi-join as q51 (one
+    LSH pass serves both measures — at 100 TB you never re-block), then
+    exact integer set cardinalities verify both directions; one double
+    division per row, bitwise cross-engine. Output bounded by true
+    containment density."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    return containment_verify(
+        docs, pairs, "doc_id", "text", threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+@register(
+    "q208_chunk_length_profile",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, source, u.h AS chunk_hash, u.l AS chunk_tokens
+        FROM (
+            SELECT doc_id, source,
+                   unnest({_cdc_chunks_duckdb(with_len=True)}) AS u
+            FROM documents
+        )
+    ),
+    win AS (
+        SELECT source, doc_id, chunk_tokens,
+               COUNT(*) OVER (PARTITION BY source) AS n_total,
+               COUNT(*) OVER (
+                   PARTITION BY source ORDER BY chunk_tokens
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cnt_le
+        FROM ch
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS DOUBLE) / COUNT(*) AS mean_chunk_tokens,
+           CAST(MAX(chunk_tokens) AS BIGINT) AS max_chunk_tokens,
+           CAST(MIN(CASE WHEN 10 * cnt_le >= 9 * n_total
+                         THEN chunk_tokens END) AS BIGINT)
+               AS p90_chunk_tokens
+    FROM win GROUP BY source
+    """,
+    tags=("dedup", "cdc", "profile", "analytics"),
+)
+def q208_chunk_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational telemetry for the CDC deployment (q202/q205): per
+    source, the chunk count, mean/max chunk size, and the EXACT p90 via
+    the integer-only cumulative-count window (10·cnt_le >= 9·n replaces
+    ceil(0.9·n) — no float rank math to disagree across engines; the
+    RANGE frame counts ties on both sides identically). A drifting chunk
+    profile is how a mis-tuned boundary mask (too many/few cut points)
+    or an adversarial source (boundary-stuffing spam) shows up in
+    production; mean ~16 tokens pins the 1/16 boundary probability. One
+    chunk-grain window + one rollup, both partitioned by source."""
+    ch = _cdc_chunk_frame(
+        _docs(spark, sf_dir), with_len=True, carry=("source",)
+    )
+    w_n = W.partitionBy("source")
+    w_le = (
+        W.partitionBy("source")
+        .orderBy("chunk_tokens")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    win = ch.withColumn("n_total", F.count(F.lit(1)).over(w_n)).withColumn(
+        "cnt_le", F.count(F.lit(1)).over(w_le)
+    )
+    return win.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        (
+            F.sum("chunk_tokens").cast("double") / F.count(F.lit(1))
+        ).alias("mean_chunk_tokens"),
+        F.max("chunk_tokens").cast("bigint").alias("max_chunk_tokens"),
+        F.min(
+            F.when(
+                F.col("cnt_le") * 10 >= F.col("n_total") * 9,
+                F.col("chunk_tokens"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_chunk_tokens"),
     )

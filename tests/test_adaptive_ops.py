@@ -318,3 +318,89 @@ def test_adaptive_snb_recovers_dense_key_duplicates(spark):
         (a, b) for a, b in expected(SNB_WINDOW) if a // 10 == b // 10
     }
     assert missed_by_fixed, "fixture should demonstrate fixed-w recall loss"
+
+
+# --- q207: containment referee ----------------------------------------------
+
+
+def _shingle_set(tokens: list[str], k: int = 3) -> set[str]:
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+def test_q207_matches_python_containment(spark):
+    docs = {
+        r.doc_id: _shingle_set(_norm_tokens(r.text))
+        # bounded: sf0.001 fixture, 500 docs, test-only
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["q51_minhash_lsh_pairs"].fn(spark, SF_SMALL).collect()
+    }
+    want = []
+    for a, b in cands:
+        inter = len(docs[a] & docs[b])
+        for sub, sup, denom in ((a, b, len(docs[a])), (b, a, len(docs[b]))):
+            c = inter / denom
+            if c >= 0.9:
+                want.append((sub, sup, c))
+    want.sort()
+    got = _rows(REGISTRY["q207_minhash_containment"].fn(spark, SF_SMALL))
+    assert got == want
+    assert want, "fixture's planted near-dups should contain each other"
+
+
+def test_containment_catches_subset_jaccard_misses():
+    """The asymmetry q207 exists for: a short doc embedded in a long one
+    has containment 1.0 but Jaccard far below any near-dup threshold."""
+    short = [f"w{i}" for i in range(10)]
+    long_ = short + [f"x{i}" for i in range(90)]
+    a, b = _shingle_set(short), _shingle_set(long_)
+    assert len(a & b) / len(a) == 1.0
+    assert len(a & b) / len(a | b) < 0.1
+
+
+# --- q208: chunk-length profile referee --------------------------------------
+
+
+def _cdc_chunk_lens(tokens: list[str], w: int = 4) -> list[int]:
+    bounds = [
+        i + w
+        for i in range(len(tokens) - w + 1)
+        if _md5(" ".join(tokens[i : i + w])).startswith("0")
+    ]
+    starts = [0] + bounds
+    ends = bounds + [len(tokens)]
+    return [e - s for s, e in zip(starts, ends) if e > s]
+
+
+def test_q208_matches_python_profile(spark):
+    rows = (
+        _docs(spark).select("doc_id", "source", "text").collect()
+        # bounded: sf0.001 fixture, 500 docs, test-only
+    )
+    per_source = defaultdict(list)  # source -> [(doc_id, len), ...]
+    for r in rows:
+        for ln in _cdc_chunk_lens(_norm_tokens(r.text)):
+            per_source[r.source].append((r.doc_id, ln))
+    want = []
+    for src, items in per_source.items():
+        lens = sorted(ln for _, ln in items)
+        n = len(lens)
+        p90 = next(
+            ln for i, ln in enumerate(lens, start=1) if 10 * i >= 9 * n
+        )
+        want.append(
+            (
+                src,
+                len({d for d, _ in items}),
+                n,
+                sum(lens) / n,
+                max(lens),
+                p90,
+            )
+        )
+    want.sort()
+    got = _rows(REGISTRY["q208_chunk_length_profile"].fn(spark, SF_SMALL))
+    assert got == want
+    assert want
