@@ -96,10 +96,16 @@ SF1_QUERIES = [
     "q202_cdc_chunk_dedup",
     "q203_adaptive_sparse_match",
     "q204_neardup_keepers",
+    # CDC novelty = the chunk frame + one bipartite probe join; adaptive
+    # SNB = rank join with w capped at 256 (output exactly w*N)
+    "q205_cdc_novelty",
+    "q206_adaptive_snb_window",
     # containment rides q51's banded candidates (shingle-bound); the
-    # chunk profile is one chunk-grain window + rollup
+    # chunk profile is one chunk-grain window + rollup; adaptive CMS =
+    # q180's stages with the grid width from the token-count ladder
     "q207_minhash_containment",
     "q208_chunk_length_profile",
+    "q209_adaptive_cms_width",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

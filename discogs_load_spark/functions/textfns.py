@@ -180,6 +180,21 @@ def adaptive_snb_window_sql(n_col: str, d_col: str, dialect: str) -> str:
     )
 
 
+def adaptive_cms_width_sql(n_col: str) -> str:
+    """Count-min width as a ladder over the corpus TOKEN count: the CMS
+    per-cell error bound is ~N_tokens/width, so a frozen width means the
+    sketch's absolute error grows linearly with the corpus while its
+    memory stays flat — the wrong trade at 100 TB. Rung edges hold the
+    expected per-cell collision mass at <= 1024 tokens (65536/64 =
+    262144/256 = 2²⁰/1024 = 1024) while the grid stays broadcast-small
+    (depth x 4096 cells max)."""
+    return (
+        f"(CASE WHEN {n_col} <= 65536 THEN 64"
+        f" WHEN {n_col} <= 262144 THEN 256"
+        f" WHEN {n_col} <= 1048576 THEN 1024 ELSE 4096 END)"
+    )
+
+
 def adaptive_df_cap_sql(n_col: str) -> str:
     """Document-frequency cap for posting-list self-joins as a ladder over
     corpus size: cap = sqrt(N) at each band's upper edge (64² = 4096,

@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from ..functions.textfns import hex_prefix_num_sql
 
 
-def cms_cell_sql(key_str_expr: str, d_expr: str, width: int) -> str:
+def cms_cell_sql(key_str_expr: str, d_expr: str, width: int | str) -> str:
     """Cell index for hash row ``d_expr``: md5(key # d) prefix mod width
-    (Spark dialect; oracle duals re-derive the same text per site)."""
+    (Spark dialect; oracle duals re-derive the same text per site).
+    ``width`` may be an integer literal or a SQL expression string (the
+    adaptive ladder over a broadcast corpus statistic — q209)."""
     return (
         hex_prefix_num_sql(
             f"md5(concat({key_str_expr}, '#', CAST({d_expr} AS STRING)))", 8
@@ -31,7 +33,9 @@ def cms_cell_sql(key_str_expr: str, d_expr: str, width: int) -> str:
     )
 
 
-def cms_fanout(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame:
+def cms_fanout(
+    df: DataFrame, key_col: str, depth: int, width: int | str
+) -> DataFrame:
     """Append (d, cell) per hash row: rows x ``depth``, keeping all
     input columns. The key is rendered CAST(key AS STRING) so integer
     and string keys hash identically to their oracle duals."""
@@ -44,7 +48,11 @@ def cms_fanout(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame
 
 
 def cms_point_query(
-    grid: DataFrame, exact_topk: DataFrame, key_col: str, depth: int, width: int
+    grid: DataFrame,
+    exact_topk: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int | str,
 ) -> DataFrame:
     """Estimate the top-k keys against a merged grid.
 

@@ -759,13 +759,19 @@ CMS_WIDTH = 64  # counters per row; error bound ~ N_tokens / WIDTH per cell
 CMS_TOP = 20  # heavy hitters reported
 
 
-def _cms_oracle() -> str:
+def _cms_oracle(width_sql: str | None = None) -> str:
     from ..functions.textfns import hex_prefix_num_sql, norm_sql, tokens_sql
 
     toks = tokens_sql(norm_sql("text", "duckdb"), "duckdb")
+    w = width_sql or str(CMS_WIDTH)
+    nt_cte = (
+        "nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM tc),"
+        if width_sql
+        else ""
+    )
     cell = (
         hex_prefix_num_sql("md5(token || '#' || CAST(d AS VARCHAR))", 8)
-        + f" % {CMS_WIDTH}"
+        + f" % {w}"
     )
     return f"""
     WITH tok AS (
@@ -775,6 +781,7 @@ def _cms_oracle() -> str:
         SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
         FROM tok GROUP BY source, token
     ),
+    {nt_cte}
     hashed AS (
         SELECT source, token, c, d, {cell} AS cell
         FROM tc, generate_series(0, {CMS_DEPTH - 1}) AS g(d)
@@ -793,7 +800,7 @@ def _cms_oracle() -> str:
     ),
     probes AS (
         SELECT e.token, e.exact_count, s.d,
-               {hex_prefix_num_sql("md5(e.token || '#' || CAST(s.d AS VARCHAR))", 8)} % {CMS_WIDTH} AS cell
+               {hex_prefix_num_sql("md5(e.token || '#' || CAST(s.d AS VARCHAR))", 8)} % {w} AS cell
         FROM exact e, generate_series(0, {CMS_DEPTH - 1}) AS s(d)
     ),
     est AS (
@@ -1329,4 +1336,76 @@ def q194_salted_join_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("salts_used", F.lit(n_salts).cast("bigint"))
         .orderBy("c_mktsegment")
+    )
+
+
+def _adaptive_cms_width_oracle() -> str:
+    from ..functions.textfns import adaptive_cms_width_sql
+
+    return _cms_oracle(
+        width_sql=f"(SELECT {adaptive_cms_width_sql('n_tokens')} FROM nt)"
+    )
+
+
+@register(
+    "q209_adaptive_cms_width",
+    oracle=_adaptive_cms_width_oracle(),
+    tags=("sketch", "count-min", "adaptive", "mergeable"),
+)
+def q209_adaptive_cms_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q180's count-min heavy hitters with a DATA-ADAPTIVE grid width —
+    the ladder discipline applied to the sketch family: CMS error is
+    ~N_tokens/width per cell, so a frozen width means absolute error
+    grows linearly with the corpus while the sketch's memory stays flat
+    — exactly backwards at 100 TB. Width comes from an integer CASE
+    ladder over the total token count (a 1-row broadcast aggregate of
+    the same (source, token) counts the grid is built from) with rung
+    edges holding expected per-cell collision mass at <= 1024 tokens;
+    the mod lands INSIDE the same static cell expression both engines
+    share, so the whole grid stays hash-green cross-engine. At
+    <= 65536 tokens the ladder sits on width 64 and this EQUALS q180
+    row-for-row (pinned in tests); the grid stays broadcast-small
+    (depth x 4096 max) at every rung."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.textfns import (
+        adaptive_cms_width_sql,
+        norm_sql,
+        tokens_sql,
+    )
+    from ..operators.sketch import cms_fanout, cms_point_query
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
+        ).alias("token"),
+    )
+    # bounded: vocabulary-sized; feeds the grid, the top-k, AND the
+    # 1-row token-count statistic (the shared-frame rule)
+    tc = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nt = tc.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    w = adaptive_cms_width_sql("n_tokens")
+    hashed = cms_fanout(
+        tc.crossJoin(F.broadcast(nt)), "token", CMS_DEPTH, w
+    )
+    per_source = hashed.groupBy("source", "d", "cell").agg(
+        F.sum("c").alias("c")
+    )
+    grid = per_source.groupBy("d", "cell").agg(
+        F.sum("c").cast("bigint").alias("cell_count")
+    )
+    exact = (
+        tc.groupBy("token")
+        .agg(F.sum("c").cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "token")
+        .limit(CMS_TOP)
+    )
+    return cms_point_query(
+        grid, exact.crossJoin(F.broadcast(nt)), "token", CMS_DEPTH, w
     )

@@ -404,3 +404,32 @@ def test_q208_matches_python_profile(spark):
     got = _rows(REGISTRY["q208_chunk_length_profile"].fn(spark, SF_SMALL))
     assert got == want
     assert want
+
+
+# --- q209: adaptive CMS width ------------------------------------------------
+
+
+def test_cms_width_ladder_rungs():
+    from discogs_load_spark.functions.textfns import adaptive_cms_width_sql
+
+    c = duckdb.connect()
+    for n, want in [
+        (1000, 64), (65536, 64), (65537, 256), (262144, 256),
+        (262145, 1024), (1048576, 1024), (1048577, 4096),
+    ]:
+        got = c.execute(
+            f"SELECT {adaptive_cms_width_sql(str(n))}"
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+        if n in (65536, 262144, 1048576):
+            assert n // want == 1024  # per-cell collision mass at edges
+
+
+def test_q209_equals_q180_below_first_rung(spark):
+    """sf0.001: 500 docs x ~55 tokens ≈ 27k <= 65536 → width 64 = q180's
+    fixed grid, so the sketches (and their measured overcounts) are
+    identical."""
+    a = _rows(REGISTRY["q209_adaptive_cms_width"].fn(spark, SF_SMALL))
+    b = _rows(REGISTRY["q180_countmin_heavy_hitters"].fn(spark, SF_SMALL))
+    assert a == b
+    assert a
