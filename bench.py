@@ -106,6 +106,8 @@ SF1_QUERIES = [
     "q207_minhash_containment",
     "q208_chunk_length_profile",
     "q209_adaptive_cms_width",
+    # the composed adaptive pipeline: q201 blocking + verify + CC + keepers
+    "q210_adaptive_merge_purge",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

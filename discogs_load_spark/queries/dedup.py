@@ -1401,6 +1401,47 @@ def q201_adaptive_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keeper_manifest(docs: DataFrame, verified: DataFrame) -> DataFrame:
+    """Shared tail of q204/q210: connected components over a verified
+    pair frame → per-cluster quality keeper (map-side struct-max argmax
+    on (n_chars, -id)) + purge accounting, singletons unioned in — the
+    corpus's exact post-dedup manifest."""
+    comp = connected_components(verified)
+    quality = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    m = comp.join(quality, comp.node == quality.doc_id).select(
+        "component", "node", "n_chars"
+    )
+    clustered = (
+        m.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("node")).alias("ni"))
+            ).alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "component",
+            (-F.col("k.ni")).alias("keeper_id"),
+            F.col("k.n_chars").alias("keeper_chars"),
+            "n_docs",
+            (F.col("total_chars") - F.col("k.n_chars"))
+            .cast("bigint")
+            .alias("purged_chars"),
+        )
+    )
+    singles = docs.join(comp, docs.doc_id == comp.node, "left_anti").select(
+        F.col("doc_id").alias("component"),
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_chars").cast("bigint").alias("keeper_chars"),
+        F.lit(1).cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("purged_chars"),
+    )
+    return clustered.unionByName(singles)
+
+
 @register(
     "q204_neardup_keepers",
     oracle=f"""
@@ -1477,41 +1518,7 @@ def q204_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = jaccard_verify(
         docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
     ).select("id_a", "id_b")
-    comp = connected_components(verified)
-    quality = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
-    m = comp.join(quality, comp.node == quality.doc_id).select(
-        "component", "node", "n_chars"
-    )
-    clustered = (
-        m.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(F.col("n_chars"), (-F.col("node")).alias("ni"))
-            ).alias("k"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-        )
-        .select(
-            "component",
-            (-F.col("k.ni")).alias("keeper_id"),
-            F.col("k.n_chars").alias("keeper_chars"),
-            "n_docs",
-            (F.col("total_chars") - F.col("k.n_chars"))
-            .cast("bigint")
-            .alias("purged_chars"),
-        )
-    )
-    singles = (
-        docs.join(comp, docs.doc_id == comp.node, "left_anti")
-        .select(
-            F.col("doc_id").alias("component"),
-            F.col("doc_id").alias("keeper_id"),
-            F.col("n_chars").cast("bigint").alias("keeper_chars"),
-            F.lit(1).cast("bigint").alias("n_docs"),
-            F.lit(0).cast("bigint").alias("purged_chars"),
-        )
-    )
-    return clustered.unionByName(singles)
+    return _keeper_manifest(docs, verified)
 
 
 def _cdc_chunks_duckdb(with_len: bool = False) -> str:
@@ -1876,3 +1883,83 @@ def q208_chunk_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_chunk_tokens"),
     )
+
+
+@register(
+    "q210_adaptive_merge_purge",
+    oracle=f"""
+    WITH RECURSIVE {_adaptive_pairs_cte()},
+    sets AS (SELECT doc_id, list_distinct({_D_SH}) AS shset FROM documents),
+    verified AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sets sa ON p.id_a = sa.doc_id
+        JOIN sets sb ON p.id_b = sb.doc_id
+        WHERE {_JACC} >= {JACCARD_THRESHOLD}
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS component FROM walk GROUP BY node),
+    m AS (
+        SELECT c.component, c.node, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    agg AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM m GROUP BY component
+    ),
+    keep AS (
+        SELECT component, node AS keeper_id, n_chars AS keeper_chars
+        FROM (
+            SELECT component, node, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, node
+                   ) AS rn
+            FROM m
+        ) t WHERE rn = 1
+    )
+    SELECT k.component, k.keeper_id,
+           CAST(k.keeper_chars AS BIGINT) AS keeper_chars,
+           a.n_docs,
+           CAST(a.total_chars - k.keeper_chars AS BIGINT) AS purged_chars
+    FROM keep k JOIN agg a USING (component)
+    UNION ALL
+    SELECT d.doc_id AS component, d.doc_id AS keeper_id,
+           CAST(d.n_chars AS BIGINT) AS keeper_chars,
+           CAST(1 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS purged_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp)
+    """,
+    tags=("dedup", "graph", "keeper", "merge-purge", "adaptive", "pipeline"),
+)
+def q210_adaptive_merge_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's pieces composed end-to-end — the query a corpus
+    curator actually runs, with every parameter corpus-derived (q200's
+    composition role, played for the TEXT dedup stack): adaptive-band
+    MinHash blocking (q201's ladder) → exact-Jaccard verify → connected
+    components → per-cluster quality keeper + purge accounting with
+    singletons (q204's manifest shape). At <= 4096 docs the band ladder
+    sits on q52's geometry so this equals q204 bitwise (pinned); past
+    the rung the blocking coarsens while verify/CC/keeper stay
+    identical — the pipeline whose candidate volume survives corpus
+    growth without a replan. Oracle recomputes the whole stack over the
+    adaptive pair CTE with the recursive-CTE closure referee."""
+    docs = _docs(spark, sf_dir)
+    nr = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = adaptive_lsh_candidate_pairs(sigs, nr, "doc_id")
+    verified = jaccard_verify(
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    return _keeper_manifest(docs, verified)

@@ -433,3 +433,31 @@ def test_q209_equals_q180_below_first_rung(spark):
     b = _rows(REGISTRY["q180_countmin_heavy_hitters"].fn(spark, SF_SMALL))
     assert a == b
     assert a
+
+
+# --- q210: full adaptive merge/purge ------------------------------------------
+
+
+def test_q210_equals_q204_below_first_rung(spark):
+    """500 docs <= 4096 → the band ladder sits on q52's geometry, so the
+    adaptive pipeline's manifest equals q204's bitwise; past the rung
+    only the blocking coarsens."""
+    a = _rows(REGISTRY["q210_adaptive_merge_purge"].fn(spark, SF_SMALL))
+    b = _rows(REGISTRY["q204_neardup_keepers"].fn(spark, SF_SMALL))
+    assert a == b
+    assert a
+
+
+def test_q210_manifest_covers_corpus_exactly_once(spark):
+    """The manifest property: every doc appears in exactly one cluster
+    (n_docs sums to the corpus) and purge accounting is conservative
+    (total chars = keeper chars + purged chars, summed)."""
+    rows = _rows(REGISTRY["q210_adaptive_merge_purge"].fn(spark, SF_SMALL))
+    docs = _docs(spark)
+    n = docs.count()
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r[3] for r in rows) == n
+    kept_plus_purged = sum(r[2] for r in rows if r[3] == 1) + sum(
+        r[2] + r[4] for r in rows if r[3] > 1
+    )
+    assert kept_plus_purged == total_chars
