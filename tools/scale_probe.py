@@ -152,11 +152,25 @@ def main() -> None:
                 # PySpark has no clearJobGroup; reset to an empty group
                 spark.sparkContext.setJobGroup("", "")
 
+    def settle() -> None:
+        """Wait for cancelled jobs' tasks to actually drain: a timed-out
+        query's cancellation is async, and the next measurement starting
+        while its tasks wind down reads wildly inflated (observed 19x on
+        q206's sf1 side in the r09 session that followed a q205
+        timeout). Poll the status tracker until no job is active."""
+        tracker = spark.sparkContext.statusTracker()
+        t0 = time.monotonic()
+        while tracker.getActiveJobsIds() and time.monotonic() - t0 < 120:
+            time.sleep(1.0)
+        time.sleep(2.0)  # executor-side task interrupts lag the tracker
+
     out: dict[str, list[dict]] = {}
     for _ in range(args.repeats):
         for q in args.queries:
             s = timed(q, small, None)
             b = timed(q, big, args.timeout_s)
+            if b == "timeout":
+                settle()
             spark.catalog.clearCache()
             rec = {f"{small_name}_s": s, f"{big_name}_s": b}
             if isinstance(b, float):
