@@ -647,3 +647,47 @@ def test_salted_join_autotune_salts_the_fact_side(spark):
     plan = formatted_plan(df)
     assert "rand(42)" in plan  # the salt column reached the physical plan
     assert "explode" in plan.lower()  # dim replication, not a shuffle
+
+
+def test_adaptive_ladder_scalars_are_broadcasts(spark):
+    """The r09 adaptive family's corpus statistics (n_docs / n_keys /
+    n_tokens) must reach their consumers as BROADCAST 1-row frames —
+    never a shuffled cross join — and the candidate joins stay
+    equi-joins (no cartesian, no nested loop) with the ladder CASE
+    folded into the static plan."""
+    # q210 is excluded: connected_components' localCheckpoints cut the
+    # lineage, so its final plan can't show the upstream ladder — its
+    # candidate stage IS q201's, asserted here.
+    for q in (
+        "q201_adaptive_band_neardup",
+        "q203_adaptive_sparse_match",
+        "q206_adaptive_snb_window",
+        "q209_adaptive_cms_width",
+    ):
+        df = REGISTRY[q].fn(spark, SF_SMALL)
+        kinds = join_kinds(df)
+        assert "CartesianProduct" not in kinds, q
+        plan = formatted_plan(df)
+        assert "BroadcastExchange" in plan, q
+        assert "CASE WHEN" in plan, q  # the ladder is in-plan, not Python
+
+
+def test_cdc_chunking_stays_map_side_until_rollup(spark):
+    """q202's only wide operators are the chunk-grain aggregate (plus
+    the distinct-count expand): chunking itself is per-row HOFs — no
+    join, no window, no cartesian before the groupBy."""
+    df = REGISTRY["q202_cdc_chunk_dedup"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert join_kinds(df) == []
+    assert "Window" not in plan
+    assert "Generate" in plan and "explode" in plan  # the chunk fan-out
+
+
+def test_keeper_argmax_partially_aggregates(spark):
+    """q204/q210's keeper argmax must be a plain aggregate over the
+    (n_chars, -id) struct — partial_max visible map-side, and no Window
+    over cluster members."""
+    for q in ("q204_neardup_keepers", "q210_adaptive_merge_purge"):
+        plan = formatted_plan(REGISTRY[q].fn(spark, SF_SMALL))
+        assert "partial_max" in plan, q
+        assert "Window" not in plan, q
