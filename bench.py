@@ -108,6 +108,8 @@ SF1_QUERIES = [
     "q209_adaptive_cms_width",
     # the composed adaptive pipeline: q201 blocking + verify + CC + keepers
     "q210_adaptive_merge_purge",
+    # source matrix: distinct (source, chunk) presence join — |sources|²-bounded
+    "q211_source_overlap_matrix",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

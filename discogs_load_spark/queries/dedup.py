@@ -1963,3 +1963,88 @@ def q210_adaptive_merge_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
     ).select("id_a", "id_b")
     return _keeper_manifest(docs, verified)
+
+
+@register(
+    "q211_source_overlap_matrix",
+    oracle=f"""
+    WITH ch AS (
+        SELECT source, unnest({_cdc_chunks_duckdb()}) AS chunk_hash
+        FROM documents
+    ),
+    pres AS (SELECT DISTINCT source, chunk_hash FROM ch),
+    tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        FROM pres GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_chunks,
+           CAST(COUNT(*) AS DOUBLE)
+               / least(ta.n_chunks, tb.n_chunks) AS overlap
+    FROM pres a
+    JOIN pres b ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source, ta.n_chunks, tb.n_chunks
+    """,
+    tags=("dedup", "cdc", "provenance", "analytics"),
+)
+def q211_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-sharing matrix — syndication/provenance
+    detection over the CDC chunk space: for every source pair, how many
+    DISTINCT chunks they both contain and the overlap coefficient
+    |A∩B| / min(|A|, |B|) (the containment-style normalization — a small
+    feed fully mirrored by a big crawl scores ~1 where Jaccard would
+    vanish). The chunk-presence frame is distinct-projected to
+    (source, chunk) BEFORE the self-join, so the join grain is bounded
+    by distinct content, not occurrences, and the matrix output is
+    |sources|² at most. This is the corpus-level rollup of what q205
+    answers per document: who is copying from whom."""
+    ch = _cdc_chunk_frame(_docs(spark, sf_dir), carry=("source",))
+    pres = ch.select("source", "chunk_hash").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tot = pres.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    a = pres.select(
+        F.col("source").alias("source_a"), "chunk_hash"
+    )
+    b = pres.select(
+        F.col("source").alias("source_b"), "chunk_hash"
+    )
+    shared = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_chunks"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_chunks").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_chunks").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_chunks",
+            (
+                F.col("shared_chunks").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("overlap"),
+        )
+    )

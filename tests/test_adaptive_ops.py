@@ -461,3 +461,30 @@ def test_q210_manifest_covers_corpus_exactly_once(spark):
         r[2] + r[4] for r in rows if r[3] > 1
     )
     assert kept_plus_purged == total_chars
+
+
+# --- q211: cross-source overlap referee ---------------------------------------
+
+
+def test_q211_matches_python_overlap(spark):
+    rows = (
+        _docs(spark).select("doc_id", "source", "text").collect()
+        # bounded: sf0.001 fixture, 500 docs, test-only
+    )
+    pres = defaultdict(set)  # source -> {chunk_hash}
+    for r in rows:
+        for h in _cdc_chunks(_norm_tokens(r.text)):
+            pres[r.source].add(h)
+    want = []
+    srcs = sorted(pres)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(pres[a] & pres[b])
+            if shared:
+                want.append(
+                    (a, b, shared, shared / min(len(pres[a]), len(pres[b])))
+                )
+    want.sort()
+    got = _rows(REGISTRY["q211_source_overlap_matrix"].fn(spark, SF_SMALL))
+    assert got == want
+    assert want, "fixture sources share no chunks (planted dups expected)"
