@@ -110,6 +110,8 @@ SF1_QUERIES = [
     "q210_adaptive_merge_purge",
     # source matrix: distinct (source, chunk) presence join — |sources|²-bounded
     "q211_source_overlap_matrix",
+    # index write set: delta chunks anti-join the corpus index (novel-bounded)
+    "q212_cdc_index_delta",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

@@ -2048,3 +2048,52 @@ def q211_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+@register(
+    "q212_cdc_index_delta",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, unnest({_cdc_chunks_duckdb()}) AS chunk_hash
+        FROM documents
+    ),
+    idx AS (
+        SELECT DISTINCT chunk_hash FROM ch
+        WHERE doc_id % {NEW_MOD} <> {NEW_REM}
+    )
+    SELECT n.chunk_hash,
+           MIN(n.doc_id) AS first_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM ch n LEFT JOIN idx i USING (chunk_hash)
+    WHERE n.doc_id % {NEW_MOD} = {NEW_REM} AND i.chunk_hash IS NULL
+    GROUP BY n.chunk_hash
+    """,
+    tags=("dedup", "cdc", "incremental", "index-maintenance"),
+)
+def q212_cdc_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE SET of incremental CDC index maintenance — the rows an
+    ingest job appends to the persisted chunk index after screening a
+    delta (q205 answers 'how novel is each new doc'; this materializes
+    the novel content itself): distinct new-snapshot chunks anti-joined
+    against the corpus index, with the first carrying doc and occurrence
+    count. At 100 TB the index is a bucketed lake table keyed by
+    chunk_hash, q205's probe and this append are the same equi-join
+    partitioning, and the write set is bounded by NOVEL content — the
+    property that makes CDC ingest cost proportional to what actually
+    changed. Completes the CDC suite: q202 corpus rollup, q205 per-doc
+    novelty, q208 telemetry, q211 cross-source matrix, q212 index
+    delta."""
+    chunks = _cdc_chunk_frame(_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
+    idx = chunks.filter(~is_new).select("chunk_hash").distinct()
+    return (
+        chunks.filter(is_new)
+        .join(idx, "chunk_hash", "left_anti")
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+    )

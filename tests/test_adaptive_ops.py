@@ -488,3 +488,34 @@ def test_q211_matches_python_overlap(spark):
     got = _rows(REGISTRY["q211_source_overlap_matrix"].fn(spark, SF_SMALL))
     assert got == want
     assert want, "fixture sources share no chunks (planted dups expected)"
+
+
+# --- q212: CDC index write set referee ----------------------------------------
+
+
+def test_q212_matches_python_index_delta(spark):
+    from discogs_load_spark.queries.dedup import NEW_MOD, NEW_REM
+
+    rows = (
+        _docs(spark).select("doc_id", "text").collect()
+        # bounded: sf0.001 fixture, 500 docs, test-only
+    )
+    chunks = {r.doc_id: _cdc_chunks(_norm_tokens(r.text)) for r in rows}
+    idx = {
+        h for d, hs in chunks.items() if d % NEW_MOD != NEW_REM for h in hs
+    }
+    novel = defaultdict(list)
+    for d, hs in chunks.items():
+        if d % NEW_MOD == NEW_REM:
+            for h in hs:
+                if h not in idx:
+                    novel[h].append(d)
+    want = sorted((h, min(ds), len(ds)) for h, ds in novel.items())
+    got = _rows(REGISTRY["q212_cdc_index_delta"].fn(spark, SF_SMALL))
+    assert got == want
+    assert want, "the delta should contain some novel chunks"
+    # consistency with q205: novel occurrence totals must agree
+    q205 = _rows(REGISTRY["q205_cdc_novelty"].fn(spark, SF_SMALL))
+    assert sum(n for _, _, n in want) == sum(
+        r[1] - r[2] for r in q205
+    ), "q212's write set and q205's novel counts disagree"
