@@ -11,6 +11,10 @@ Jaccard-verify pipeline recovers exactly those.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from pyspark.storagelevel import StorageLevel
@@ -1558,24 +1562,36 @@ def _cdc_chunks_duckdb(with_len: bool = False) -> str:
 )[1]"""
 
 
-def _cdc_chunk_frame(
+def _token_frame(docs: DataFrame, carry: tuple[str, ...]) -> DataFrame:
+    """(doc_id, *carry, __toks) — normalization + tokenization stay
+    JVM-side (codegen'd regexp_replace/split) in BOTH chunker impls, so
+    the Arrow path can never drift from the HOF path on the one step
+    where engines disagree in subtle ways (locale lowercasing)."""
+    from ..functions.textfns import norm_sql, tokens_sql
+
+    return docs.select(
+        "doc_id",
+        *carry,
+        F.expr(tokens_sql(norm_sql("text", "spark"), "spark")).alias(
+            "__toks"
+        ),
+    )
+
+
+def _cdc_chunk_frame_hof(
     docs: DataFrame, with_len: bool = False, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(doc_id, chunk_hash[, chunk_tokens][, *carry]) with multiplicity —
-    the exploded CDC chunk table shared by q202 (corpus chunk rollup),
-    q205 (delta novelty screening), and q208 (chunk-length profile). All
-    per-row work is array HOFs over materialized columns (lambda
-    variables only — the shingles_sql O(tokens²) trap)."""
-    from ..functions.textfns import norm_sql, shingles_sql, tokens_sql
+    """REFEREE implementation (the q112 discipline — VERDICT r09 item 1):
+    pure JVM array HOFs, zero Python in the plan. Kept as the
+    equivalence referee for the Arrow path (tests pin bitwise equality);
+    ~2.2 ms/doc of interpreted-Catalyst-lambda cost makes it the slow
+    path in production. All per-row work is array HOFs over
+    materialized columns (lambda variables only — the shingles_sql
+    O(tokens²) trap)."""
+    from ..functions.textfns import shingles_sql
 
     d = (
-        docs.select(
-            "doc_id",
-            *carry,
-            F.expr(tokens_sql(norm_sql("text", "spark"), "spark")).alias(
-                "__toks"
-            ),
-        )
+        _token_frame(docs, carry)
         .withColumn("__sh", F.expr(shingles_sql("__toks", 4, "spark")))
         .withColumn(
             "__b",
@@ -1601,6 +1617,153 @@ def _cdc_chunk_frame(
     if with_len:
         cols.append(F.col("__c.l").alias("chunk_tokens"))
     return out.select(*cols)
+
+
+def _cdc_chunk_frame_arrow(
+    docs: DataFrame, with_len: bool = False, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Arrow-batched chunker (VERDICT r09 item 1): tokens are computed
+    JVM-side (same expression as the HOF referee), then one mapInPandas
+    stage does the md5 boundary/content hashing per Arrow batch — the
+    q193 codec pattern. Still map-side only: no shuffle is introduced,
+    the fan-out happens inside the UDF, and distribution follows the
+    scan partitioning. Why Python wins here: the HOF form pays
+    interpreted-Catalyst-lambda evaluation per 4-gram (~2.2 ms/doc,
+    ARCHITECTURE round-9 telemetry) while hashlib.md5 over offset-sliced
+    bytes of the pre-joined token string is a tight C loop. Chunk
+    semantics are BYTE-IDENTICAL to the referee: tokens are [a-z0-9]+
+    (pure ASCII after norm), so char offsets == byte offsets and
+    md5 over the byte slice equals md5 over the SQL concat."""
+    from pyspark.sql import types as T
+
+    toks = _token_frame(docs, carry)
+    fields = [toks.schema["doc_id"], *[toks.schema[c] for c in carry]]
+    fields.append(T.StructField("chunk_hash", T.StringType()))
+    if with_len:
+        fields.append(T.StructField("chunk_tokens", T.LongType()))
+    schema = T.StructType(fields)
+    n_carry = len(carry)
+
+    def chunk_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            carried: list[list] = [[] for _ in range(n_carry)]
+            hashes: list[str] = []
+            lens: list[int] = []
+            cols = [pdf["doc_id"]] + [pdf[c] for c in carry] + [pdf["__toks"]]
+            for row in zip(*cols):
+                t = row[-1]
+                n = len(t)
+                if n == 0:
+                    continue
+                jb = " ".join(t).encode()
+                offs = [0] * (n + 1)
+                o = 0
+                for i in range(n):
+                    o += len(t[i]) + 1
+                    offs[i + 1] = o
+                # boundary after token g+3 iff md5(4-gram at g) hex
+                # starts with '0' == first digest byte < 0x10
+                bounds = [
+                    g + 4
+                    for g in range(n - 3)
+                    if md5(jb[offs[g] : offs[g + 4] - 1]).digest()[0] < 16
+                ]
+                k = 0
+                prev = 0
+                for e in bounds + [n]:
+                    if e > prev:
+                        hashes.append(
+                            md5(jb[offs[prev] : offs[e] - 1]).hexdigest()
+                        )
+                        if with_len:
+                            lens.append(e - prev)
+                        k += 1
+                    prev = e
+                if k:
+                    ids.extend([row[0]] * k)
+                    for j in range(n_carry):
+                        carried[j].extend([row[1 + j]] * k)
+            out = {"doc_id": ids}
+            for j, c in enumerate(carry):
+                out[c] = carried[j]
+            out["chunk_hash"] = hashes
+            if with_len:
+                out["chunk_tokens"] = lens
+            yield pd.DataFrame(out)
+
+    return toks.mapInPandas(chunk_batches, schema)
+
+
+def _cdc_chunk_frame(
+    docs: DataFrame,
+    with_len: bool = False,
+    carry: tuple[str, ...] = (),
+    impl: str | None = None,
+) -> DataFrame:
+    """(doc_id, chunk_hash[, chunk_tokens][, *carry]) with multiplicity —
+    the exploded CDC chunk table shared by the CDC suite (q202/q205/
+    q208/q211/q212). Default impl is the Arrow chunker; the HOF referee
+    stays selectable (SPARK_GRAFT_CDC_IMPL=hof) and equality is pinned
+    in tests/test_adaptive_ops.py."""
+    impl = impl or os.environ.get("SPARK_GRAFT_CDC_IMPL", "arrow")
+    fn = _cdc_chunk_frame_hof if impl == "hof" else _cdc_chunk_frame_arrow
+    return fn(docs, with_len=with_len, carry=carry)
+
+
+CDC_INDEX_DIR = os.environ.get(
+    "SPARK_GRAFT_CDC_INDEX_DIR", "/tmp/spark_graft_cdc_index"
+)
+# bump when chunk semantics change so a stale cached index can never
+# satisfy a new definition
+_CDC_INDEX_VERSION = "v1:4gram-md5-0-prefix"
+
+
+def _cdc_index_fingerprint(sf_dir: str) -> str:
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    return f"{_CDC_INDEX_VERSION}|{src}|{st.st_size}|{int(st.st_mtime)}"
+
+
+def cdc_chunk_index(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """The materialized CDC chunk index (VERDICT r09 item 2): the
+    superset frame (doc_id, source, chunk_hash, chunk_tokens) written
+    ONCE per fixture generation as parquet and read by all five CDC
+    queries — the production shape q212's docstring names (a bucketed
+    lake table keyed by chunk_hash, the reference-analogous move to
+    sql/indexes.sql:1-16's pre-declared access paths: pay the shred at
+    ingest, not per query). Cache key = documents.parquet fingerprint +
+    chunker version, so a driver fixture regeneration can never serve a
+    stale index; SPARK_GRAFT_CDC_INDEX=0 bypasses materialization
+    (every query recomputes the in-plan chunk frame — the referee mode
+    used by plan tests and build-cost probes)."""
+    if os.environ.get("SPARK_GRAFT_CDC_INDEX", "1") == "0":
+        return _cdc_chunk_frame(
+            _docs(spark, sf_dir), with_len=True, carry=("source",)
+        )
+    fp = _cdc_index_fingerprint(sf_dir)
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(CDC_INDEX_DIR, key)
+    if rebuild or not os.path.isdir(dest):
+        frame = _cdc_chunk_frame(
+            _docs(spark, sf_dir), with_len=True, carry=("source",)
+        )
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        frame.write.mode("overwrite").parquet(tmp)
+        try:
+            if rebuild and os.path.isdir(dest):
+                shutil.rmtree(dest)
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return spark.read.parquet(dest)
 
 
 
@@ -1634,9 +1797,12 @@ def q202_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variables only — the shingles_sql O(tokens²) trap), so the map side
     emits (doc_id, chunk_hash) with no shuffle before the rollup.
     Output: chunks appearing in >= 2 docs with occurrence counts and the
-    min-id keeper — bounded by shared-chunk cardinality."""
+    min-id keeper — bounded by shared-chunk cardinality. Reads the
+    materialized chunk index (cdc_chunk_index) so the chunk stage is
+    paid once per corpus, not once per query."""
     return (
-        _cdc_chunk_frame(_docs(spark, sf_dir))
+        cdc_chunk_index(spark, sf_dir)
+        .select("doc_id", "chunk_hash")
         .groupBy("chunk_hash")
         .agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
@@ -1683,10 +1849,10 @@ def q205_cdc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     production lake would persist at ingest; the single double division
     happens after integer counts, so values hash identically
     cross-engine. Docs with zero chunks (empty text) have no novelty
-    row by definition."""
-    chunks = _cdc_chunk_frame(_docs(spark, sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    row by definition. Both sides of the probe read the materialized
+    chunk index (cdc_chunk_index) — two parquet scans replace two
+    recomputations of the chunk frame."""
+    chunks = cdc_chunk_index(spark, sf_dir).select("doc_id", "chunk_hash")
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
     idx = (
         chunks.filter(~is_new).select("chunk_hash").distinct()
@@ -1854,9 +2020,10 @@ def q208_chunk_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile is how a mis-tuned boundary mask (too many/few cut points)
     or an adversarial source (boundary-stuffing spam) shows up in
     production; mean ~16 tokens pins the 1/16 boundary probability. One
-    chunk-grain window + one rollup, both partitioned by source."""
-    ch = _cdc_chunk_frame(
-        _docs(spark, sf_dir), with_len=True, carry=("source",)
+    chunk-grain window + one rollup, both partitioned by source, over
+    the materialized chunk index."""
+    ch = cdc_chunk_index(spark, sf_dir).select(
+        "doc_id", "source", "chunk_hash", "chunk_tokens"
     )
     w_n = W.partitionBy("source")
     w_le = (
@@ -2000,10 +2167,8 @@ def q211_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     by distinct content, not occurrences, and the matrix output is
     |sources|² at most. This is the corpus-level rollup of what q205
     answers per document: who is copying from whom."""
-    ch = _cdc_chunk_frame(_docs(spark, sf_dir), carry=("source",))
-    pres = ch.select("source", "chunk_hash").distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ch = cdc_chunk_index(spark, sf_dir).select("source", "chunk_hash")
+    pres = ch.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     tot = pres.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks")
     )
@@ -2082,10 +2247,9 @@ def q212_cdc_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes CDC ingest cost proportional to what actually
     changed. Completes the CDC suite: q202 corpus rollup, q205 per-doc
     novelty, q208 telemetry, q211 cross-source matrix, q212 index
-    delta."""
-    chunks = _cdc_chunk_frame(_docs(spark, sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    delta — all five now reading the ONE materialized index this query
+    maintains."""
+    chunks = cdc_chunk_index(spark, sf_dir).select("doc_id", "chunk_hash")
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
     idx = chunks.filter(~is_new).select("chunk_hash").distinct()
     return (

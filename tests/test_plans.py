@@ -674,13 +674,39 @@ def test_adaptive_ladder_scalars_are_broadcasts(spark):
 
 def test_cdc_chunking_stays_map_side_until_rollup(spark):
     """q202's only wide operators are the chunk-grain aggregate (plus
-    the distinct-count expand): chunking itself is per-row HOFs — no
-    join, no window, no cartesian before the groupBy."""
+    the distinct-count expand): the chunk stage is either the parquet
+    index scan (default) or in-plan map-side chunking — never a join,
+    window, or cartesian before the groupBy."""
     df = REGISTRY["q202_cdc_chunk_dedup"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert join_kinds(df) == []
     assert "Window" not in plan
-    assert "Generate" in plan and "explode" in plan  # the chunk fan-out
+
+
+def test_cdc_chunk_build_is_map_side_both_impls(spark):
+    """The chunk BUILD pipeline (what cdc_chunk_index materializes) must
+    be shuffle-free in both implementations: the Arrow path is one
+    scan → project → MapInPandas (no exchange — fan-out happens inside
+    the UDF), the HOF referee is per-row array HOFs + explode. And the
+    two must agree bitwise — that equivalence is what lets the fast
+    path ship behind the referee's oracles."""
+    from discogs_load_spark.queries.dedup import (
+        _cdc_chunk_frame_arrow,
+        _cdc_chunk_frame_hof,
+        _docs,
+    )
+
+    docs = _docs(spark, SF_SMALL)
+    arrow = _cdc_chunk_frame_arrow(docs, with_len=True, carry=("source",))
+    hof = _cdc_chunk_frame_hof(docs, with_len=True, carry=("source",))
+    ap, hp = formatted_plan(arrow), formatted_plan(hof)
+    assert "MapInPandas" in ap
+    assert "Exchange" not in ap and join_kinds(arrow) == []
+    assert "Generate" in hp and "explode" in hp  # the HOF chunk fan-out
+    assert "Exchange" not in hp and join_kinds(hof) == []
+    assert sorted(map(tuple, arrow.collect())) == sorted(
+        map(tuple, hof.collect())
+    )
 
 
 def test_keeper_argmax_partially_aggregates(spark):
