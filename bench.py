@@ -130,6 +130,35 @@ SF1_REFEREE_EXCLUDED = {
     "q192_best_embedding_match": "fixed 8-plane LSH; adaptive dual q199",
     "q54_embedding_neardup": "fixed 4-plane LSH + output-bound threshold; duals q192/q199",
 }
+# the exclusion dict is documentation-plus-output; keep it TRUE by
+# construction (ADVICE r09): a future edit re-adding a referee to the
+# tier must delete its exclusion row, not silently contradict it
+_overlap = set(SF1_REFEREE_EXCLUDED) & set(SF1_QUERIES)
+assert not _overlap, f"referee-excluded queries re-added to scale tier: {_overlap}"
+del _overlap
+
+
+def _prior_sf1_timings() -> dict[str, float]:
+    """Newest committed BENCH_perquery_r*.json's sf1 per-query map — the
+    reference for the big-side sanity gate (VERDICT r09 item 3): the
+    sf0.1 side has had a suite-reference gate since r08, but the sf1
+    side had none and produced phantom regressions two rounds running
+    (q95 in r08; q187/q186/q104 in r09 — all pinned to aged-JVM scatter
+    by fresh-process re-measure). Keys are short names (q64...)."""
+    import re as _re
+
+    paths = sorted(
+        REPO.glob("BENCH_perquery_r*.json"),
+        key=lambda p: int(_re.search(r"r(\d+)", p.name).group(1)),
+    )
+    for p in reversed(paths):
+        try:
+            q = json.loads(p.read_text()).get("sf1", {}).get("queries")
+            if q:
+                return {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError, json.JSONDecodeError, AttributeError):
+            continue
+    return {}
 
 
 def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
@@ -250,23 +279,58 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         spark.catalog.clearCache()
         return base, big
 
+    # big-side reference: the last committed round's sf1 readings — any
+    # reading >1.5x its prior value (+1 s absolute slack) is re-measured
+    # before being published, the mirror of the base-side gate below
+    prior_sf1 = _prior_sf1_timings()
+
+    # CDC chunk index: an INGEST product (the queries read a persisted
+    # lake table), so build it OUTSIDE the per-query timed windows at
+    # both tiers — but time the builds themselves so the round's record
+    # still carries the chunk-stage cost and its scaling
+    from discogs_load_spark.queries.dedup import cdc_chunk_index
+
+    cdc_build: dict[str, float] = {}
+    for label, d in (("base_s", sf_dir), ("sf1_s", SF1_DIR)):
+        t0 = _t.monotonic()
+        _materialize(cdc_chunk_index(spark, d, rebuild=True))
+        cdc_build[label] = round(_t.monotonic() - t0, 2)
+    cdc_build["scale_x"] = round(
+        cdc_build["sf1_s"] / max(cdc_build["base_s"], 0.01), 1
+    )
+    spark.catalog.clearCache()
+
     t01: dict[str, float] = {}
     t1: dict[str, float] = {}
     suspect: list[str] = []
     retried: list[str] = []
+    sf1_suspect: list[str] = []
+    sf1_retried: list[str] = []
     for name in SF1_QUERIES:
+        short = name.split("_", 1)[0]
         base, big = time_pair(name)
-        cap = 3.0 * suite_t[name] + 1.0 if name in suite_t else None
+        base_cap = 3.0 * suite_t[name] + 1.0 if name in suite_t else None
+        big_cap = (
+            1.5 * prior_sf1[short] + 1.0 if short in prior_sf1 else None
+        )
+        base_viol = base_cap is not None and base > base_cap
+        big_viol = big_cap is not None and big > big_cap
+        base_trig, big_trig = base_viol, big_viol  # what prompted retries
         tries = 0
-        while cap is not None and base > cap and tries < 2:
+        while (base_viol or big_viol) and tries < 2:
             tries += 1
             b2, g2 = time_pair(name)
-            if b2 < base:
-                base, big = b2, g2
-        if tries:
-            retried.append(name.split("_", 1)[0])
-        if cap is not None and base > cap:
-            suspect.append(name.split("_", 1)[0])
+            base, big = min(base, b2), min(big, g2)
+            base_viol = base_cap is not None and base > base_cap
+            big_viol = big_cap is not None and big > big_cap
+        if base_trig:
+            retried.append(short)
+        if big_trig:
+            sf1_retried.append(short)
+        if base_viol:
+            suspect.append(short)
+        if big_viol:
+            sf1_suspect.append(short)
         t01[name] = base
         t1[name] = big
     scale = {
@@ -275,11 +339,14 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     return {
         "gen_s": gen_s,
         "rows_x": 10,
+        "cdc_index_build": cdc_build,
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
         "base_retried": retried,
         "base_suspect": suspect,
+        "sf1_retried": sf1_retried,
+        "sf1_suspect": sf1_suspect,
         "referee_excluded": sorted(
             n.split("_", 1)[0] for n in SF1_REFEREE_EXCLUDED
         ),
@@ -410,6 +477,17 @@ def main() -> None:
     # baggage that penalized whichever bench ran last)
     ingest = bench_xml_ingest(spark)
 
+    # CDC chunk index: an ingest product the five CDC queries read (the
+    # persisted-lake-table shape), force-rebuilt and timed HERE so the
+    # per-query rows below measure probe/rollup cost while the chunk
+    # stage's cost stays on the round's record as its own line
+    from discogs_load_spark.queries.dedup import cdc_chunk_index
+
+    t0 = time.monotonic()
+    _materialize(cdc_chunk_index(spark, sf_dir, rebuild=True))
+    cdc_index = {"seconds": round(time.monotonic() - t0, 3)}
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
@@ -523,6 +601,7 @@ def main() -> None:
             "n_queries": len(timings),
             "per_query": timings,
             "xml_ingest": ingest,
+            "cdc_index_build": cdc_index,
         }
         if sf1 is not None:
             sidecar["sf1"] = sf1
@@ -544,6 +623,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "xml_ingest": ingest,
+        "cdc_index_build": cdc_index,
     }
     if sf1 is not None:
         payload["sf1"] = sf1

@@ -494,7 +494,22 @@ def containment_verify(
     the quotation/subset-document signal corpus-curation pipelines use
     where symmetric near-dup misses. Both directions are emitted
     (id_sub ⊂ id_super); sizes are integer set cardinalities so the one
-    double division is bitwise cross-engine."""
+    double division is bitwise cross-engine.
+
+    RECALL LIMITATION (ADVICE r09): when candidates come from
+    Jaccard-banded MinHash LSH (q207 feeds it lsh_candidate_pairs),
+    high-containment/LOW-Jaccard pairs — exactly the
+    tweet-inside-article shape above — rarely agree on any band, so
+    recall for the extreme-size-skew case is structurally poor: the
+    verifier is exact over whatever candidates arrive, but the blocking
+    is symmetric. Engine and oracle share the blocking, so correctness
+    gates stay green while this recall gap stays invisible — hence this
+    note. A containment-aware blocking (band only the SMALLER doc's
+    signature, or prefix-filter on the smaller shingle set, per the
+    prefix_filter_jaccard_pairs machinery) is the upgrade path if the
+    skewed shape matters for a corpus; the current composition's
+    candidates are those whose Jaccard is also nontrivial (size ratio
+    within ~[threshold, 1/threshold])."""
     sets = (
         _shingle_col(df, text_col, k, "__sh")
         .select(F.col(id_col), F.array_distinct("__sh").alias("shset"))

@@ -427,7 +427,12 @@ def q112_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     their equi keys and AQE picks the physical strategy (plan-asserted
     with the broadcast threshold disabled); the name-domain self-join is
     a banded equi-join exactly like the LSH band joins. Levenshtein is
-    classical edit distance in both engines → exact value-hash parity."""
+    classical edit distance in both engines → exact value-hash parity.
+
+    REFEREE at scale (bench.SF1_REFEREE_EXCLUDED): the full pair SET is
+    output-bound (~n²/|vocab| rows), so this form is quarantined from
+    the bench scale tier; its measured bounded dual is q191 (best-match
+    argmax over the same banded candidates, in the tier every round)."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
     matched = _fuzzy_matched_names(part)
     a = part.select(

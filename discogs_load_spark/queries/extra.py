@@ -203,6 +203,66 @@ def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q213_approx_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS BIGINT) AS orders_within_15pct,
+           CAST(1 AS BIGINT) AS parts_within_5pct,
+           CAST(1 AS BIGINT) AS median_rank_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "contract", "invariant-oracle"),
+)
+def q213_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28's sketch CONTRACT made oracle-checkable (VERDICT r09 item 5):
+    sketch *internals* are engine-specific (q28 stays rows-only by
+    design), but their error BOUNDS are the published guarantee a
+    100 TB pipeline relies on — so assert the bounds as data. Spark
+    computes both the sketch estimate and the exact value per group and
+    emits integer pass flags; the oracle recomputes the exact values
+    independently and asserts every flag is 1. A sketch drifting
+    outside its contract flips a flag to 0 and the hash gate goes red —
+    the estimate itself never crosses engines. Bounds: HLL++ at default
+    rsd=0.05 held to 3 sigma (15%; measured fixture error <= 6.4%),
+    rsd=0.01 held to 5% (measured <= 0.7%), and approx_percentile's
+    rank-error contract (1/accuracy = 1e-4 at the default) held to
+    +/-5% rank — the estimate must land between the EXACT p45 and p55
+    values, both computed in the same Spark aggregate."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("__ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("__am"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__lo"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("__ao") - F.col("exact_orders"))
+            <= 0.15 * F.col("exact_orders")
+        )
+        .cast("bigint")
+        .alias("orders_within_15pct"),
+        (
+            F.abs(F.col("__ap") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        )
+        .cast("bigint")
+        .alias("parts_within_5pct"),
+        ((F.col("__am") >= F.col("__lo")) & (F.col("__am") <= F.col("__hi")))
+        .cast("bigint")
+        .alias("median_rank_within_5pct"),
+    )
+
+
+@register(
     "q29_grouping_sets",
     oracle=f"""
     SELECT o_orderpriority, o_orderstatus,
@@ -546,6 +606,49 @@ def q157_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_merged") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact")
         ).alias("merged_within_5pct"),
+    )
+
+
+@register(
+    "q214_hll_merge_bounds",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+           CAST(1 AS BIGINT) AS merged_within_5pct,
+           CAST(1 AS BIGINT) AS direct_within_5pct
+    FROM documents
+    """,
+    tags=("agg", "approx", "sketch", "contract", "invariant-oracle"),
+)
+def q214_hll_merge_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q157's mergeability CONTRACT made oracle-checkable (VERDICT r09
+    item 5, the q28b pattern): the DataSketches HLL estimate — built
+    per-shard and unioned, or built in one pass — must land within its
+    error bound of the TRUE distinct count, which the oracle computes
+    independently. The merged-vs-direct register states may differ
+    (union goes through coupon/target-type promotion), but BOTH carry
+    the bound; 5% is >= 3 sigma at the default lgK=12 (rse ~0.81%,
+    measured fixture error <= 1.2%). Spark emits (exact count, two
+    integer pass flags); the oracle emits (exact count, 1, 1) — a
+    sketch outside contract flips a flag and the hash gate goes red."""
+    docs = _t(spark, sf_dir, "documents")[0]
+    shards = docs.groupBy((F.col("doc_id") % HLL_SHARDS).alias("shard")).agg(
+        F.hll_sketch_agg("text").alias("sk")
+    )
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__m")
+    )
+    direct = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("text")).alias("__d"),
+        F.countDistinct("text").cast("bigint").alias("n_exact"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_exact",
+        (F.abs(F.col("__m") - F.col("n_exact")) <= 0.05 * F.col("n_exact"))
+        .cast("bigint")
+        .alias("merged_within_5pct"),
+        (F.abs(F.col("__d") - F.col("n_exact")) <= 0.05 * F.col("n_exact"))
+        .cast("bigint")
+        .alias("direct_within_5pct"),
     )
 
 

@@ -63,17 +63,34 @@ REGISTRY: dict[str, QuerySpec] = {}
 #      last: a gate slot re-earns them nothing.
 # The previous round's window therefore sorts to the very end (its rows are
 # the freshest), so the no-replay guard holds by construction every round.
-RECHECK: tuple[str, ...] = ()
+# r10: the CDC suite's execution path changed (Arrow chunker + the
+# materialized chunk index replace the in-plan HOF frame) — semantics and
+# oracles are unchanged and the referee equality is test-pinned, but the
+# five queries must re-earn driver rows on the NEW path.
+RECHECK: tuple[str, ...] = (
+    "q202_cdc_chunk_dedup",
+    "q205_cdc_novelty",
+    "q208_chunk_length_profile",
+    "q211_source_overlap_matrix",
+    "q212_cdc_index_delta",
+)
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
 def _newest_green_round() -> dict[str, int]:
     """name -> newest round whose committed artifact gave the query a fully
-    green row (rows/schema/hash all true) or its by-design rows-only row
-    (``err: 'no_oracle'`` — the best row an oracle-less query can earn,
-    flagged with -1 so it never wins a rotation slot)."""
-    newest: dict[str, int] = {}
+    green row (rows/schema/hash all true), or -1 when its NEWEST verdict
+    is the by-design rows-only row (``err: 'no_oracle'`` — the best row
+    an oracle-less query can earn; a -1 never wins a rotation slot).
+
+    The newest round's verdict wins (ADVICE r09): a query that was
+    rows-only in an early round but later GREW an oracle and earned a
+    fully green row re-enters staleness rotation from that round — the
+    old behavior pinned the first no_oracle row forever, so the query
+    could never rotate again without a manual RECHECK entry."""
+    green: dict[str, int] = {}
+    rows_only: dict[str, int] = {}
     for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(path.stem.split("_r")[-1])
@@ -82,13 +99,19 @@ def _newest_green_round() -> dict[str, int]:
             continue
         for name, row in rows.items():
             if row.get("err") == "no_oracle":
-                newest[name] = -1  # settled forever: re-check earns nothing
+                rows_only[name] = max(rows_only.get(name, 0), rnd)
             elif row.get("err") is None and all(
                 row.get(k) is True
                 for k in ("rows_match", "schema_match", "hash_match")
             ):
-                if newest.get(name) != -1:
-                    newest[name] = max(newest.get(name, 0), rnd)
+                green[name] = max(green.get(name, 0), rnd)
+    newest: dict[str, int] = {}
+    for name in green.keys() | rows_only.keys():
+        g = green.get(name)
+        if g is not None and g >= rows_only.get(name, -1):
+            newest[name] = g
+        else:
+            newest[name] = -1  # newest verdict is rows-only: never rotate
     return newest
 
 

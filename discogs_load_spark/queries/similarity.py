@@ -172,7 +172,12 @@ def q192_best_embedding_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     for recall on mid-similarity pairs; best-match wants tight buckets
     because only the argmax survives anyway (at corpus scale n_planes
     grows with log N). The argmax is a map-side-combinable aggregate —
-    see operators/similarity.embedding_best_match."""
+    see operators/similarity.embedding_best_match.
+
+    REFEREE at scale (bench.SF1_REFEREE_EXCLUDED): the FIXED 8-plane
+    bucketing keeps bucket population ~N²/256, so this form is
+    quarantined from the bench scale tier; its measured adaptive dual is
+    q199 (plane-prefix ladder, in the tier every round)."""
     return embedding_best_match(
         _emb(spark, sf_dir), "vec_id", "embedding", DIM, n_planes=ANN_PLANES
     )

@@ -38,3 +38,34 @@ def test_readme_cites_only_real_queries():
 def test_every_query_is_documented():
     missing = _registered_ids() - _cited_ids()
     assert not missing, f"registered queries missing from README: {sorted(missing)}"
+
+
+def test_referee_exclusions_name_measured_duals():
+    """bench.SF1_REFEREE_EXCLUDED is a quarantine, not an escape hatch
+    (VERDICT r09 item 7): every excluded referee must stay registered
+    and oracle-checked, its exclusion reason must cite at least one
+    scale-safe dual that IS measured every round (a bench.SF1_QUERIES
+    member), and its own docstring must cite a measured dual too — so
+    the policy can never silently absorb a query that has no measured
+    alternative. (Importing bench also re-runs its module-level assert
+    that the exclusion set stays disjoint from the scale tier.)"""
+    import sys
+
+    sys.path.insert(0, str(README.parent))
+    import bench
+
+    sf1_short = {n.split("_", 1)[0] for n in bench.SF1_QUERIES}
+    for name, reason in bench.SF1_REFEREE_EXCLUDED.items():
+        assert name in REGISTRY, f"{name}: excluded but not registered"
+        assert REGISTRY[name].oracle is not None, (
+            f"{name}: excluded referees must keep their correctness oracle"
+        )
+        reason_duals = set(re.findall(r"q\d+", reason)) & sf1_short
+        assert reason_duals, (
+            f"{name}: exclusion reason cites no dual measured in the "
+            f"scale tier: {reason!r}"
+        )
+        doc_duals = set(re.findall(r"q\d+", REGISTRY[name].doc)) & sf1_short
+        assert doc_duals, (
+            f"{name}: docstring must name a measured scale-safe dual"
+        )

@@ -140,3 +140,27 @@ def test_every_oracle_is_single_statement():
     (even inside a SQL comment) could split or abort that wrapper."""
     bad = [n for n, s in REGISTRY.items() if s.oracle and ";" in s.oracle]
     assert not bad, f"oracles containing ';': {bad}"
+
+
+def test_later_green_row_overrides_rows_only_pin(tmp_path, monkeypatch):
+    """ADVICE r09: a query that was rows-only (err='no_oracle') in an
+    early round but later grew an oracle and earned a fully green row
+    must re-enter staleness rotation from that round — the newest
+    round's verdict wins. The reverse order (oracle removed) re-pins."""
+    import discogs_load_spark.queries.registry as reg
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None}
+    rows_only = {"rows_match": True, "schema_match": False,
+                 "hash_match": False, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "grew_oracle": rows_only, "lost_oracle": green, "always_green": green,
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "grew_oracle": green, "lost_oracle": rows_only,
+    }))
+    monkeypatch.setattr(reg, "_REPO_ROOT", tmp_path)
+    newest = reg._newest_green_round()
+    assert newest["grew_oracle"] == 2   # rotates again, from round 2
+    assert newest["lost_oracle"] == -1  # newest verdict is rows-only
+    assert newest["always_green"] == 1

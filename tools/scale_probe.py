@@ -121,6 +121,17 @@ def main() -> None:
         for df in load_tables(spark, d).values():
             _materialize(df)
 
+    # CDC queries read the persisted chunk index (an ingest product);
+    # build it for both tiers OUTSIDE the timed windows so a probe
+    # measures the query's own probe/rollup shape, not re-ingest. The
+    # build cost itself is bench.py's cdc_index_build line.
+    if any("cdc" in REGISTRY[q].tags for q in args.queries):
+        from discogs_load_spark.queries.dedup import cdc_chunk_index
+
+        for d in (small, big):
+            _materialize(cdc_chunk_index(spark, d))
+        spark.catalog.clearCache()
+
     tiny = str(TESTDATA / "sf0.001")
     if os.path.isdir(tiny):
         for q in args.queries:
@@ -142,8 +153,16 @@ def main() -> None:
         try:
             _materialize(REGISTRY[q].fn(spark, d))
             return round(time.monotonic() - t0, 2)
-        except Exception:
-            if cap is not None and time.monotonic() - t0 >= cap:
+        except Exception as e:
+            # only the watchdog's own job-group cancellation counts as a
+            # timeout — a genuine failure (OOM, analysis error) that
+            # happens to surface after the cap must FAIL the probe, not
+            # be recorded as a clean timeout floor (ADVICE r09)
+            if (
+                cap is not None
+                and time.monotonic() - t0 >= cap
+                and "cancel" in str(e).lower()
+            ):
                 return "timeout"
             raise
         finally:
