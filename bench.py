@@ -196,8 +196,12 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     gen_s = 0.0
     # regenerate when missing OR when the source fixtures changed (the
     # driver regenerates /root/testdata between rounds; sf1 is derived
-    # from sf0.1, so a stale cache would tile last round's data)
-    src_fp = "|".join(
+    # from sf0.1, so a stale cache would tile last round's data) OR when
+    # the generator semantics changed (GEN_VERSION in the fingerprint)
+    sys.path.insert(0, str(REPO / "tools"))
+    from gen_sf1 import GEN_VERSION
+
+    src_fp = f"gen{GEN_VERSION}|" + "|".join(
         f"{n}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
         for n in ("documents", "embeddings", "events", "lineitem")
         for p in [os.path.join(sf_dir, f"{n}.parquet")]

@@ -74,3 +74,37 @@ def test_tile_scales_rows_and_shifts_keys(spark):
     # keys stay unique across replicas (the point of the shift)
     assert tiled.select("o_orderkey").distinct().count() == TILES * n
     assert tiled.columns == orders.columns
+
+
+def test_documents_plant_near_dup_pairs_at_fixture_density(spark):
+    """GEN_VERSION 2: every PLANT_MOD-th doc pair (base % 20 == 0, copy
+    == base+1) must be an append-one-word near-copy — shingle-Jaccard
+    (n-2)/(n-1) ~ 0.98, the driver fixture's planted shape and density
+    (measured: 25 verified pairs / 500 docs at sf0.01). Without planted
+    pairs the derived tiers run every dedup probe in a no-near-dup
+    regime (r10 finding: zero banded candidates at sf1/sf10)."""
+    from gen_sf1 import PLANT_MOD
+
+    docs = _gen_documents(spark, SF_SMALL)
+    base = docs.filter((F.col("doc_id") % PLANT_MOD) == 0).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("t_base")
+    )
+    copy = docs.filter((F.col("doc_id") % PLANT_MOD) == 1).select(
+        (F.col("doc_id") - 1).alias("bid"), F.col("text").alias("t_copy")
+    )
+    j = base.join(copy, "bid")
+    n_pairs = j.count()
+    assert n_pairs == docs.count() // PLANT_MOD
+    bad = j.filter(
+        ~F.col("t_copy").startswith(F.concat(F.col("t_base"), F.lit(" ")))
+        | (
+            F.size(F.split("t_copy", " "))
+            != F.size(F.split("t_base", " ")) + 1
+        )
+    ).count()
+    assert bad == 0, f"{bad}/{n_pairs} planted copies are not append-one-word"
+    # length model: bases 50..99 so copies stay inside the fixture's <=100
+    stats = j.select(F.size(F.split("t_base", " ")).alias("n")).agg(
+        F.min("n").alias("lo"), F.max("n").alias("hi")
+    ).collect()[0]
+    assert stats["lo"] >= 50 and stats["hi"] <= 99

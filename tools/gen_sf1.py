@@ -8,7 +8,14 @@ structure as the driver fixtures (measured from sf0.1, see bench notes):
   uniform 10..100 words/doc length model and lang/source mixes — dedup /
   shingle / LSH-bucket densities scale the way the driver generator's
   would (exact-dup collisions arise the same natural way: short docs over
-  a tiny vocab).
+  a tiny vocab). GEN_VERSION 2 (r10): the tier also PLANTS near-duplicate
+  pairs at the driver fixture's measured density — 1 pair per 20 docs
+  (sf0.01: 25 verified pairs / 500 docs; sf0.1: 256 / 5000) — as
+  append-one-word copies of a 50..99-word base, giving shingle-Jaccard
+  (n-2)/(n-1) ≈ 0.98, the fixture's planted J. Without this the derived
+  tiers ran every dedup scale probe in a no-near-dup regime (zero banded
+  candidates at sf1/sf10 — measured r10), so verify/CC/keeper stages
+  were never exercised with real work at scale.
 - ``embeddings``: 10x rows of i.i.d. ~N(0, 0.125^2) float32 vectors
   (measured: the fixture plants NO near-dup pairs; max off-diagonal
   cosine at sf0.01 is 0.51) — ANN/semantic-dedup candidate densities
@@ -35,6 +42,12 @@ EMB_N = 20_000
 EVENTS_N = 1_000_000
 USERS_N = 15_000
 TILES = 10
+# bump to invalidate cached /tmp tiers when generation semantics change
+# (bench.py and tools/scale_probe.py fold this into the source fingerprint)
+GEN_VERSION = 2
+# 1 planted near-dup pair per PLANT_MOD docs (doc_id % PLANT_MOD == 0 is
+# the base, == 1 the append-one-word copy) — the driver fixture's density
+PLANT_MOD = 20
 
 
 def _h(*cols) -> F.Column:
@@ -54,14 +67,29 @@ def _gen_documents(spark: SparkSession, src_dir: str, scale: int = 1) -> DataFra
     varr = F.array([F.lit(w) for w in vocab])
     nv = len(vocab)
     base = spark.range(DOCS_N * scale).withColumnRenamed("id", "doc_id")
-    n_words = (F.lit(10) + _h(F.col("doc_id"), "n") % 91).cast("int")
-    text = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n_words),
-            lambda j: F.element_at(varr, (_h(F.col("doc_id"), "w", j) % nv + 1).cast("int")),
-        ),
-        " ",
+    # planted near-dups (GEN_VERSION 2): pair members share a base id, so
+    # the copy regenerates the base's exact word sequence and appends ONE
+    # word — J = (n-2)/(n-1) over 3-shingles, ~0.98 at n in 50..99 (the
+    # pair base's forced length model; plain docs keep uniform 10..100)
+    is_copy = (F.col("doc_id") % PLANT_MOD) == 1
+    bid = F.when(is_copy, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    is_member = (F.col("doc_id") % PLANT_MOD) <= 1
+    n_words = (
+        F.when(is_member, F.lit(50) + _h(bid, "n") % 50)
+        .otherwise(F.lit(10) + _h(F.col("doc_id"), "n") % 91)
+        .cast("int")
     )
+    seq = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda j: F.element_at(varr, (_h(bid, "w", j) % nv + 1).cast("int")),
+    )
+    seq = F.when(
+        is_copy,
+        F.concat(
+            seq, F.array(F.element_at(varr, (_h(bid, "x") % nv + 1).cast("int")))
+        ),
+    ).otherwise(seq)
+    text = F.array_join(seq, " ")
     lang_code = _h(F.col("doc_id"), "lang") % 100
     lang = (
         F.when(lang_code < 41, "en")

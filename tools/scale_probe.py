@@ -55,8 +55,10 @@ def _ensure_derived(spark, out_dir: str, scale: int) -> None:
     """Generate (or reuse) a derived tier; same source-fingerprint cache
     rule as bench.py so a driver fixture regeneration can't leave a probe
     tiling last round's data."""
+    from gen_sf1 import GEN_VERSION
+
     src = str(TESTDATA / "sf0.1")
-    fp = "|".join(
+    fp = f"gen{GEN_VERSION}|" + "|".join(
         f"{n}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
         for n in ("documents", "embeddings", "events", "lineitem")
         for p in [os.path.join(src, f"{n}.parquet")]
