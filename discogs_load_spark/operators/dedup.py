@@ -539,6 +539,81 @@ def containment_verify(
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT containment join via ASYMMETRIC prefix filtering — the
+    containment-aware blocking :func:`containment_verify`'s recall note
+    prescribes (ADVICE r09): all (id_sub, id_super, containment) with
+    C(sub→super) = |sub∩super| / |sub| >= ``threshold``, zero false
+    negatives — including the high-containment/LOW-Jaccard
+    tweet-inside-article shape that Jaccard-banded MinHash LSH (q207's
+    candidate source) structurally misses.
+
+    The asymmetry is the point: only the SUB side is prefix-reduced.
+    If |A∩B| >= ceil(t·|A|), A can miss at most |A| - ceil(t·|A|)
+    elements of B, so among A's first ``|A| - floor(t·|A|) + 1``
+    rarest-global-frequency shingles at least one is in B (float-safe
+    floor form, one longer than canonical — rounding can only add
+    candidates, the q123 discipline). B's matching shingle can sit
+    ANYWHERE in B's frequency order, so the super side posts its FULL
+    shingle set — banding or prefixing B is exactly what destroys
+    recall for small-in-large containment. Residual filters, both
+    exactness-preserving: |B| >= ceil(t·|A|) (the only length bound —
+    B unbounded above IS the use case), and the positional cap
+    |A| - rank + 1 >= ceil(t·|A|) for the matched prefix rank (any-match
+    form, a superset of first-match PPJoin).
+
+    Scale shape: df-rollup + two windows per doc (the q123 stages), then
+    one prefix×posting equi-join — never all-pairs; prefix size is
+    ~(1-t)·|A|+1 (10% of shingles at t=0.9) and rarest-first ordering
+    keeps posting buckets small until the shingle vocabulary saturates,
+    where the honest bound is prefix_len × df (pair with the q203
+    df-cap ladder for a bounded variant at adversarial vocabularies)."""
+    from pyspark.sql import Window as W
+
+    sh_pairs = shingled(df, id_col, text_col, k).distinct()
+    doc_freq = sh_pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    by_doc = W.partitionBy(id_col)
+    rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
+    ranked = (
+        sh_pairs.join(doc_freq, "sh")
+        .withColumn("__sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn("__rn", F.row_number().over(rarest_first))
+        .select(id_col, "sh", "__sz", "__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    need = F.ceil(F.lit(threshold) * F.col("__ssub") - F.lit(1e-9))
+    sub = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.floor(F.lit(threshold) * F.col("__sz")) + 1
+    ).select(
+        F.col(id_col).alias("id_sub"), "sh",
+        F.col("__sz").alias("__ssub"), F.col("__rn").alias("__psub"),
+    )
+    sup = ranked.select(
+        F.col(id_col).alias("id_super"), "sh", F.col("__sz").alias("__ssup")
+    )
+    candidates = (
+        sub.join(sup, "sh")
+        .filter(F.col("id_sub") != F.col("id_super"))
+        .filter(F.col("__ssup") >= need)
+        .filter(F.col("__ssub") - F.col("__psub") + 1 >= need)
+        .select(
+            F.least("id_sub", "id_super").alias("id_a"),
+            F.greatest("id_sub", "id_super").alias("id_b"),
+        )
+        .distinct()
+    )
+    return containment_verify(
+        df, candidates, id_col, text_col, k=k, threshold=threshold
+    )
+
+
 def simhash_near_dup_pairs(
     signatures: DataFrame,
     id_col: str,

@@ -35,6 +35,7 @@ from ..operators.dedup import (
     MEMBER_CAP,
     adaptive_lsh_candidate_pairs,
     capped_member_rollup,
+    containment_prefix_pairs,
     containment_verify,
     connected_components,
     connected_components_star,
@@ -1981,6 +1982,52 @@ def q207_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     return containment_verify(
         docs, pairs, "doc_id", "text", threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+@register(
+    "q215_containment_prefix_exact",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, unnest(list_distinct({_D_SH})) AS sh FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    both_dirs AS (
+        SELECT id_a AS id_sub, id_b AS id_super,
+               CAST(n_inter AS DOUBLE) / za.sz AS containment
+        FROM inter JOIN sizes za ON za.doc_id = id_a
+        UNION ALL
+        SELECT id_b, id_a, CAST(n_inter AS DOUBLE) / zb.sz
+        FROM inter JOIN sizes zb ON zb.doc_id = id_b
+    )
+    SELECT id_sub, id_super, containment
+    FROM both_dirs WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "containment", "prefix-filter", "exact"),
+)
+def q215_containment_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment join — the containment-aware blocking that
+    closes q207's documented recall gap (ADVICE r09): q207 feeds
+    Broder's C(A→B) verifier from Jaccard-banded MinHash candidates, so
+    the high-containment/low-Jaccard quoted-tweet-in-article shape it
+    advertises rarely survives blocking. This form blocks
+    ASYMMETRICALLY (operators/dedup.containment_prefix_pairs): the sub
+    side joins only its rarest-first prefix, the super side posts its
+    full shingle set, so every pair with C >= {CONTAINMENT_THRESHOLD}
+    is found BY CONSTRUCTION — the oracle is therefore the plain
+    all-pairs formulation, exactly q123's relationship to q52. On this
+    corpus the planted append-one-word pairs score C(base→copy) = 1.0
+    (base shingles are a strict subset), so both directions of every
+    planted pair appear; the recall theorem is pinned separately with a
+    synthetic quote-in-article fixture in tests."""
+    return containment_prefix_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3,
+        threshold=CONTAINMENT_THRESHOLD,
     )
 
 

@@ -519,3 +519,83 @@ def test_q212_matches_python_index_delta(spark):
     assert sum(n for _, _, n in want) == sum(
         r[1] - r[2] for r in q205
     ), "q212's write set and q205's novel counts disagree"
+
+
+# --- q215: exact containment via asymmetric prefix filtering -----------------
+
+
+def test_q215_matches_python_exact_containment(spark):
+    """q215's contract is EXACTNESS (zero false negatives), so the
+    referee is the plain all-pairs containment over every doc pair —
+    not just LSH candidates (q207's referee scope)."""
+    docs = {
+        r.doc_id: _shingle_set(_norm_tokens(r.text))
+        # bounded: sf0.001 fixture, 500 docs, test-only
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    ids = sorted(docs)
+    want = []
+    for i, a in enumerate(ids):
+        if not docs[a]:
+            continue
+        for b in ids[i + 1 :]:
+            if not docs[b]:
+                continue
+            inter = len(docs[a] & docs[b])
+            for sub, sup, denom in (
+                (a, b, len(docs[a])),
+                (b, a, len(docs[b])),
+            ):
+                c = inter / denom
+                if c >= 0.9:
+                    want.append((sub, sup, c))
+    want.sort()
+    got = _rows(REGISTRY["q215_containment_prefix_exact"].fn(spark, SF_SMALL))
+    assert got == want
+    assert want, "fixture's planted near-dups should contain each other"
+
+
+def test_q215_finds_quote_in_article_that_banding_misses(spark):
+    """The recall theorem, pinned live (ADVICE r09): a 12-token quote
+    embedded verbatim in a 200-token article has containment 1.0 but
+    Jaccard ~0.05, so the Jaccard-banded MinHash blocking feeding q207
+    misses the pair (no band agrees — deterministic under the md5 hash
+    family) while the asymmetric prefix blocking finds it BY
+    CONSTRUCTION."""
+    from pyspark.sql import functions as F
+
+    from discogs_load_spark.operators.dedup import (
+        containment_prefix_pairs,
+        containment_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    quote = " ".join(f"quo{i}" for i in range(12))
+    article = (
+        " ".join(f"pre{i}" for i in range(30))
+        + " " + quote + " "
+        + " ".join(f"post{i}" for i in range(160))
+    )
+    filler = [
+        " ".join(f"f{d}x{i}" for i in range(40)) for d in range(6)
+    ]
+    rows = [(1, quote), (2, article)] + [
+        (10 + d, t) for d, t in enumerate(filler)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df, "doc_id", "text")
+    banded = lsh_candidate_pairs(sigs, "doc_id")
+    via_lsh = containment_verify(
+        df, banded, "doc_id", "text", threshold=0.9
+    ).collect()
+    assert not any(
+        {r.id_sub, r.id_super} == {1, 2} for r in via_lsh
+    ), "banding unexpectedly caught the quote pair; pick a harder fixture"
+
+    exact = containment_prefix_pairs(
+        df, "doc_id", "text", threshold=0.9
+    ).collect()
+    hits = [r for r in exact if r.id_sub == 1 and r.id_super == 2]
+    assert len(hits) == 1 and hits[0].containment == 1.0

@@ -717,3 +717,16 @@ def test_keeper_argmax_partially_aggregates(spark):
         plan = formatted_plan(REGISTRY[q].fn(spark, SF_SMALL))
         assert "partial_max" in plan, q
         assert "Window" not in plan, q
+
+
+def test_containment_prefix_join_is_equi_join(spark):
+    """q215's asymmetric prefix blocking must reach the plan as plain
+    equi-joins (prefix x posting on the shingle key, then the two set
+    joins of the verifier) — never a cartesian or nested loop, and the
+    sub side's prefix restriction rides window filters, not a
+    broadcast of the corpus."""
+    df = REGISTRY["q215_containment_prefix_exact"].fn(spark, SF_SMALL)
+    kinds = join_kinds(df)
+    assert kinds, "expected joins in the containment plan"
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds
