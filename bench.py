@@ -112,6 +112,9 @@ SF1_QUERIES = [
     "q211_source_overlap_matrix",
     # index write set: delta chunks anti-join the corpus index (novel-bounded)
     "q212_cdc_index_delta",
+    # r10: exact containment via asymmetric prefix filtering — prefix x
+    # full-posting equi-join, probed 7.3x at sf0.1->sf1 (the q123 family)
+    "q215_containment_prefix_exact",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness
