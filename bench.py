@@ -296,15 +296,19 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     # both tiers — but time the builds themselves so the round's record
     # still carries the chunk-stage cost and its scaling
     from discogs_load_spark.queries.dedup import cdc_chunk_index
+    from discogs_load_spark.queries.sig_index import doc_signature_index
 
     cdc_build: dict[str, float] = {}
+    sig_build: dict[str, float] = {}
     for label, d in (("base_s", sf_dir), ("sf1_s", SF1_DIR)):
         t0 = _t.monotonic()
         _materialize(cdc_chunk_index(spark, d, rebuild=True))
         cdc_build[label] = round(_t.monotonic() - t0, 2)
-    cdc_build["scale_x"] = round(
-        cdc_build["sf1_s"] / max(cdc_build["base_s"], 0.01), 1
-    )
+        t0 = _t.monotonic()
+        _materialize(doc_signature_index(spark, d, rebuild=True))
+        sig_build[label] = round(_t.monotonic() - t0, 2)
+    for b in (cdc_build, sig_build):
+        b["scale_x"] = round(b["sf1_s"] / max(b["base_s"], 0.01), 1)
     spark.catalog.clearCache()
 
     t01: dict[str, float] = {}
@@ -347,6 +351,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "gen_s": gen_s,
         "rows_x": 10,
         "cdc_index_build": cdc_build,
+        "sig_index_build": sig_build,
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
@@ -489,10 +494,17 @@ def main() -> None:
     # per-query rows below measure probe/rollup cost while the chunk
     # stage's cost stays on the round's record as its own line
     from discogs_load_spark.queries.dedup import cdc_chunk_index
+    from discogs_load_spark.queries.sig_index import doc_signature_index
 
     t0 = time.monotonic()
     _materialize(cdc_chunk_index(spark, sf_dir, rebuild=True))
     cdc_index = {"seconds": round(time.monotonic() - t0, 3)}
+    # document signature index: same ingest-product treatment for the
+    # text-dedup family (content hash + shingles + MinHash signature,
+    # paid once per corpus — queries/sig_index.py)
+    t0 = time.monotonic()
+    _materialize(doc_signature_index(spark, sf_dir, rebuild=True))
+    sig_index = {"seconds": round(time.monotonic() - t0, 3)}
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
@@ -609,6 +621,7 @@ def main() -> None:
             "per_query": timings,
             "xml_ingest": ingest,
             "cdc_index_build": cdc_index,
+            "sig_index_build": sig_index,
         }
         if sf1 is not None:
             sidecar["sf1"] = sf1
@@ -631,6 +644,7 @@ def main() -> None:
         "n_queries": len(timings),
         "xml_ingest": ingest,
         "cdc_index_build": cdc_index,
+        "sig_index_build": sig_index,
     }
     if sf1 is not None:
         payload["sf1"] = sf1

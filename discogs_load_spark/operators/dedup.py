@@ -153,6 +153,27 @@ def shingled(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     )
 
 
+def minhash_signatures_from_shingles(
+    shf: DataFrame,
+    id_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    sh_col: str = "sh",
+) -> DataFrame:
+    """(id, h0..h{n-1}) from a PRECOMPUTED shingle-array frame — the core
+    :func:`minhash_signatures` wraps. Split out so the materialized
+    document signature index (queries/sig_index.py) and the raw-text
+    wrapper share one definition of the hash math: the index build calls
+    this once per corpus; ad-hoc callers still shingle in-plan. Docs with
+    empty shingle arrays are dropped (no shingles → not MinHash-able)."""
+    cols = [
+        F.expr(
+            f"array_min(transform({sh_col}, s -> md5('{i}:' || s)))"
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return shf.filter(F.size(sh_col) > 0).select(F.col(id_col), *cols)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -167,14 +188,8 @@ def minhash_signatures(
     to bring them back to their own document. Measured 2.3x faster locally;
     at cluster scale the avoided shuffle is ~|corpus tokens| bytes. Same
     values (min over the same md5 set, and SUM order never mattered)."""
-    out = _shingle_col(df, text_col, k, "__sh").filter(F.size("__sh") > 0)
-    cols = [
-        F.expr(f"array_min(transform(__sh, s -> md5('{i}:' || s)))").alias(
-            f"h{i}"
-        )
-        for i in range(n_hashes)
-    ]
-    return out.select(F.col(id_col), *cols)
+    out = _shingle_col(df, text_col, k, "__sh")
+    return minhash_signatures_from_shingles(out, id_col, n_hashes, "__sh")
 
 
 def oph_minhash_signatures(
@@ -183,6 +198,22 @@ def oph_minhash_signatures(
     text_col: str,
     n_hashes: int = DEFAULT_N_HASHES,
     k: int = 3,
+) -> DataFrame:
+    """One-permutation MinHash over raw text — shingles in-plan, then
+    delegates to :func:`oph_minhash_signatures_from_shingles` (the core
+    the signature index path shares). See that function for the
+    algorithm and the honest measurement notes."""
+    out = _shingle_col(df, text_col, k, "__sh")
+    return oph_minhash_signatures_from_shingles(
+        out, id_col, n_hashes, "__sh"
+    )
+
+
+def oph_minhash_signatures_from_shingles(
+    shf: DataFrame,
+    id_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    sh_col: str = "sh",
 ) -> DataFrame:
     """One-permutation MinHash (Li et al. 2012) with rotation
     densification (Shrivastava & Li 2014): ONE md5 per shingle instead of
@@ -208,7 +239,7 @@ def oph_minhash_signatures(
     itself: where hashing genuinely dominates (expensive hash functions,
     pre-shingled binary features, engines that codegen lambdas), the
     O(shingles) hash count is the win this scheme was designed for."""
-    out = _shingle_col(df, text_col, k, "__sh").filter(F.size("__sh") > 0)
+    out = shf.filter(F.size(sh_col) > 0)
     # hash once, bucket once: the (bucket, hash) struct is computed per
     # shingle; everything after is O(shingles + n) PER ROW — per-bucket
     # filters (n array scans) or an n-term COALESCE per slot (n^2
@@ -220,7 +251,7 @@ def oph_minhash_signatures(
     #     array processed in reverse (carry = nearest non-empty slot to
     #     the right, wrap-around covered by the doubling) — one fold.
     out = (
-        out.withColumn("__hm", F.expr("transform(__sh, s -> md5(s))"))
+        out.withColumn("__hm", F.expr(f"transform({sh_col}, s -> md5(s))"))
         .withColumn(
             "__bm",
             F.expr(
@@ -450,18 +481,26 @@ def jaccard_verify(
     text_col: str,
     k: int = 3,
     threshold: float = 0.6,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keeps pairs >= threshold.
 
     |A∩B| and |A∪B| are integer set sizes → the division is one double op,
     bitwise identical across engines.
+
+    ``sets`` — optional precomputed (id_col, shset) frame (the signature
+    index path: queries/sig_index.doc_shingle_sets); when given, ``df`` /
+    ``text_col`` / ``k`` are not touched and the in-plan shingle chain is
+    skipped. Candidate ids always come from signatures, which require a
+    non-empty shingle set, so whether empty-set docs appear in ``sets``
+    cannot change the inner joins below.
     """
     # sets is joined twice (id_a and id_b sides) — materialize once
-    sets = (
-        _shingle_col(df, text_col, k, "__sh")
-        .select(F.col(id_col), F.array_distinct("__sh").alias("shset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if sets is None:
+        sets = _shingle_col(df, text_col, k, "__sh").select(
+            F.col(id_col), F.array_distinct("__sh").alias("shset")
+        )
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     out = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a"), "id_a")
         .withColumnRenamed("shset", "set_a")
@@ -486,6 +525,7 @@ def containment_verify(
     text_col: str,
     k: int = 3,
     threshold: float = 0.9,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set CONTAINMENT over candidate pairs — the asymmetric
     dual of :func:`jaccard_verify`: C(A→B) = |A∩B| / |A| is ~1 when A is
@@ -509,12 +549,15 @@ def containment_verify(
     prefix_filter_jaccard_pairs machinery) is the upgrade path if the
     skewed shape matters for a corpus; the current composition's
     candidates are those whose Jaccard is also nontrivial (size ratio
-    within ~[threshold, 1/threshold])."""
-    sets = (
-        _shingle_col(df, text_col, k, "__sh")
-        .select(F.col(id_col), F.array_distinct("__sh").alias("shset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    within ~[threshold, 1/threshold]).
+
+    ``sets`` — optional precomputed (id_col, shset) frame, same contract
+    as :func:`jaccard_verify`."""
+    if sets is None:
+        sets = _shingle_col(df, text_col, k, "__sh").select(
+            F.col(id_col), F.array_distinct("__sh").alias("shset")
+        )
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     joined = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a"), "id_a")
         .withColumnRenamed("shset", "set_a")
@@ -545,6 +588,8 @@ def containment_prefix_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.9,
+    shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT containment join via ASYMMETRIC prefix filtering — the
     containment-aware blocking :func:`containment_verify`'s recall note
@@ -573,10 +618,19 @@ def containment_prefix_pairs(
     ~(1-t)·|A|+1 (10% of shingles at t=0.9) and rarest-first ordering
     keeps posting buckets small until the shingle vocabulary saturates,
     where the honest bound is prefix_len × df (pair with the q203
-    df-cap ladder for a bounded variant at adversarial vocabularies)."""
+    df-cap ladder for a bounded variant at adversarial vocabularies).
+
+    ``shingles`` — optional precomputed (id_col, sh array) frame (the
+    signature index path); ``sets`` — optional (id_col, shset) frame
+    forwarded to the :func:`containment_verify` tail."""
     from pyspark.sql import Window as W
 
-    sh_pairs = shingled(df, id_col, text_col, k).distinct()
+    if shingles is not None:
+        sh_pairs = shingles.select(
+            F.col(id_col), F.explode("sh").alias("sh")
+        ).distinct()
+    else:
+        sh_pairs = shingled(df, id_col, text_col, k).distinct()
     doc_freq = sh_pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     by_doc = W.partitionBy(id_col)
     rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
@@ -610,7 +664,8 @@ def containment_prefix_pairs(
         .distinct()
     )
     return containment_verify(
-        df, candidates, id_col, text_col, k=k, threshold=threshold
+        df, candidates, id_col, text_col, k=k, threshold=threshold,
+        sets=sets,
     )
 
 
@@ -856,6 +911,17 @@ def connected_components_star(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, simhash) over raw text — shingles in-plan, then delegates to
+    :func:`simhash_from_shingles` (the core the signature index path
+    shares)."""
+    return simhash_from_shingles(
+        _shingle_col(df, text_col, k, "__sh"), id_col, "__sh"
+    )
+
+
+def simhash_from_shingles(
+    shf: DataFrame, id_col: str, sh_col: str = "sh"
+) -> DataFrame:
     """(id, simhash) — 32-bit SimHash over word k-grams, per row, no
     shuffle (same reasoning as :func:`minhash_signatures`).
 
@@ -880,7 +946,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
         f"THEN 1 ELSE -1 END)"
     )
     sums = (
-        f"aggregate(transform(__sh, s -> "
+        f"aggregate(transform({sh_col}, s -> "
         f"CAST(conv(substring(md5(s), 1, {SIMHASH_BITS // 4}), 16, 10) AS BIGINT)), "
         f"array_repeat(0, {SIMHASH_BITS}), "
         f"(acc, v) -> zip_with(acc, "
@@ -893,8 +959,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
         f"(s, p) -> IF(s >= 0, p, 0L)), 0L, (acc, x) -> acc + x)"
     )
     return (
-        _shingle_col(df, text_col, k, "__sh")
-        .filter(F.size("__sh") > 0)
+        shf.filter(F.size(sh_col) > 0)
         .select(F.col(id_col), F.expr(val).alias("simhash"))
     )
 
@@ -905,6 +970,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (PPJoin family):
     all pairs with shingle-set Jaccard >= ``threshold``, NO approximation.
@@ -941,7 +1007,12 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    pairs = shingled(df, id_col, text_col, k).distinct()
+    if shingles is not None:
+        pairs = shingles.select(
+            F.col(id_col), F.explode("sh").alias("sh")
+        ).distinct()
+    else:
+        pairs = shingled(df, id_col, text_col, k).distinct()
     doc_freq = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     by_doc = W.partitionBy(id_col)
     rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())

@@ -39,19 +39,22 @@ from ..operators.dedup import (
     containment_verify,
     connected_components,
     connected_components_star,
-    exact_dedup_groups,
     jaccard_verify,
     lsh_bipartite_candidates,
     lsh_candidate_pairs,
-    minhash_signatures,
-    oph_minhash_signatures,
-    normalized,
+    oph_minhash_signatures_from_shingles,
     prefix_filter_jaccard_pairs,
-    simhash,
+    simhash_from_shingles,
     simhash_near_dup_pairs,
 )
 from ..session import load_tables
 from .registry import register
+from .sig_index import (
+    doc_shingle_frame,
+    doc_shingle_sets,
+    doc_signature_index,
+    doc_signatures,
+)
 
 JACCARD_THRESHOLD = 0.8
 
@@ -101,8 +104,19 @@ _PAIRS_CTE = f"\n    WITH {_PAIRS_CTE_BODY}"
     tags=("dedup", "exact"),
 )
 def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on normalized text, min-id keeper."""
-    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+    """Exact dedup: hash-groupBy on normalized text, min-id keeper.
+    ``content_hash`` comes precomputed from the signature index (one row
+    per document, including shingle-less ones), so the query is one
+    groupBy over a 32-byte key — operators/dedup.exact_dedup_groups is
+    the in-plan form the index build shares."""
+    return (
+        doc_signature_index(spark, sf_dir)
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
 
 
 @register(
@@ -111,10 +125,10 @@ def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def q51_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12) + LSH(4 bands × 3) candidate pairs."""
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    return lsh_candidate_pairs(sigs, "doc_id")
+    """MinHash(12) + LSH(4 bands × 3) candidate pairs. Signatures come
+    from the materialized index (sig_index.doc_signatures — same math as
+    minhash_signatures, paid once per corpus at ingest)."""
+    return lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id")
 
 
 @register(
@@ -137,11 +151,14 @@ def q51_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q52_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ 0.8 —
-    recovers the corpus's planted near-duplicate pairs."""
+    recovers the corpus's planted near-duplicate pairs. Signatures AND
+    verify sets read the materialized signature index."""
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    pairs = lsh_candidate_pairs(sigs, "doc_id")
-    return jaccard_verify(docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+    pairs = lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id")
+    return jaccard_verify(
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD,
+        sets=doc_shingle_sets(spark, sf_dir),
+    )
 
 
 _JACC = (
@@ -198,10 +215,10 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     array — n_docs still counts every member. The rank window and the
     groupBy share the component hash partitioning (one exchange)."""
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    pairs = lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id")
     verified = jaccard_verify(
-        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD,
+        sets=doc_shingle_sets(spark, sf_dir),
     ).select("id_a", "id_b")
     comp = connected_components(verified)
     return capped_member_rollup(comp, "component", "node", MEMBER_CAP).select(
@@ -229,8 +246,10 @@ def _simhash_oracle() -> str:
     tags=("dedup", "simhash"),
 )
 def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (majority vote over shingle md5 bits)."""
-    return simhash(_docs(spark, sf_dir), "doc_id", "text")
+    """32-bit SimHash per document (majority vote over shingle md5 bits).
+    Folds over the index's precomputed shingle arrays
+    (operators/dedup.simhash_from_shingles)."""
+    return simhash_from_shingles(doc_shingle_frame(spark, sf_dir), "doc_id")
 
 
 def _simhash_pairs_oracle(max_hamming: int = 3, n_bands: int = 4) -> str:
@@ -261,7 +280,7 @@ def q64_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 bits ⇒ one of 4 bytes matches exactly) + bit_count(xor) verify —
     recovers 21 of the corpus's 25 planted near-dup pairs with no cross
     product."""
-    sigs = simhash(_docs(spark, sf_dir), "doc_id", "text")
+    sigs = simhash_from_shingles(doc_shingle_frame(spark, sf_dir), "doc_id")
     return simhash_near_dup_pairs(sigs, "doc_id", max_hamming=3, n_bands=4)
 
 
@@ -312,20 +331,17 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join first, then MinHash-LSH *bipartite* candidates
     (operators/dedup.lsh_bipartite_candidates) verified with exact
     Jaccard. |new|-proportional cost: the daily-crawl-delta shape, where
-    the corpus side is a precomputed signature index at production scale.
-    Verdict per new doc: exact_dup > near_dup > unique."""
+    the corpus side is a precomputed signature index at production scale
+    — and since sig_index.py it literally IS: content hashes and MinHash
+    signatures are read from the materialized per-document index, so the
+    screen's cost is the bipartite join + candidate verify, never a
+    corpus re-hash."""
     docs = _docs(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REM
-    new_docs, corpus = docs.filter(is_new), docs.filter(~is_new)
+    new_docs = docs.filter(is_new)
 
-    # both split sides filter this projection; persist so the regex
-    # normalize chain runs once, not once per side
-    from pyspark.storagelevel import StorageLevel
-
-    hashed = (
-        normalized(docs, "text")
-        .select("doc_id", F.md5("norm").alias("content_hash"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = doc_signature_index(spark, sf_dir).select(
+        "doc_id", "content_hash"
     )
     exact = (
         hashed.filter(is_new)
@@ -338,21 +354,21 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    # one signature pass over the WHOLE corpus, split afterwards — the
-    # normalize→shingle→minhash chain is the dominant per-row cost, and at
-    # production scale the corpus side is a precomputed index anyway; two
-    # per-side chains would recompute it for every delta screen
+    # one signature table, split by snapshot side — read from the
+    # materialized index (both sides of the bipartite join filter the
+    # same parquet scan; no per-delta corpus re-hash)
     is_new_sig = (F.col("doc_id") % NEW_MOD) == NEW_REM
-    sigs = minhash_signatures(docs, "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = doc_signatures(spark, sf_dir)
     pairs = lsh_bipartite_candidates(
         sigs.filter(is_new_sig),
         sigs.filter(~is_new_sig),
         "doc_id",
     )
     near = (
-        jaccard_verify(docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD)
+        jaccard_verify(
+            docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD,
+            sets=doc_shingle_sets(spark, sf_dir),
+        )
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
     )
@@ -1010,14 +1026,16 @@ def q195_minhash_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per doc into the final shuffle — no window over the full
     candidate set, no pair set materialized."""
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    pairs = lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id")
     sym = pairs.unionByName(
         pairs.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     )
-    scored = jaccard_verify(docs, sym, "doc_id", "text", threshold=0.0)
+    scored = jaccard_verify(
+        docs, sym, "doc_id", "text", threshold=0.0,
+        sets=doc_shingle_sets(spark, sf_dir),
+    )
     best = F.max(
         F.struct(F.col("jaccard"), (-F.col("id_b")).alias("nb"))
     ).alias("m")
@@ -1059,9 +1077,12 @@ def q123_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     each shingle set rarest-global-token-first, equi-join on the short
     prefixes, verify exact Jaccard. The oracle is therefore the plain
     all-pairs formulation — on this corpus both paths recover exactly the
-    planted near-duplicate pairs, but only this one is guaranteed to."""
+    planted near-duplicate pairs, but only this one is guaranteed to.
+    Shingle arrays come precomputed from the signature index."""
     return prefix_filter_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=JACCARD_THRESHOLD
+        _docs(spark, sf_dir), "doc_id", "text", k=3,
+        threshold=JACCARD_THRESHOLD,
+        shingles=doc_shingle_frame(spark, sf_dir),
     )
 
 
@@ -1120,14 +1141,14 @@ def q141_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     from ..operators.similarity import embedding_near_dup_pairs
 
-    sigs = minhash_signatures(docs, "doc_id", "text")
     tpairs = (
         jaccard_verify(
             docs,
-            lsh_candidate_pairs(sigs, "doc_id"),
+            lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id"),
             "doc_id",
             "text",
             threshold=JACCARD_THRESHOLD,
+            sets=doc_shingle_sets(spark, sf_dir),
         )
         .select("id_a", "id_b")
         .withColumn("text_dup", F.lit(True))
@@ -1331,8 +1352,9 @@ def q175_oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutations (same unbiased Jaccard estimator, different variance
     profile); both feed the same exact-Jaccard verify (q52) downstream.
     """
-    docs = _docs(spark, sf_dir)
-    sigs = oph_minhash_signatures(docs, "doc_id", "text")
+    sigs = oph_minhash_signatures_from_shingles(
+        doc_shingle_frame(spark, sf_dir), "doc_id"
+    )
     return lsh_candidate_pairs(sigs, "doc_id")
 
 
@@ -1404,10 +1426,11 @@ def q201_adaptive_band_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding."""
     docs = _docs(spark, sf_dir)
     nr = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    sigs = minhash_signatures(docs, "doc_id", "text")
+    sigs = doc_signatures(spark, sf_dir)
     pairs = adaptive_lsh_candidate_pairs(sigs, nr, "doc_id")
     return jaccard_verify(
-        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD,
+        sets=doc_shingle_sets(spark, sf_dir),
     )
 
 
@@ -1523,10 +1546,10 @@ def q204_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-dedup manifest. Oracle recomputes the closure with the
     independent recursive-CTE referee (the q89 discipline)."""
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    pairs = lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id")
     verified = jaccard_verify(
-        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD,
+        sets=doc_shingle_sets(spark, sf_dir),
     ).select("id_a", "id_b")
     return _keeper_manifest(docs, verified)
 
@@ -1978,10 +2001,10 @@ def q207_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     division per row, bitwise cross-engine. Output bounded by true
     containment density."""
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    pairs = lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id")
     return containment_verify(
-        docs, pairs, "doc_id", "text", threshold=CONTAINMENT_THRESHOLD
+        docs, pairs, "doc_id", "text", threshold=CONTAINMENT_THRESHOLD,
+        sets=doc_shingle_sets(spark, sf_dir),
     )
 
 
@@ -2028,6 +2051,8 @@ def q215_containment_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     return containment_prefix_pairs(
         _docs(spark, sf_dir), "doc_id", "text", k=3,
         threshold=CONTAINMENT_THRESHOLD,
+        shingles=doc_shingle_frame(spark, sf_dir),
+        sets=doc_shingle_sets(spark, sf_dir),
     )
 
 
@@ -2176,10 +2201,11 @@ def q210_adaptive_merge_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive pair CTE with the recursive-CTE closure referee."""
     docs = _docs(spark, sf_dir)
     nr = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    sigs = minhash_signatures(docs, "doc_id", "text")
+    sigs = doc_signatures(spark, sf_dir)
     pairs = adaptive_lsh_candidate_pairs(sigs, nr, "doc_id")
     verified = jaccard_verify(
-        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD
+        docs, pairs, "doc_id", "text", threshold=JACCARD_THRESHOLD,
+        sets=doc_shingle_sets(spark, sf_dir),
     ).select("id_a", "id_b")
     return _keeper_manifest(docs, verified)
 

@@ -67,12 +67,33 @@ REGISTRY: dict[str, QuerySpec] = {}
 # materialized chunk index replace the in-plan HOF frame) — semantics and
 # oracles are unchanged and the referee equality is test-pinned, but the
 # five queries must re-earn driver rows on the NEW path.
+# r10 (cont.): the text-dedup family now reads the materialized document
+# signature index (queries/sig_index.py) instead of re-running the
+# normalize→shingle→minhash chain per query — same semantics, same
+# oracles, referee equality test-pinned (tests/test_sig_index.py), but
+# each query must re-earn its driver row on the NEW path.
 RECHECK: tuple[str, ...] = (
     "q202_cdc_chunk_dedup",
     "q205_cdc_novelty",
     "q208_chunk_length_profile",
     "q211_source_overlap_matrix",
     "q212_cdc_index_delta",
+    "q50_exact_dedup",
+    "q51_minhash_lsh_pairs",
+    "q52_jaccard_neardup",
+    "q53_simhash",
+    "q64_simhash_hamming_pairs",
+    "q89_dedup_components",
+    "q100_incremental_dedup",
+    "q123_prefix_filter_jaccard",
+    "q141_dedup_consensus",
+    "q175_oph_minhash_pairs",
+    "q195_minhash_best_match",
+    "q201_adaptive_band_neardup",
+    "q204_neardup_keepers",
+    "q207_minhash_containment",
+    "q210_adaptive_merge_purge",
+    "q215_containment_prefix_exact",
 )
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]

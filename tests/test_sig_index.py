@@ -1,0 +1,94 @@
+"""Document signature index pins (queries/sig_index.py).
+
+The dedup family's r10 execution-path change: signatures, shingle sets,
+and content hashes come from a materialized per-corpus parquet index
+instead of per-query normalize→shingle→hash chains. These tests pin the
+three properties that make that safe:
+
+1. the index path equals the in-plan referee BITWISE for every rewired
+   query shape (``SPARK_GRAFT_SIG_INDEX=0`` is the referee switch);
+2. the index is one row per document, with null signatures exactly for
+   shingle-less docs (< k tokens) — the long-standing operator contract;
+3. the cache key tracks fixture identity (size+mtime) and the index
+   version string, so a regenerated fixture or changed semantics can
+   never serve a stale index.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from discogs_load_spark.queries.registry import REGISTRY
+from discogs_load_spark.queries import sig_index as si
+
+from .conftest import SF_SMALL
+
+# one query per rewired operator shape: exact-hash groupBy, raw
+# signatures, Jaccard verify w/ sets, SimHash fold, OPH fold, prefix
+# filter explode, asymmetric containment prefix + verify sets
+PINNED = (
+    "q50_exact_dedup",
+    "q51_minhash_lsh_pairs",
+    "q52_jaccard_neardup",
+    "q64_simhash_hamming_pairs",
+    "q175_oph_minhash_pairs",
+    "q123_prefix_filter_jaccard",
+    "q215_containment_prefix_exact",
+)
+
+
+def _rows(spark, name):
+    return sorted(map(tuple, REGISTRY[name].fn(spark, SF_SMALL).collect()))
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_index_path_equals_inplan_referee(spark, name, monkeypatch):
+    via_index = _rows(spark, name)
+    monkeypatch.setenv("SPARK_GRAFT_SIG_INDEX", "0")
+    spark.catalog.clearCache()
+    assert _rows(spark, name) == via_index
+
+
+def test_index_is_one_row_per_document_with_contract_nulls(spark):
+    idx = si.doc_signature_index(spark, SF_SMALL)
+    docs = si._docs(spark, SF_SMALL)
+    assert idx.count() == docs.count()
+    # null signature <=> empty shingle array (< k tokens); content_hash
+    # is total (every doc is exact-dedup-able even when not MinHash-able)
+    bad = idx.filter(
+        (F.col("h0").isNull() != (F.size("sh") == 0))
+        | F.col("content_hash").isNull()
+    )
+    assert bad.count() == 0
+    # accessor contracts: signatures drop shingle-less docs, sets keep all
+    n_sig = si.doc_signatures(spark, SF_SMALL).count()
+    assert n_sig == idx.filter(F.size("sh") > 0).count()
+    assert si.doc_shingle_sets(spark, SF_SMALL).count() == docs.count()
+
+
+def test_fingerprint_tracks_fixture_identity_and_version(tmp_path):
+    src = os.path.join(SF_SMALL, "documents.parquet")
+    dst = tmp_path / "documents.parquet"
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, str(dst))
+    fp1 = si._index_fingerprint(str(tmp_path))
+    assert fp1.startswith(si._SIG_INDEX_VERSION)
+    # a regenerated fixture (same path, new mtime) must change the key
+    st = os.stat(dst)
+    os.utime(dst, (st.st_atime, st.st_mtime + 7))
+    fp2 = si._index_fingerprint(str(tmp_path))
+    assert fp1 != fp2
+
+
+def test_index_scan_replaces_normalize_chain_in_plan(spark):
+    """With the index on, q51's plan must read the index parquet and
+    carry NO normalize/shingle stage (regexp_replace is the normalize
+    marker) — the whole point of paying the chain at ingest."""
+    from discogs_load_spark.plans import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q51_minhash_lsh_pairs"].fn(spark, SF_SMALL))
+    assert "regexp_replace" not in plan
+    assert si.SIG_INDEX_DIR in plan
