@@ -960,12 +960,10 @@ def q180_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.textfns import norm_sql, tokens_sql
 
-    (docs,) = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(
-            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
-        ).alias("token"),
+    from .sig_index import doc_tokens
+
+    toks = doc_tokens(spark, sf_dir).select(
+        "source", F.explode("toks").alias("token")
     )
     # bounded: vocabulary-sized; feeds BOTH the grid build and the exact
     # top-k (the shared-frame rule)
@@ -1105,12 +1103,14 @@ def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.textfns import doc_shingles_sql
 
-    (docs,) = _t(spark, sf_dir, "documents")
-    s3 = doc_shingles_sql("text", 3, "spark")
+    from .sig_index import doc_signature_index
+
     # bounded: distinct (source, shingle); feeds the filter build, the
-    # probe ranking, and the exact-membership counts
+    # probe ranking, and the exact-membership counts — shingle arrays
+    # come precomputed from the signature index (k matches SHINGLE_K)
     d0 = (
-        docs.select("source", F.explode(F.expr(s3)).alias("sh"))
+        doc_signature_index(spark, sf_dir)
+        .select("source", F.explode("sh").alias("sh"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1492,12 +1492,10 @@ def q209_adaptive_cms_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.sketch import cms_fanout, cms_point_query
 
-    (docs,) = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(
-            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
-        ).alias("token"),
+    from .sig_index import doc_tokens
+
+    toks = doc_tokens(spark, sf_dir).select(
+        "source", F.explode("toks").alias("token")
     )
     # bounded: vocabulary-sized; feeds the grid, the top-k, AND the
     # 1-row token-count statistic (the shared-frame rule)

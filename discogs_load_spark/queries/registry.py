@@ -94,6 +94,22 @@ RECHECK: tuple[str, ...] = (
     "q207_minhash_containment",
     "q210_adaptive_merge_purge",
     "q215_containment_prefix_exact",
+    # r10 (cont.): the token-level text-analysis family reads the index's
+    # v2 tokenized-corpus column (q173 transitively — it reuses q145's
+    # BM25 arm); same referee pattern, same reason to re-earn rows
+    "q87_tfidf_topk",
+    "q142_boilerplate_ngrams",
+    "q145_bm25_topk",
+    "q146_lm_doc_score",
+    "q147_dup_ngram_fraction",
+    "q171_bpe_merges",
+    "q172_bpe_encode",
+    "q173_hybrid_rrf",
+    "q178_kneser_ney",
+    "q180_countmin_heavy_hitters",
+    "q182_pmi_collocations",
+    "q184_bloom_membership",
+    "q209_adaptive_cms_width",
 )
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]

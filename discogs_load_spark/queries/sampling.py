@@ -391,10 +391,10 @@ def q87_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality; nothing here degrades with corpus size except the
     vocabulary join, which falls back to a shuffle join gracefully.
     """
-    docs = _docs(spark, sf_dir)
-    toks_expr = tokens_sql(norm_sql("text", "spark"), "spark")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(toks_expr)).alias("token")
+    from .sig_index import doc_tokens
+
+    toks = doc_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

@@ -10,6 +10,12 @@ with ``cdc_chunk_index`` (VERDICT r09 item 2). This module is the same
 move one level up: ONE pass over the corpus materializes, per document,
 
 - ``content_hash`` — md5 of the normalized text (exact-dedup key, q50),
+- ``toks``         — the normalized token array (v2): the tokenized-corpus
+                     artifact the text-analysis family reads (BM25
+                     postings, n-gram LMs, BPE histograms, CMS grids) —
+                     any k-gram derives from it with one cheap array
+                     transform (functions/textfns.shingles_sql), no
+                     per-query regex re-normalization,
 - ``sh``           — the raw word-3-gram shingle array (order and
                      multiplicity preserved: every downstream operator —
                      distinct sets for Jaccard/containment, folds for
@@ -61,7 +67,7 @@ SIG_INDEX_DIR = os.environ.get(
 )
 # bump when shingle/signature semantics change so a stale cached index
 # can never satisfy a new definition
-_SIG_INDEX_VERSION = f"v1:k3-md5-n{DEFAULT_N_HASHES}-contenthash"
+_SIG_INDEX_VERSION = f"v2:k3-md5-n{DEFAULT_N_HASHES}-contenthash-toks"
 
 SHINGLE_K = 3
 
@@ -81,8 +87,8 @@ def _sig_frame(docs: DataFrame) -> DataFrame:
     out = (
         docs.withColumn("__norm", F.expr(norm_sql("text", "spark")))
         .withColumn("content_hash", F.md5("__norm"))
-        .withColumn("__toks", F.expr(tokens_sql("__norm", "spark")))
-        .withColumn("sh", F.expr(shingles_sql("__toks", SHINGLE_K, "spark")))
+        .withColumn("toks", F.expr(tokens_sql("__norm", "spark")))
+        .withColumn("sh", F.expr(shingles_sql("toks", SHINGLE_K, "spark")))
     )
     sig_cols = [
         F.expr(f"array_min(transform(sh, s -> md5('{i}:' || s)))").alias(
@@ -90,7 +96,9 @@ def _sig_frame(docs: DataFrame) -> DataFrame:
         )
         for i in range(DEFAULT_N_HASHES)
     ]
-    return out.select("doc_id", "source", "content_hash", "sh", *sig_cols)
+    return out.select(
+        "doc_id", "source", "content_hash", "toks", "sh", *sig_cols
+    )
 
 
 def _index_fingerprint(sf_dir: str) -> str:
@@ -132,6 +140,17 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_signature_index(spark, sf_dir)
     return idx.filter(F.size("sh") > 0).select(
         "doc_id", *[f"h{i}" for i in range(DEFAULT_N_HASHES)]
+    )
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, toks) — the tokenized corpus, for the
+    text-analysis family (token explodes, k-gram transforms, per-doc
+    length stats). Same values as
+    ``F.expr(tokens_sql(norm_sql("text"), ...))`` over ``documents`` by
+    shared build expression."""
+    return doc_signature_index(spark, sf_dir).select(
+        "doc_id", "source", "toks"
     )
 
 

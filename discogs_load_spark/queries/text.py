@@ -23,6 +23,7 @@ from ..functions.textfns import (
 from ..operators.text import fingerprint, language_id, quality_signals, token_stats
 from ..session import load_tables
 from .registry import register
+from .sig_index import doc_signature_index, doc_tokens
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,12 +511,10 @@ def q142_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram vocabulary on one reducer."""
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "source",
-        F.explode(
-            F.expr(doc_shingles_sql("text", BOILERPLATE_K, "spark"))
-        ).alias("shingle"),
+    # BOILERPLATE_K == sig_index.SHINGLE_K: the stored 3-gram shingle
+    # arrays ARE this query's n-grams (asserted in tests/test_sig_index)
+    sh = doc_signature_index(spark, sf_dir).select(
+        "source", F.explode("sh").alias("shingle")
     )
     c = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("n"))
     w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("shingle"))
@@ -644,9 +643,7 @@ def q145_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle, so shuffled bytes scale with matching docs, not corpus
     tokens; df/stats are scalar broadcasts; no window over the corpus.
     """
-    docs = _docs(spark, sf_dir)
-    toks_expr = tokens_sql(norm_sql("text", "spark"), "spark")
-    base = docs.select("doc_id", F.expr(toks_expr).alias("toks"))
+    base = doc_tokens(spark, sf_dir).select("doc_id", "toks")
     dl = base.select("doc_id", F.size("toks").alias("dl"))
     tok = base.select(
         "doc_id", F.explode("toks").alias("token")
@@ -732,10 +729,11 @@ def q146_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
-    bg = docs.select(
+    from ..functions.textfns import shingles_sql
+
+    bg = doc_tokens(spark, sf_dir).select(
         "doc_id",
-        F.explode(F.expr(doc_shingles_sql("text", 2, "spark"))).alias("bigram"),
+        F.explode(F.expr(shingles_sql("toks", 2, "spark"))).alias("bigram"),
     )
     c = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     lm = (
@@ -800,14 +798,10 @@ def q147_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
+    # DUPNGRAM_K == sig_index.SHINGLE_K: read the stored shingle arrays
     sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(doc_shingles_sql("text", DUPNGRAM_K, "spark"))
-            ).alias("shingle"),
-        )
+        doc_signature_index(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("shingle"))
         .distinct()
         .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
     )
@@ -1115,12 +1109,14 @@ def _learn_bpe_merges(word_counts: DataFrame) -> list[DataFrame]:
     return bests
 
 
-def _doc_word_counts(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        F.explode(
-            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
-        ).alias("w")
-    ).groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+def _doc_word_counts(tok_arrays: DataFrame) -> DataFrame:
+    """Corpus word histogram from a (.., toks) token-array frame (the
+    signature index's tokenized corpus — sig_index.doc_tokens)."""
+    return (
+        tok_arrays.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
 
 
 @register(
@@ -1156,7 +1152,7 @@ def q171_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax and the histogram are ``localCheckpoint``ed (the q130 lineage
     discipline — without it the 8-round plan re-derives each round once
     per downstream branch, exponentially)."""
-    bests = _learn_bpe_merges(_doc_word_counts(_docs(spark, sf_dir)))
+    bests = _learn_bpe_merges(_doc_word_counts(doc_tokens(spark, sf_dir)))
     merge_rows = [
         b.select(F.lit(i + 1).cast("int").alias("round"), "lhs", "rhs", "freq")
         for i, b in enumerate(bests)
@@ -1236,12 +1232,8 @@ def q172_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the count frame — vocabulary x (source-vocabulary), both orders
     of magnitude smaller than the corpus at any scale — so the per-source
     totals are exact integers (no floats anywhere)."""
-    docs = _docs(spark, sf_dir)
-    tokd = docs.select(
-        "source",
-        F.explode(
-            F.expr(tokens_sql(norm_sql("text", "spark"), "spark"))
-        ).alias("w"),
+    tokd = doc_tokens(spark, sf_dir).select(
+        "source", F.explode("toks").alias("w")
     )
     counts = tokd.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -1557,9 +1549,10 @@ def q178_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with the (c2 DESC, w1, w2) tie-break."""
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
-    bg = docs.select(
-        F.explode(F.expr(doc_shingles_sql("text", 2, "spark"))).alias("bigram")
+    from ..functions.textfns import shingles_sql
+
+    bg = doc_tokens(spark, sf_dir).select(
+        F.explode(F.expr(shingles_sql("toks", 2, "spark"))).alias("bigram")
     )
     sp = F.split(F.col("bigram"), " ")
     from pyspark.storagelevel import StorageLevel
@@ -1682,12 +1675,11 @@ def q182_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.textfns import shingles_sql
 
-    docs = _docs(spark, sf_dir)
     # corpus-sized (one row per doc, text dropped — NOT value-domain-
-    # bounded); persisted so the unigram and bigram branches tokenize once
-    tok_arrays = docs.select(
-        F.expr(tokens_sql(norm_sql("text", "spark"), "spark")).alias("toks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # bounded); persisted so the unigram and bigram branches scan once
+    tok_arrays = doc_tokens(spark, sf_dir).select("toks").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     uni = (
         tok_arrays.select(F.explode("toks").alias("token"))
         .groupBy("token")

@@ -474,19 +474,20 @@ def test_preshard_ingest_prunes_to_rollup_columns(spark):
 
 def test_bpe_encode_folds_stay_broadcast_and_pruned(spark):
     """q172: the 8 merge applications must be broadcast joins (the 1-row
-    merge frames), never CartesianProduct, and the documents scan must
-    prune to (source, text) — the corpus-sized work is one count shuffle,
-    so an unpruned scan or a shuffled merge join would be the scale leak."""
+    merge frames), never CartesianProduct, and the signature-index scan
+    (q172's corpus source since the v2 token column) must prune to
+    (source, toks) — the corpus-sized work is one count shuffle, so an
+    unpruned scan or a shuffled merge join would be the scale leak."""
     df = REGISTRY["q172_bpe_encode"].fn(spark, SF_SMALL)
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" in kinds  # 1-row merge frames
     plan = formatted_plan(df)
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
-    assert read, "expected a ReadSchema line for the documents scan"
-    assert "source" in read[0] and "text" in read[0]
-    for col in ("lang", "n_chars", "doc_id"):
-        assert col not in read[0], f"unpruned column {col} in documents scan"
+    assert read, "expected a ReadSchema line for the index scan"
+    assert "source" in read[0] and "toks" in read[0]
+    for col in ("content_hash", "sh", "doc_id", "h0"):
+        assert f"{col}:" not in read[0], f"unpruned column {col} in index scan"
 
 
 def test_countmin_point_query_broadcasts_grid(spark):

@@ -38,6 +38,11 @@ PINNED = (
     "q175_oph_minhash_pairs",
     "q123_prefix_filter_jaccard",
     "q215_containment_prefix_exact",
+    # v2 token-column consumers: stored-shingle reuse, token explode,
+    # k-gram derivation from the stored token array
+    "q142_boilerplate_ngrams",
+    "q145_bm25_topk",
+    "q146_lm_doc_score",
 )
 
 
@@ -68,6 +73,16 @@ def test_index_is_one_row_per_document_with_contract_nulls(spark):
     n_sig = si.doc_signatures(spark, SF_SMALL).count()
     assert n_sig == idx.filter(F.size("sh") > 0).count()
     assert si.doc_shingle_sets(spark, SF_SMALL).count() == docs.count()
+
+
+def test_stored_shingle_consumers_share_the_index_k():
+    """q142/q147/q184 read the STORED shingle arrays as their n-grams —
+    legal only while their k equals the index build's SHINGLE_K. A k
+    change must fail here, not silently serve wrong-width n-grams."""
+    from discogs_load_spark.queries.text import BOILERPLATE_K, DUPNGRAM_K
+
+    assert BOILERPLATE_K == si.SHINGLE_K
+    assert DUPNGRAM_K == si.SHINGLE_K
 
 
 def test_fingerprint_tracks_fixture_identity_and_version(tmp_path):
