@@ -134,15 +134,18 @@ def main() -> None:
             _materialize(cdc_chunk_index(spark, d))
         spark.catalog.clearCache()
 
-    # the text-dedup family reads the persisted document signature index
-    # (queries/sig_index.py) — same ingest-product treatment as the CDC
-    # chunk index; its build cost is bench.py's sig_index_build line
-    if any("dedup" in REGISTRY[q].tags for q in args.queries):
-        from discogs_load_spark.queries.sig_index import doc_signature_index
+    # the dedup AND text-analysis families read the persisted document
+    # signature index (queries/sig_index.py) — same ingest-product
+    # treatment as the CDC chunk index; build it for both tiers
+    # UNCONDITIONALLY (consumers span too many tag families to gate on,
+    # and a warm-but-unused index costs one linear pass) so a probe
+    # never pays ingest inside its timed window. The build cost itself
+    # is bench.py's sig_index_build line.
+    from discogs_load_spark.queries.sig_index import doc_signature_index
 
-        for d in (small, big):
-            _materialize(doc_signature_index(spark, d))
-        spark.catalog.clearCache()
+    for d in (small, big):
+        _materialize(doc_signature_index(spark, d))
+    spark.catalog.clearCache()
 
     tiny = str(TESTDATA / "sf0.001")
     if os.path.isdir(tiny):
