@@ -115,6 +115,12 @@ SF1_QUERIES = [
     # r10: exact containment via asymmetric prefix filtering — prefix x
     # full-posting equi-join, probed 7.3x at sf0.1->sf1 (the q123 family)
     "q215_containment_prefix_exact",
+    # r10 second half: index contract rollup (two map-side passes over
+    # the signature index, 0.9x at sf1->sf10) and positional phrase
+    # search (member-token-restricted postings + adjacency equi-join,
+    # 3.2-4.2x at sf1->sf10)
+    "q216_signature_index_stats",
+    "q217_phrase_search",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

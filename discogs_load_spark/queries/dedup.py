@@ -28,6 +28,7 @@ from ..functions.textfns import (
     oph_bucket_sql,
     simhash_bit_sql,
     simhash_value_sql,
+    tokens_sql,
 )
 from ..operators.dedup import (
     DEFAULT_BANDS,
@@ -2338,4 +2339,73 @@ def q212_cdc_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         )
+    )
+
+
+@register(
+    "q216_signature_index_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN len({_D_SH}) > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_minhashable,
+               CAST(COUNT(DISTINCT md5({norm_sql('text', 'duckdb')}))
+                    AS BIGINT) AS n_distinct_hashes,
+               CAST(SUM(len({tokens_sql(norm_sql('text', 'duckdb'), 'duckdb')}))
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ),
+    shg AS (
+        SELECT source, CAST(COUNT(DISTINCT sh) AS BIGINT)
+                   AS n_distinct_shingles
+        FROM (SELECT source, unnest({_D_SH}) AS sh FROM documents)
+        GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_minhashable, b.n_distinct_hashes,
+           b.total_tokens,
+           COALESCE(s.n_distinct_shingles, 0) AS n_distinct_shingles
+    FROM base b LEFT JOIN shg s ON b.source = s.source
+    """,
+    tags=("dedup", "index", "contract"),
+)
+def q216_signature_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature index's CONTRACT as a driver-checked row (the q213/
+    q214 move applied to the r10 index artifact): per source, the doc
+    count, how many docs are MinHash-able (non-empty shingle array), the
+    distinct content-hash count (exact-dedup cardinality), total token
+    mass, and the distinct 3-shingle vocabulary. The Spark side reads
+    every statistic FROM THE MATERIALIZED INDEX (queries/sig_index.py);
+    the oracle recomputes all five from raw ``documents`` with the shared
+    dual-dialect fragments — so a stale, truncated, or wrongly-built
+    index (missing rows, mangled arrays, drifted hash math) breaks the
+    value hash even though 29 other queries would each only see their
+    own slice. Scale shape: two map-side passes over the index (one
+    rollup, one distinct-shingle count — the q184 d0 shape) joined on
+    the |sources|-sized key."""
+    idx = doc_signature_index(spark, sf_dir)
+    base = idx.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.size("sh") > 0).cast("int")).cast("bigint").alias(
+            "n_minhashable"
+        ),
+        F.countDistinct("content_hash").cast("bigint").alias(
+            "n_distinct_hashes"
+        ),
+        F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
+    )
+    shg = (
+        idx.select("source", F.explode("sh").alias("s"))
+        .groupBy("source")
+        .agg(F.countDistinct("s").cast("bigint").alias("n_distinct_shingles"))
+    )
+    return base.join(shg, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_minhashable",
+        "n_distinct_hashes",
+        "total_tokens",
+        F.coalesce("n_distinct_shingles", F.lit(0).cast("bigint")).alias(
+            "n_distinct_shingles"
+        ),
     )

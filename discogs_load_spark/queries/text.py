@@ -15,6 +15,7 @@ from ..functions.textfns import (
     doc_shingles_sql,
     norm_sql,
     rolling_hash_min_sql,
+    shingles_sql,
     stopword_hits_sql,
     stopword_ratio_sql,
     token_count_sql,
@@ -1909,4 +1910,83 @@ def q203_adaptive_sparse_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda dfc: dfc.crossJoin(F.broadcast(nr))
         .filter(F.col("df") <= cap)
         .select("token"),
+    )
+
+
+PHRASE_TOP = 2  # the corpus's top-2 bigram phrases drive the phrase query
+
+
+@register(
+    "q217_phrase_search",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id, unnest({doc_shingles_sql("text", 2, "duckdb")})
+                   AS bigram
+        FROM documents
+    ),
+    top AS (
+        SELECT bigram FROM (
+            SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT {PHRASE_TOP}
+        )
+    )
+    SELECT b.bigram AS phrase, b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bg b JOIN top ON b.bigram = top.bigram
+    GROUP BY b.bigram, b.doc_id
+    """,
+    tags=("text", "search", "phrase", "positional"),
+)
+def q217_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL phrase search — the missing leg of the q134-q136 search
+    suite (boolean and ranked retrieval have no notion of adjacency):
+    every (phrase, doc, hit-count) for the corpus's top-{PHRASE_TOP}
+    bigram phrases, executed the way a positional-index engine does it —
+    (doc, token, position) postings from the signature index's token
+    arrays, restricted to the phrases' member tokens by a BROADCAST of
+    the {PHRASE_TOP}-row phrase frame BEFORE any corpus-wide shuffle,
+    then adjacency = one equi-join on (phrase, doc, pos) with the
+    second term's postings shifted by -1. The oracle evaluates the
+    DEFINITION instead (count of 2-shingles equal to the phrase) — two
+    independent algorithms, one answer (the q135/q145 discipline).
+
+    The phrases themselves are DATA-DERIVED (top-2 by count with a
+    lexicographic tie-break — exact integers, deterministic in both
+    engines), so the query is self-contained at every sf and never
+    returns an empty vacuous match set. Scale shape: the phrase pick is
+    a vocabulary-sized count + TakeOrderedAndProject; postings after
+    the member-token restriction are bounded by the phrases' term
+    frequencies, not the corpus; the adjacency join and the final
+    rollup share the (phrase, doc) key family. At 100 TB the postings
+    relation is the persisted positional index itself — this plan IS
+    the probe side of that architecture."""
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "toks")
+    bg = toks.select(
+        F.explode(F.expr(shingles_sql("toks", 2, "spark"))).alias("bigram")
+    )
+    top = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(PHRASE_TOP)
+        .select(
+            "bigram",
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+        )
+    )
+    post = toks.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+    p1 = post.join(
+        F.broadcast(top.select("bigram", F.col("w1").alias("token"))),
+        "token",
+    ).select("bigram", "doc_id", "pos")
+    p2 = post.join(
+        F.broadcast(top.select("bigram", F.col("w2").alias("token"))),
+        "token",
+    ).select("bigram", "doc_id", (F.col("pos") - 1).alias("pos"))
+    return (
+        p1.join(p2, ["bigram", "doc_id", "pos"])
+        .groupBy("bigram", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(F.col("bigram").alias("phrase"), "doc_id", "n_hits")
     )
