@@ -76,7 +76,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
 
-def _sig_frame(docs: DataFrame) -> DataFrame:
+def sig_frame(docs: DataFrame) -> DataFrame:
     """The index lineage, in-plan: one row per document (docs with < k
     tokens keep an EMPTY ``sh`` and null h-columns — they are still
     exact-dedup-able via ``content_hash``, matching the long-standing
@@ -115,12 +115,12 @@ def doc_signature_index(
     version; ``SPARK_GRAFT_SIG_INDEX=0`` bypasses materialization and
     returns the in-plan lineage (referee mode)."""
     if os.environ.get("SPARK_GRAFT_SIG_INDEX", "1") == "0":
-        return _sig_frame(_docs(spark, sf_dir))
+        return sig_frame(_docs(spark, sf_dir))
     fp = _index_fingerprint(sf_dir)
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     dest = os.path.join(SIG_INDEX_DIR, key)
     if rebuild or not os.path.isdir(dest):
-        frame = _sig_frame(_docs(spark, sf_dir))
+        frame = sig_frame(_docs(spark, sf_dir))
         tmp = f"{dest}.tmp.{os.getpid()}"
         frame.write.mode("overwrite").parquet(tmp)
         try:

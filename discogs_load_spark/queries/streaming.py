@@ -674,3 +674,83 @@ def q190_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SCMS_TOP)
     )
     return cms_point_query(grid, exact, "user_id", SCMS_DEPTH, SCMS_WIDTH)
+
+
+def _q218_oracle() -> str:
+    from ..functions.textfns import doc_shingles_sql, norm_sql
+
+    sh = doc_shingles_sql("text", 3, "duckdb")
+    norm = norm_sql("text", "duckdb")
+    return f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN len({sh}) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_minhashable,
+           CAST(COUNT(DISTINCT md5({norm})) AS BIGINT) AS n_distinct_hashes,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents GROUP BY source
+    """
+
+
+@register(
+    "q218_streaming_index_ingest",
+    oracle=_q218_oracle(),
+    tags=("streaming", "index", "dedup"),
+)
+def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 signature index maintained BY THE STREAMING ENGINE — the
+    ingest-time story (queries/sig_index.py) run as the 24/7 job it
+    would be in production: documents arrive as a file-source stream
+    (throttled to 4 files per trigger so the drain genuinely spans
+    multiple micro-batches), each micro-batch runs the SAME
+    ``sig_frame`` build the batch index uses and appends its signature
+    rows to the index table via foreachBatch (the q92 landing pattern —
+    the batch-only parquet sink works unmodified), and the landed index
+    is read back and rolled up per source. The oracle recomputes the
+    rollup from raw ``documents``, so a row lost or duplicated in
+    transit, or a batch/stream divergence in the build expression,
+    breaks the value hash. Scale shape: the per-batch build is the
+    index's own one-pass map (no state store at all — signatures are
+    pure per-row functions, the embarrassingly-streamable case), and
+    the rollup is |sources|-sized."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_docs_{_cache_key(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        docs.write.mode("overwrite").parquet(src)
+
+    from .sig_index import sig_frame
+
+    out = tempfile.mkdtemp(prefix="q218_sig_idx_")
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        sig_frame(batch_df).write.mode("append").parquet(out)
+
+    with _stream_drain_conf(spark):
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(out, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    idx = spark.read.parquet(out)
+    return idx.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.size("sh") > 0).cast("int")).cast("bigint").alias(
+            "n_minhashable"
+        ),
+        F.countDistinct("content_hash").cast("bigint").alias(
+            "n_distinct_hashes"
+        ),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

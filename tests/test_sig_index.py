@@ -98,6 +98,19 @@ def test_fingerprint_tracks_fixture_identity_and_version(tmp_path):
     assert fp1 != fp2
 
 
+def test_index_build_is_one_map_side_pass(spark):
+    """The build lineage (sig_frame) must be scan → project: no exchange,
+    no join, no window — a signature row is a pure function of one
+    document, so any wide operator here would be a 100 TB ingest bug."""
+    from discogs_load_spark.plans import formatted_plan, join_kinds
+
+    frame = si.sig_frame(si._docs(spark, SF_SMALL))
+    plan = formatted_plan(frame)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert join_kinds(frame) == []
+
+
 def test_index_scan_replaces_normalize_chain_in_plan(spark):
     """With the index on, q51's plan must read the index parquet and
     carry NO normalize/shingle stage (regexp_replace is the normalize
