@@ -302,10 +302,12 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     # both tiers — but time the builds themselves so the round's record
     # still carries the chunk-stage cost and its scaling
     from discogs_load_spark.queries.dedup import cdc_chunk_index
+    from discogs_load_spark.queries.emb_index import emb_cluster_index
     from discogs_load_spark.queries.sig_index import doc_signature_index
 
     cdc_build: dict[str, float] = {}
     sig_build: dict[str, float] = {}
+    emb_build: dict[str, float] = {}
     for label, d in (("base_s", sf_dir), ("sf1_s", SF1_DIR)):
         t0 = _t.monotonic()
         _materialize(cdc_chunk_index(spark, d, rebuild=True))
@@ -313,7 +315,10 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         t0 = _t.monotonic()
         _materialize(doc_signature_index(spark, d, rebuild=True))
         sig_build[label] = round(_t.monotonic() - t0, 2)
-    for b in (cdc_build, sig_build):
+        t0 = _t.monotonic()
+        _materialize(emb_cluster_index(spark, d, rebuild=True))
+        emb_build[label] = round(_t.monotonic() - t0, 2)
+    for b in (cdc_build, sig_build, emb_build):
         b["scale_x"] = round(b["sf1_s"] / max(b["base_s"], 0.01), 1)
     spark.catalog.clearCache()
 
@@ -358,6 +363,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "rows_x": 10,
         "cdc_index_build": cdc_build,
         "sig_index_build": sig_build,
+        "emb_index_build": emb_build,
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
@@ -511,6 +517,12 @@ def main() -> None:
     t0 = time.monotonic()
     _materialize(doc_signature_index(spark, sf_dir, rebuild=True))
     sig_index = {"seconds": round(time.monotonic() - t0, 3)}
+    # embedding cluster-assignment index: same treatment (q154/q169)
+    from discogs_load_spark.queries.emb_index import emb_cluster_index
+
+    t0 = time.monotonic()
+    _materialize(emb_cluster_index(spark, sf_dir, rebuild=True))
+    emb_index = {"seconds": round(time.monotonic() - t0, 3)}
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
@@ -628,6 +640,7 @@ def main() -> None:
             "xml_ingest": ingest,
             "cdc_index_build": cdc_index,
             "sig_index_build": sig_index,
+            "emb_index_build": emb_index,
         }
         if sf1 is not None:
             sidecar["sf1"] = sf1
@@ -651,6 +664,7 @@ def main() -> None:
         "xml_ingest": ingest,
         "cdc_index_build": cdc_index,
         "sig_index_build": sig_index,
+        "emb_index_build": emb_index,
     }
     if sf1 is not None:
         payload["sf1"] = sf1

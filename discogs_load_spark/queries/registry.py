@@ -110,6 +110,10 @@ RECHECK: tuple[str, ...] = (
     "q182_pmi_collocations",
     "q184_bloom_membership",
     "q209_adaptive_cms_width",
+    # r10 (cont.): SemDeDup blocking reads the materialized embedding
+    # cluster-assignment index (queries/emb_index.py)
+    "q154_semdedup",
+    "q169_curation_pipeline",
 )
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]

@@ -880,16 +880,19 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id in the fixtures (TESTDATA.md), linking the two tables."""
     from ..functions.vectors import cosine_sql
     from ..operators.dedup import connected_components
-    from .similarity import DIM, SEM_THRESHOLD, sem_assignments
+    from .similarity import DIM, SEM_THRESHOLD
 
     from pyspark.storagelevel import StorageLevel
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
 
-    # bounded: 1-row count-star sizes the clustering to the corpus
-    # (flat k-means at driver scales, two-level above — similarity.sem_assignments)
-    assigned = sem_assignments(emb, emb.count())
+    # assignments from the materialized cluster index (the ingest
+    # artifact — queries/emb_index.py; flat k-means at driver scales,
+    # two-level above, sized by the corpus count at build time)
+    from .emb_index import emb_cluster_index
+
+    assigned = emb_cluster_index(spark, sf_dir)
     cv = (
         assigned.join(emb, "vec_id")
         .select("cluster", "vec_id", "embedding")

@@ -893,9 +893,13 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means lineage (2x the Lloyd rounds; measured ~2x wall)."""
     from pyspark.storagelevel import StorageLevel
 
+    from .emb_index import emb_cluster_index
+
     emb = _emb(spark, sf_dir)
-    # bounded: 1-row count-star scalar sizes the clustering to the corpus
-    assigned = sem_assignments(emb, emb.count())
+    # assignments come from the materialized cluster index (the ingest
+    # artifact — queries/emb_index.py); SPARK_GRAFT_EMB_INDEX=0 re-runs
+    # the Lloyd rounds in-plan (referee, equality test-pinned)
+    assigned = emb_cluster_index(spark, sf_dir)
     cv = (
         assigned.join(emb, "vec_id")
         .select("cluster", "vec_id", "embedding")

@@ -120,3 +120,37 @@ def test_index_scan_replaces_normalize_chain_in_plan(spark):
     plan = formatted_plan(REGISTRY["q51_minhash_lsh_pairs"].fn(spark, SF_SMALL))
     assert "regexp_replace" not in plan
     assert si.SIG_INDEX_DIR in plan
+
+
+# --- embedding cluster-assignment index (queries/emb_index.py) -----------
+
+
+@pytest.mark.parametrize("name", ("q154_semdedup", "q169_curation_pipeline"))
+def test_emb_index_path_equals_inplan_referee(spark, name, monkeypatch):
+    via_index = _rows(spark, name)
+    monkeypatch.setenv("SPARK_GRAFT_EMB_INDEX", "0")
+    spark.catalog.clearCache()
+    assert _rows(spark, name) == via_index
+
+
+def test_emb_index_fingerprint_tracks_fixture_and_params(tmp_path):
+    from discogs_load_spark.queries import emb_index as ei
+
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    dst = tmp_path / "embeddings.parquet"
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, str(dst))
+    fp1 = ei._index_fingerprint(str(tmp_path))
+    assert fp1.startswith(ei._version())
+    st = os.stat(dst)
+    os.utime(dst, (st.st_atime, st.st_mtime + 7))
+    assert ei._index_fingerprint(str(tmp_path)) != fp1
+
+
+def test_emb_index_is_total_over_vectors(spark):
+    from discogs_load_spark.queries.emb_index import emb_cluster_index
+    from discogs_load_spark.session import load_tables
+
+    idx = emb_cluster_index(spark, SF_SMALL)
+    emb = load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()
