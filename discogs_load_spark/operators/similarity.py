@@ -256,6 +256,7 @@ def embedding_best_match_adaptive(
     vec_col: str,
     dim: int,
     max_planes: int | None = None,
+    enriched: DataFrame | None = None,
 ) -> DataFrame:
     """Best bucket-mate with a DATA-ADAPTIVE plane count: sign bits for
     ``max_planes`` hyperplanes are computed once per vector, and the
@@ -279,6 +280,27 @@ def embedding_best_match_adaptive(
     )
 
     mp = max_planes or ADAPTIVE_LSH_MAX_PLANES
+    if enriched is not None:
+        # precomputed per-vector columns (queries/emb_index.py): the
+        # stored 16-plane sign string's PREFIX is this bucket key by the
+        # nested-plane-family property, and nrm is the same IEEE sqrt
+        assert mp <= ADAPTIVE_LSH_MAX_PLANES
+        nr = enriched.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        base = (
+            enriched.crossJoin(F.broadcast(nr))
+            .select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).alias("vec"),
+                F.expr(
+                    f"substring(bits, 1, {adaptive_planes_sql('n_rows')})"
+                ).alias("bucket"),
+                F.col("nrm"),
+            )
+            # 1-2 index splits otherwise (see _bucketed_base)
+            .repartition("bucket")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return _best_match_from_bucketed(base, id_col, dim)
     signs = lsh_bucket_sql(vec_col, mp, dim, "spark")
     nr = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     base = (
@@ -303,6 +325,7 @@ def embedding_best_match(
     vec_col: str,
     dim: int,
     n_planes: int = DEFAULT_PLANES,
+    enriched: DataFrame | None = None,
 ) -> DataFrame:
     """Per-vector best LSH-bucket neighbor: (id, best_id, best_cosine,
     n_candidates) — the BOUNDED-output dual of
@@ -316,14 +339,43 @@ def embedding_best_match(
     candidate set is never materialized. Candidate generation is the same
     bucket equi-join (~N²/2^planes comparisons); at corpus scale n_planes
     grows with log(N) to hold per-bucket population constant."""
+    base = _bucketed_base(df, id_col, vec_col, dim, n_planes, enriched)
+    return _best_match_from_bucketed(base, id_col, dim)
+
+
+def _bucketed_base(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    enriched: DataFrame | None,
+) -> DataFrame:
+    """(vid, vec, bucket, nrm) — from the enriched index (prefix of the
+    stored 16-plane sign string + stored norm; queries/emb_index.py) or
+    computed in-plan. Bitwise-equal paths: the plane family is nested,
+    and the stored nrm is the same IEEE sqrt expression."""
+    from ..functions.vectors import ADAPTIVE_LSH_MAX_PLANES
+
+    if enriched is not None:
+        assert n_planes <= ADAPTIVE_LSH_MAX_PLANES
+        # repartition on the bucket key: the small index parquet reads
+        # back as 1-2 splits (serial bucket join otherwise); the one
+        # exchange restores parallelism and co-partitions both self-join
+        # sides (ReusedExchange — the lsh_candidate_pairs discipline)
+        return enriched.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.expr(f"substring(bits, 1, {n_planes})").alias("bucket"),
+            F.col("nrm"),
+        ).repartition("bucket")
     bucket = lsh_bucket_sql(vec_col, n_planes, dim, "spark")
-    base = df.select(
+    return df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.expr(bucket).alias("bucket"),
         F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("nrm"),
     )
-    return _best_match_from_bucketed(base, id_col, dim)
 
 
 def embedding_near_dup_pairs(
@@ -333,6 +385,7 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = DEFAULT_PLANES,
+    enriched: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: bucket self-join, then exact cosine.
 
@@ -340,13 +393,7 @@ def embedding_near_dup_pairs(
     p planes a corpus of N splits into ~2^p buckets, so the pair candidate
     count is ~N²/2^p instead of N². Output (id_a < id_b, cosine >= threshold).
     """
-    bucket = lsh_bucket_sql(vec_col, n_planes, dim, "spark")
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.expr(bucket).alias("bucket"),
-        F.expr(f"sqrt({norm2_sql(vec_col, dim, 'spark')})").alias("nrm"),
-    )
+    base = _bucketed_base(df, id_col, vec_col, dim, n_planes, enriched)
     a = base.select(
         F.col("vid").alias("id_a"),
         F.col("vec").alias("vec_a"),

@@ -1154,6 +1154,8 @@ def q141_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .withColumn("text_dup", F.lit(True))
     )
+    from .emb_index import emb_enriched
+
     epairs = (
         embedding_near_dup_pairs(
             emb,
@@ -1162,6 +1164,7 @@ def q141_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             DIM,
             threshold=NEARDUP_THRESHOLD,
             n_planes=NEARDUP_PLANES,
+            enriched=emb_enriched(spark, sf_dir),
         )
         .select("id_a", "id_b")
         .withColumn("emb_dup", F.lit(True))

@@ -35,9 +35,13 @@ EMB_INDEX_DIR = os.environ.get(
 
 
 def _version() -> str:
+    from ..functions.vectors import ADAPTIVE_LSH_MAX_PLANES
     from .similarity import SEM_CELL, SEM_ITER
 
-    return f"v1:semcell{SEM_CELL}-iter{SEM_ITER}"
+    return (
+        f"v2:semcell{SEM_CELL}-iter{SEM_ITER}"
+        f"-bits{ADAPTIVE_LSH_MAX_PLANES}-nrm"
+    )
 
 
 def _index_fingerprint(sf_dir: str) -> str:
@@ -46,28 +50,57 @@ def _index_fingerprint(sf_dir: str) -> str:
     return f"{_version()}|{src}|{st.st_size}|{int(st.st_mtime)}"
 
 
-def _assignment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _enriched_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build lineage, in-plan: the embeddings table enriched with
+    every per-vector derived column the similarity family consumes —
+    the k-means cluster (SemDeDup blocking), the 16-hyperplane sign-bit
+    string (every LSH consumer's bucket is a PREFIX of it: the plane
+    family is nested by construction, functions/vectors.hyperplanes),
+    and the L2 norm (the exact-cosine denominators). At production
+    scale this IS the enriched embeddings table a pipeline writes at
+    ingest; locally it doubles a small fixture."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import (
+        ADAPTIVE_LSH_MAX_PLANES,
+        lsh_bucket_sql,
+        norm2_sql,
+    )
     from ..session import load_tables
-    from .similarity import sem_assignments
+    from .similarity import DIM, sem_assignments
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     # bounded: 1-row count-star scalar sizes the clustering to the corpus
-    return sem_assignments(emb, emb.count())
+    assigned = sem_assignments(emb, emb.count())
+    bits = lsh_bucket_sql("embedding", ADAPTIVE_LSH_MAX_PLANES, DIM, "spark")
+    return (
+        emb.join(assigned, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            F.expr(bits).alias("bits"),
+            F.expr(f"sqrt({norm2_sql('embedding', DIM, 'spark')})").alias(
+                "nrm"
+            ),
+        )
+    )
 
 
-def emb_cluster_index(
+def emb_enriched(
     spark: SparkSession, sf_dir: str, rebuild: bool = False
 ) -> DataFrame:
-    """(vec_id, cluster) — materialized per corpus fingerprint; see the
-    module docstring. ``SPARK_GRAFT_EMB_INDEX=0`` bypasses and returns
-    the in-plan Lloyd lineage (referee mode)."""
+    """(vec_id, embedding, cluster, bits, nrm) — the materialized
+    enriched embeddings table; see the module docstring.
+    ``SPARK_GRAFT_EMB_INDEX=0`` bypasses and returns the in-plan
+    lineage (referee mode)."""
     if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
-        return _assignment_frame(spark, sf_dir)
+        return _enriched_frame(spark, sf_dir)
     fp = _index_fingerprint(sf_dir)
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     dest = os.path.join(EMB_INDEX_DIR, key)
     if rebuild or not os.path.isdir(dest):
-        frame = _assignment_frame(spark, sf_dir)
+        frame = _enriched_frame(spark, sf_dir)
         tmp = f"{dest}.tmp.{os.getpid()}"
         frame.write.mode("overwrite").parquet(tmp)
         try:
@@ -77,3 +110,14 @@ def emb_cluster_index(
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
     return spark.read.parquet(dest)
+
+
+def emb_cluster_index(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """(vec_id, cluster) — the SemDeDup blocking view of the enriched
+    table (column pruning reaches the parquet scan, so the embedding
+    payload is never read)."""
+    return emb_enriched(spark, sf_dir, rebuild=rebuild).select(
+        "vec_id", "cluster"
+    )

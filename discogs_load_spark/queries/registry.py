@@ -110,10 +110,15 @@ RECHECK: tuple[str, ...] = (
     "q182_pmi_collocations",
     "q184_bloom_membership",
     "q209_adaptive_cms_width",
-    # r10 (cont.): SemDeDup blocking reads the materialized embedding
-    # cluster-assignment index (queries/emb_index.py)
+    # r10 (cont.): the similarity family reads the materialized enriched
+    # embeddings index (queries/emb_index.py — cluster assignment,
+    # 16-plane sign bits, norms)
     "q154_semdedup",
     "q169_curation_pipeline",
+    "q54_embedding_neardup",
+    "q95_embedding_dedup_groups",
+    "q192_best_embedding_match",
+    "q199_adaptive_lsh_best_match",
 )
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]

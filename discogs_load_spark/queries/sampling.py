@@ -884,18 +884,22 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.storagelevel import StorageLevel
 
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
 
-    # assignments from the materialized cluster index (the ingest
-    # artifact — queries/emb_index.py; flat k-means at driver scales,
-    # two-level above, sized by the corpus count at build time)
-    from .emb_index import emb_cluster_index
+    # (cluster, vec_id, embedding) from the materialized enriched index
+    # (the ingest artifact — queries/emb_index.py; flat k-means at driver
+    # scales, two-level above, sized by the corpus count at build time)
+    from .emb_index import emb_enriched
 
-    assigned = emb_cluster_index(spark, sf_dir)
+    # repartition on the join key: the small index parquet reads back as
+    # 1-2 splits, which would run the quadratic in-cluster cosine stage
+    # on 1-2 cores; one exchange restores parallelism AND co-partitions
+    # both self-join sides (ReusedExchange — the lsh_candidate_pairs
+    # discipline)
     cv = (
-        assigned.join(emb, "vec_id")
+        emb_enriched(spark, sf_dir)
         .select("cluster", "vec_id", "embedding")
+        .repartition("cluster")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     av = cv.select(

@@ -122,12 +122,15 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     best match, same blocking), q199 (adaptive plane ladder), q95 (the
     cluster rollup of this pair set). Excluded from the bench scale tier
     by policy (bench.SF1_REFEREE_EXCLUDED)."""
+    from .emb_index import emb_enriched
+
     return embedding_near_dup_pairs(
         _emb(spark, sf_dir),
         "vec_id",
         "embedding",
         DIM,
         threshold=NEARDUP_THRESHOLD,
+        enriched=emb_enriched(spark, sf_dir),
         n_planes=NEARDUP_PLANES,
     )
 
@@ -178,8 +181,11 @@ def q192_best_embedding_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing keeps bucket population ~N²/256, so this form is
     quarantined from the bench scale tier; its measured adaptive dual is
     q199 (plane-prefix ladder, in the tier every round)."""
+    from .emb_index import emb_enriched
+
     return embedding_best_match(
-        _emb(spark, sf_dir), "vec_id", "embedding", DIM, n_planes=ANN_PLANES
+        _emb(spark, sf_dir), "vec_id", "embedding", DIM, n_planes=ANN_PLANES,
+        enriched=emb_enriched(spark, sf_dir),
     )
 
 
@@ -234,8 +240,11 @@ def q199_adaptive_lsh_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning family nested (a longer prefix only splits buckets),
     and the result stays a pure function of the input set, so the DuckDB
     oracle reproduces it bitwise at any sf."""
+    from .emb_index import emb_enriched
+
     return embedding_best_match_adaptive(
-        _emb(spark, sf_dir), "vec_id", "embedding", DIM
+        _emb(spark, sf_dir), "vec_id", "embedding", DIM,
+        enriched=emb_enriched(spark, sf_dir),
     )
 
 
@@ -420,6 +429,8 @@ def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vecs counts every member."""
     from ..operators.dedup import capped_member_rollup, connected_components
 
+    from .emb_index import emb_enriched
+
     pairs = embedding_near_dup_pairs(
         _emb(spark, sf_dir),
         "vec_id",
@@ -427,6 +438,7 @@ def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         DIM,
         threshold=NEARDUP_THRESHOLD,
         n_planes=NEARDUP_PLANES,
+        enriched=emb_enriched(spark, sf_dir),
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
     return capped_member_rollup(comp, "component", "node", MEMBER_CAP).select(
@@ -893,16 +905,20 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means lineage (2x the Lloyd rounds; measured ~2x wall)."""
     from pyspark.storagelevel import StorageLevel
 
-    from .emb_index import emb_cluster_index
+    from .emb_index import emb_enriched
 
-    emb = _emb(spark, sf_dir)
-    # assignments come from the materialized cluster index (the ingest
-    # artifact — queries/emb_index.py); SPARK_GRAFT_EMB_INDEX=0 re-runs
-    # the Lloyd rounds in-plan (referee, equality test-pinned)
-    assigned = emb_cluster_index(spark, sf_dir)
+    # (cluster, vec_id, embedding) straight from the enriched index (the
+    # ingest artifact — queries/emb_index.py); SPARK_GRAFT_EMB_INDEX=0
+    # re-runs the Lloyd rounds in-plan (referee, equality test-pinned)
+    # repartition on the join key: the small index parquet reads back as
+    # 1-2 splits, which would run the quadratic in-cluster cosine stage
+    # on 1-2 cores; one exchange restores parallelism AND co-partitions
+    # both self-join sides (ReusedExchange — the lsh_candidate_pairs
+    # discipline)
     cv = (
-        assigned.join(emb, "vec_id")
+        emb_enriched(spark, sf_dir)
         .select("cluster", "vec_id", "embedding")
+        .repartition("cluster")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     av = cv.select(

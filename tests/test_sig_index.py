@@ -125,7 +125,18 @@ def test_index_scan_replaces_normalize_chain_in_plan(spark):
 # --- embedding cluster-assignment index (queries/emb_index.py) -----------
 
 
-@pytest.mark.parametrize("name", ("q154_semdedup", "q169_curation_pipeline"))
+@pytest.mark.parametrize(
+    "name",
+    (
+        "q154_semdedup",
+        "q169_curation_pipeline",
+        # v2 enriched-column consumers: stored sign-bit prefixes + norms
+        "q54_embedding_neardup",
+        "q95_embedding_dedup_groups",
+        "q192_best_embedding_match",
+        "q199_adaptive_lsh_best_match",
+    ),
+)
 def test_emb_index_path_equals_inplan_referee(spark, name, monkeypatch):
     via_index = _rows(spark, name)
     monkeypatch.setenv("SPARK_GRAFT_EMB_INDEX", "0")
@@ -147,10 +158,18 @@ def test_emb_index_fingerprint_tracks_fixture_and_params(tmp_path):
 
 
 def test_emb_index_is_total_over_vectors(spark):
-    from discogs_load_spark.queries.emb_index import emb_cluster_index
+    from discogs_load_spark.queries.emb_index import emb_enriched
     from discogs_load_spark.session import load_tables
 
-    idx = emb_cluster_index(spark, SF_SMALL)
+    idx = emb_enriched(spark, SF_SMALL)
     emb = load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
     assert idx.count() == emb.count()
     assert idx.select("vec_id").distinct().count() == emb.count()
+    # the stored sign string must be full-width (every consumer's bucket
+    # is a prefix of it) and the norm strictly positive for real vectors
+    from discogs_load_spark.functions.vectors import ADAPTIVE_LSH_MAX_PLANES
+
+    bad = idx.filter(
+        (F.length("bits") != ADAPTIVE_LSH_MAX_PLANES) | (F.col("nrm") <= 0)
+    )
+    assert bad.count() == 0
