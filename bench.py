@@ -302,12 +302,16 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     # both tiers — but time the builds themselves so the round's record
     # still carries the chunk-stage cost and its scaling
     from discogs_load_spark.queries.dedup import cdc_chunk_index
-    from discogs_load_spark.queries.emb_index import emb_cluster_index
-    from discogs_load_spark.queries.sig_index import doc_signature_index
+    from discogs_load_spark.queries.emb_index import emb_enriched
+    from discogs_load_spark.queries.sig_index import (
+        doc_prefix_rank_index,
+        doc_signature_index,
+    )
 
     cdc_build: dict[str, float] = {}
     sig_build: dict[str, float] = {}
     emb_build: dict[str, float] = {}
+    rank_build: dict[str, float] = {}
     for label, d in (("base_s", sf_dir), ("sf1_s", SF1_DIR)):
         t0 = _t.monotonic()
         _materialize(cdc_chunk_index(spark, d, rebuild=True))
@@ -316,9 +320,12 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         _materialize(doc_signature_index(spark, d, rebuild=True))
         sig_build[label] = round(_t.monotonic() - t0, 2)
         t0 = _t.monotonic()
-        _materialize(emb_cluster_index(spark, d, rebuild=True))
+        _materialize(emb_enriched(spark, d, rebuild=True))
         emb_build[label] = round(_t.monotonic() - t0, 2)
-    for b in (cdc_build, sig_build, emb_build):
+        t0 = _t.monotonic()
+        _materialize(doc_prefix_rank_index(spark, d, rebuild=True))
+        rank_build[label] = round(_t.monotonic() - t0, 2)
+    for b in (cdc_build, sig_build, emb_build, rank_build):
         b["scale_x"] = round(b["sf1_s"] / max(b["base_s"], 0.01), 1)
     spark.catalog.clearCache()
 
@@ -364,6 +371,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "cdc_index_build": cdc_build,
         "sig_index_build": sig_build,
         "emb_index_build": emb_build,
+        "prefix_rank_build": rank_build,
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
@@ -517,12 +525,18 @@ def main() -> None:
     t0 = time.monotonic()
     _materialize(doc_signature_index(spark, sf_dir, rebuild=True))
     sig_index = {"seconds": round(time.monotonic() - t0, 3)}
-    # embedding cluster-assignment index: same treatment (q154/q169)
-    from discogs_load_spark.queries.emb_index import emb_cluster_index
+    # enriched embedding index: same treatment (LSH/SemDeDup family)
+    from discogs_load_spark.queries.emb_index import emb_enriched
 
     t0 = time.monotonic()
-    _materialize(emb_cluster_index(spark, sf_dir, rebuild=True))
+    _materialize(emb_enriched(spark, sf_dir, rebuild=True))
     emb_index = {"seconds": round(time.monotonic() - t0, 3)}
+    # PPJoin prefix-rank index (q123/q215)
+    from discogs_load_spark.queries.sig_index import doc_prefix_rank_index
+
+    t0 = time.monotonic()
+    _materialize(doc_prefix_rank_index(spark, sf_dir, rebuild=True))
+    rank_index = {"seconds": round(time.monotonic() - t0, 3)}
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
@@ -641,6 +655,7 @@ def main() -> None:
             "cdc_index_build": cdc_index,
             "sig_index_build": sig_index,
             "emb_index_build": emb_index,
+            "prefix_rank_build": rank_index,
         }
         if sf1 is not None:
             sidecar["sf1"] = sf1
@@ -665,6 +680,7 @@ def main() -> None:
         "cdc_index_build": cdc_index,
         "sig_index_build": sig_index,
         "emb_index_build": emb_index,
+        "prefix_rank_build": rank_index,
     }
     if sf1 is not None:
         payload["sf1"] = sf1

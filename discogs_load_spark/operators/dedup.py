@@ -590,6 +590,7 @@ def containment_prefix_pairs(
     threshold: float = 0.9,
     shingles: DataFrame | None = None,
     sets: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT containment join via ASYMMETRIC prefix filtering — the
     containment-aware blocking :func:`containment_verify`'s recall note
@@ -622,25 +623,37 @@ def containment_prefix_pairs(
 
     ``shingles`` — optional precomputed (id_col, sh array) frame (the
     signature index path); ``sets`` — optional (id_col, shset) frame
-    forwarded to the :func:`containment_verify` tail."""
+    forwarded to the :func:`containment_verify` tail; ``ranked`` —
+    optional precomputed (id_col, sh, __sz, __rn) rarest-first rank
+    frame (sig_index.doc_prefix_rank_index), replacing the df-rollup +
+    window stages below. Repartitioned on the join key: a small index
+    parquet reads back as 1-2 splits (the q154 lesson), and one
+    exchange co-partitions both prefix-join sides."""
     from pyspark.sql import Window as W
 
-    if shingles is not None:
-        sh_pairs = shingles.select(
-            F.col(id_col), F.explode("sh").alias("sh")
-        ).distinct()
+    if ranked is not None:
+        ranked = ranked.repartition("sh").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     else:
-        sh_pairs = shingled(df, id_col, text_col, k).distinct()
-    doc_freq = sh_pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    by_doc = W.partitionBy(id_col)
-    rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
-    ranked = (
-        sh_pairs.join(doc_freq, "sh")
-        .withColumn("__sz", F.count(F.lit(1)).over(by_doc))
-        .withColumn("__rn", F.row_number().over(rarest_first))
-        .select(id_col, "sh", "__sz", "__rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        if shingles is not None:
+            sh_pairs = shingles.select(
+                F.col(id_col), F.explode("sh").alias("sh")
+            ).distinct()
+        else:
+            sh_pairs = shingled(df, id_col, text_col, k).distinct()
+        doc_freq = sh_pairs.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        by_doc = W.partitionBy(id_col)
+        rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
+        ranked = (
+            sh_pairs.join(doc_freq, "sh")
+            .withColumn("__sz", F.count(F.lit(1)).over(by_doc))
+            .withColumn("__rn", F.row_number().over(rarest_first))
+            .select(id_col, "sh", "__sz", "__rn")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     need = F.ceil(F.lit(threshold) * F.col("__ssub") - F.lit(1e-9))
     sub = ranked.filter(
         F.col("__rn")
@@ -971,6 +984,7 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     shingles: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (PPJoin family):
     all pairs with shingle-set Jaccard >= ``threshold``, NO approximation.
@@ -1007,26 +1021,43 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    if shingles is not None:
-        pairs = shingles.select(
-            F.col(id_col), F.explode("sh").alias("sh")
-        ).distinct()
-    else:
-        pairs = shingled(df, id_col, text_col, k).distinct()
-    doc_freq = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    by_doc = W.partitionBy(id_col)
-    rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
-    prefixes = (
-        pairs.join(doc_freq, "sh")
-        .withColumn("__sz", F.count(F.lit(1)).over(by_doc))
-        .withColumn("__rn", F.row_number().over(rarest_first))
-        .filter(
-            F.col("__rn")
-            <= F.col("__sz") - F.floor(F.lit(threshold) * F.col("__sz")) + 1
+    if ranked is not None:
+        # precomputed rarest-first ranks (sig_index.doc_prefix_rank_index):
+        # this operator's prefix is one filter over them; repartition on
+        # the join key (the q154 small-parquet lesson + ReusedExchange)
+        prefixes = (
+            ranked.filter(
+                F.col("__rn")
+                <= F.col("__sz")
+                - F.floor(F.lit(threshold) * F.col("__sz"))
+                + 1
+            )
+            .repartition("sh")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .select(id_col, "sh", "__sz", "__rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    else:
+        if shingles is not None:
+            pairs = shingles.select(
+                F.col(id_col), F.explode("sh").alias("sh")
+            ).distinct()
+        else:
+            pairs = shingled(df, id_col, text_col, k).distinct()
+        doc_freq = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        by_doc = W.partitionBy(id_col)
+        rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
+        prefixes = (
+            pairs.join(doc_freq, "sh")
+            .withColumn("__sz", F.count(F.lit(1)).over(by_doc))
+            .withColumn("__rn", F.row_number().over(rarest_first))
+            .filter(
+                F.col("__rn")
+                <= F.col("__sz")
+                - F.floor(F.lit(threshold) * F.col("__sz"))
+                + 1
+            )
+            .select(id_col, "sh", "__sz", "__rn")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     a = prefixes.select(
         F.col(id_col).alias("id_a"), "sh",
         F.col("__sz").alias("__sa"), F.col("__rn").alias("__pa"),

@@ -1080,10 +1080,12 @@ def q123_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs formulation — on this corpus both paths recover exactly the
     planted near-duplicate pairs, but only this one is guaranteed to.
     Shingle arrays come precomputed from the signature index."""
+    from .sig_index import doc_prefix_rank_index
+
     return prefix_filter_jaccard_pairs(
         _docs(spark, sf_dir), "doc_id", "text", k=3,
         threshold=JACCARD_THRESHOLD,
-        shingles=doc_shingle_frame(spark, sf_dir),
+        ranked=doc_prefix_rank_index(spark, sf_dir),
     )
 
 
@@ -2052,11 +2054,13 @@ def q215_containment_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     (base shingles are a strict subset), so both directions of every
     planted pair appear; the recall theorem is pinned separately with a
     synthetic quote-in-article fixture in tests."""
+    from .sig_index import doc_prefix_rank_index
+
     return containment_prefix_pairs(
         _docs(spark, sf_dir), "doc_id", "text", k=3,
         threshold=CONTAINMENT_THRESHOLD,
-        shingles=doc_shingle_frame(spark, sf_dir),
         sets=doc_shingle_sets(spark, sf_dir),
+        ranked=doc_prefix_rank_index(spark, sf_dir),
     )
 
 

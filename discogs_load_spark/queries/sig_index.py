@@ -166,3 +166,56 @@ def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_signature_index(spark, sf_dir).select(
         "doc_id", F.array_distinct("sh").alias("shset")
     )
+
+
+def _prefix_rank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, __sz, __rn) — every document's DISTINCT shingles
+    ranked rarest-global-document-frequency-first (shingle text as the
+    tie-break) with the doc's set size: the PPJoin-family blocking
+    artifact both exact set-similarity operators consume
+    (operators/dedup.prefix_filter_jaccard_pairs and
+    containment_prefix_pairs derive their prefixes by filtering __rn
+    against their own thresholds). Ordering depends on corpus-wide
+    document frequency, so like the signature columns it is a pure
+    function of the corpus — an ingest artifact."""
+    from pyspark.sql import Window as W
+
+    sh_pairs = (
+        doc_signature_index(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    doc_freq = sh_pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    by_doc = W.partitionBy("doc_id")
+    rarest_first = by_doc.orderBy(F.col("__df").asc(), F.col("sh").asc())
+    return (
+        sh_pairs.join(doc_freq, "sh")
+        .withColumn("__sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn("__rn", F.row_number().over(rarest_first))
+        .select("doc_id", "sh", "__sz", "__rn")
+    )
+
+
+def doc_prefix_rank_index(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """Materialized :func:`_prefix_rank_frame` — cache key = the
+    signature index fingerprint + a stage suffix; the same
+    ``SPARK_GRAFT_SIG_INDEX=0`` referee switch returns the in-plan
+    lineage (which then also derives its shingles in-plan)."""
+    if os.environ.get("SPARK_GRAFT_SIG_INDEX", "1") == "0":
+        return _prefix_rank_frame(spark, sf_dir)
+    fp = _index_fingerprint(sf_dir) + "|prefixrank-v1"
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(SIG_INDEX_DIR, key)
+    if rebuild or not os.path.isdir(dest):
+        frame = _prefix_rank_frame(spark, sf_dir)
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        frame.write.mode("overwrite").parquet(tmp)
+        try:
+            if rebuild and os.path.isdir(dest):
+                shutil.rmtree(dest)
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return spark.read.parquet(dest)

@@ -141,12 +141,16 @@ def main() -> None:
     # and a warm-but-unused index costs one linear pass) so a probe
     # never pays ingest inside its timed window. The build cost itself
     # is bench.py's sig_index_build line.
-    from discogs_load_spark.queries.emb_index import emb_cluster_index
-    from discogs_load_spark.queries.sig_index import doc_signature_index
+    from discogs_load_spark.queries.emb_index import emb_enriched
+    from discogs_load_spark.queries.sig_index import (
+        doc_prefix_rank_index,
+        doc_signature_index,
+    )
 
     for d in (small, big):
         _materialize(doc_signature_index(spark, d))
-        _materialize(emb_cluster_index(spark, d))
+        _materialize(emb_enriched(spark, d))
+        _materialize(doc_prefix_rank_index(spark, d))
     spark.catalog.clearCache()
 
     tiny = str(TESTDATA / "sf0.001")
