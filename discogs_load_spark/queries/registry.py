@@ -72,54 +72,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # normalize→shingle→minhash chain per query — same semantics, same
 # oracles, referee equality test-pinned (tests/test_sig_index.py), but
 # each query must re-earn its driver row on the NEW path.
-RECHECK: tuple[str, ...] = (
-    "q202_cdc_chunk_dedup",
-    "q205_cdc_novelty",
-    "q208_chunk_length_profile",
-    "q211_source_overlap_matrix",
-    "q212_cdc_index_delta",
-    "q50_exact_dedup",
-    "q51_minhash_lsh_pairs",
-    "q52_jaccard_neardup",
-    "q53_simhash",
-    "q64_simhash_hamming_pairs",
-    "q89_dedup_components",
-    "q100_incremental_dedup",
-    "q123_prefix_filter_jaccard",
-    "q141_dedup_consensus",
-    "q175_oph_minhash_pairs",
-    "q195_minhash_best_match",
-    "q201_adaptive_band_neardup",
-    "q204_neardup_keepers",
-    "q207_minhash_containment",
-    "q210_adaptive_merge_purge",
-    "q215_containment_prefix_exact",
-    # r10 (cont.): the token-level text-analysis family reads the index's
-    # v2 tokenized-corpus column (q173 transitively — it reuses q145's
-    # BM25 arm); same referee pattern, same reason to re-earn rows
-    "q87_tfidf_topk",
-    "q142_boilerplate_ngrams",
-    "q145_bm25_topk",
-    "q146_lm_doc_score",
-    "q147_dup_ngram_fraction",
-    "q171_bpe_merges",
-    "q172_bpe_encode",
-    "q173_hybrid_rrf",
-    "q178_kneser_ney",
-    "q180_countmin_heavy_hitters",
-    "q182_pmi_collocations",
-    "q184_bloom_membership",
-    "q209_adaptive_cms_width",
-    # r10 (cont.): the similarity family reads the materialized enriched
-    # embeddings index (queries/emb_index.py — cluster assignment,
-    # 16-plane sign bits, norms)
-    "q154_semdedup",
-    "q169_curation_pipeline",
-    "q54_embedding_neardup",
-    "q95_embedding_dedup_groups",
-    "q192_best_embedding_match",
-    "q199_adaptive_lsh_best_match",
-)
+RECHECK: tuple[str, ...] = ()
+# r11: emptied. The 40 r10 entries (CDC/sig-index/emb-index rewired paths)
+# all re-earned fully green rows in CORRECTNESS_r10; leaving them here would
+# make the r11 window replay the freshest-proven queries and starve the
+# genuinely stale tail (r03–r05 rows) of rotation slots (VERDICT r10 item 1).
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
