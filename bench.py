@@ -148,19 +148,41 @@ del _overlap
 
 
 def _prior_sf1_timings() -> dict[str, float]:
-    """Newest committed BENCH_perquery_r*.json's sf1 per-query map — the
+    """Newest PRIOR-round BENCH_perquery_r*.json's sf1 per-query map — the
     reference for the big-side sanity gate (VERDICT r09 item 3): the
     sf0.1 side has had a suite-reference gate since r08, but the sf1
     side had none and produced phantom regressions two rounds running
     (q95 in r08; q187/q186/q104 in r09 — all pinned to aged-JVM scatter
-    by fresh-process re-measure). Keys are short names (q64...)."""
+    by fresh-process re-measure). Keys are short names (q64...).
+
+    Sidecars from the CURRENT round are skipped (VERDICT r10 item 2): an
+    in-round bench run writes BENCH_perquery_r{N} for the round in
+    progress, and keying the cap to it let q95's intra-round creep
+    (15.64 s in r09 → 30.51 s in r10) ratchet the cap instead of
+    tripping it. The round in progress is max(BENCH_r*)+1 — the same
+    inference the sidecar writer uses — so the gate always compares
+    against the last COMPLETED round's record."""
     import re as _re
 
+    current = (
+        max(
+            (
+                int(m.group(1))
+                for p in REPO.glob("BENCH_r*.json")
+                for m in [_re.match(r"BENCH_r(\d+)\.json$", p.name)]
+                if m
+            ),
+            default=0,
+        )
+        + 1
+    )
     paths = sorted(
         REPO.glob("BENCH_perquery_r*.json"),
         key=lambda p: int(_re.search(r"r(\d+)", p.name).group(1)),
     )
     for p in reversed(paths):
+        if int(_re.search(r"r(\d+)", p.name).group(1)) >= current:
+            continue
         try:
             q = json.loads(p.read_text()).get("sf1", {}).get("queries")
             if q:

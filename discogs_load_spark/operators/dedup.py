@@ -582,6 +582,22 @@ def containment_verify(
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
+def _ranked_with_id(ranked: DataFrame, id_col: str) -> DataFrame:
+    """Adapt a precomputed rank frame to the caller's id column: the
+    materialized artifact (sig_index.doc_prefix_rank_index) carries
+    ``doc_id``, but the prefix operators select ``id_col`` — a caller
+    with any other id name would fail (or silently mis-select) without
+    this rename (ADVICE r10)."""
+    if id_col not in ranked.columns:
+        if "doc_id" not in ranked.columns:
+            raise ValueError(
+                f"ranked frame has neither {id_col!r} nor 'doc_id': "
+                f"{ranked.columns}"
+            )
+        return ranked.withColumnRenamed("doc_id", id_col)
+    return ranked
+
+
 def containment_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -632,7 +648,7 @@ def containment_prefix_pairs(
     from pyspark.sql import Window as W
 
     if ranked is not None:
-        ranked = ranked.repartition("sh").persist(
+        ranked = _ranked_with_id(ranked, id_col).repartition("sh").persist(
             StorageLevel.MEMORY_AND_DISK
         )
     else:
@@ -1025,6 +1041,7 @@ def prefix_filter_jaccard_pairs(
         # precomputed rarest-first ranks (sig_index.doc_prefix_rank_index):
         # this operator's prefix is one filter over them; repartition on
         # the join key (the q154 small-parquet lesson + ReusedExchange)
+        ranked = _ranked_with_id(ranked, id_col)
         prefixes = (
             ranked.filter(
                 F.col("__rn")

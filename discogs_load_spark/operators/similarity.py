@@ -250,28 +250,25 @@ def _best_match_from_bucketed(base: DataFrame, id_col: str, dim: int) -> DataFra
     )
 
 
-def embedding_best_match_adaptive(
+def _adaptive_bucketed_base(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    max_planes: int | None = None,
-    enriched: DataFrame | None = None,
+    max_planes: int | None,
+    enriched: DataFrame | None,
 ) -> DataFrame:
-    """Best bucket-mate with a DATA-ADAPTIVE plane count: sign bits for
-    ``max_planes`` hyperplanes are computed once per vector, and the
-    bucket key is the PREFIX of that sign string whose length the
-    corpus row count picks through :func:`adaptive_planes_sql`'s integer
-    CASE ladder — so expected bucket population (and with it the
-    candidate count per row) stays bounded as the corpus grows, inside
-    ONE static plan with no replan or recompile. This is the fix for the
-    fixed-plane form's quadratic candidate term (measured 49.8x at
-    sf1→sf10 with p frozen at 8; the prefix ladder re-measures ~linear).
-
-    The row count is a broadcast scalar (one stage-boundary statistic,
-    the q194 discipline); prefix-of-signs means the ladder can only
-    COARSEN or REFINE the same partitioning family, so results remain a
-    pure deterministic function of the input set in both engines."""
+    """(vid, vec, bucket, nrm) with the DATA-ADAPTIVE prefix bucket,
+    persisted (both self-join sides reuse it): sign bits for
+    ``max_planes`` hyperplanes computed once per vector (or read from
+    the enriched index's stored 16-plane string — a PREFIX of it is the
+    same key by the nested-plane-family property), bucket = the prefix
+    whose length the corpus row count picks through
+    :func:`adaptive_planes_sql`'s integer CASE ladder. The row count is
+    a broadcast scalar (one stage-boundary statistic, the q194
+    discipline); prefix-of-signs means the ladder can only COARSEN or
+    REFINE the same partitioning family, so results remain a pure
+    deterministic function of the input set in both engines."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions.vectors import (
@@ -281,18 +278,21 @@ def embedding_best_match_adaptive(
 
     mp = max_planes or ADAPTIVE_LSH_MAX_PLANES
     if enriched is not None:
-        # precomputed per-vector columns (queries/emb_index.py): the
-        # stored 16-plane sign string's PREFIX is this bucket key by the
-        # nested-plane-family property, and nrm is the same IEEE sqrt
         assert mp <= ADAPTIVE_LSH_MAX_PLANES
         nr = enriched.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        base = (
+        # least(mp, ladder): the in-plan branch's sign string is only mp
+        # chars long, so its substring self-caps at mp — the stored
+        # 16-plane string must be capped EXPLICITLY or a caller passing
+        # max_planes < ladder gets finer buckets than the referee
+        # (ADVICE r10)
+        return (
             enriched.crossJoin(F.broadcast(nr))
             .select(
                 F.col(id_col).alias("vid"),
                 F.col(vec_col).alias("vec"),
                 F.expr(
-                    f"substring(bits, 1, {adaptive_planes_sql('n_rows')})"
+                    f"substring(bits, 1,"
+                    f" least({mp}, {adaptive_planes_sql('n_rows')}))"
                 ).alias("bucket"),
                 F.col("nrm"),
             )
@@ -300,10 +300,9 @@ def embedding_best_match_adaptive(
             .repartition("bucket")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        return _best_match_from_bucketed(base, id_col, dim)
     signs = lsh_bucket_sql(vec_col, mp, dim, "spark")
     nr = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    base = (
+    return (
         df.crossJoin(F.broadcast(nr))
         .select(
             F.col(id_col).alias("vid"),
@@ -316,7 +315,48 @@ def embedding_best_match_adaptive(
         # both self-join sides reuse the 16-plane sign computation
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def embedding_best_match_adaptive(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    max_planes: int | None = None,
+    enriched: DataFrame | None = None,
+) -> DataFrame:
+    """Best bucket-mate with a DATA-ADAPTIVE plane count
+    (:func:`_adaptive_bucketed_base`) — expected bucket population (and
+    with it the candidate count per row) stays bounded as the corpus
+    grows, inside ONE static plan with no replan or recompile. This is
+    the fix for the fixed-plane form's quadratic candidate term
+    (measured 49.8x at sf1→sf10 with p frozen at 8; the prefix ladder
+    re-measures ~linear)."""
+    base = _adaptive_bucketed_base(df, id_col, vec_col, dim, max_planes, enriched)
     return _best_match_from_bucketed(base, id_col, dim)
+
+
+def embedding_near_dup_pairs_adaptive(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    max_planes: int | None = None,
+    enriched: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs with the DATA-ADAPTIVE prefix bucket
+    (:func:`_adaptive_bucketed_base`) — the scale-safe form of
+    :func:`embedding_near_dup_pairs`, whose FIXED plane count keeps the
+    candidate term at N²/2^p (quadratic in the corpus for any frozen p;
+    the 4-plane referee measured 100.5x at sf1→sf10). Here the ladder
+    holds expected bucket population bounded, so candidates grow
+    ~linearly with N. Output (id_a < id_b, cosine >= threshold) within
+    shared adaptive buckets — the recall trade is the same single-band
+    hyperplane-LSH contract as the fixed form, with p now a function of
+    corpus size instead of a constant."""
+    base = _adaptive_bucketed_base(df, id_col, vec_col, dim, max_planes, enriched)
+    return _pairs_from_bucketed(base, dim, threshold)
 
 
 def embedding_best_match(
@@ -394,6 +434,13 @@ def embedding_near_dup_pairs(
     count is ~N²/2^p instead of N². Output (id_a < id_b, cosine >= threshold).
     """
     base = _bucketed_base(df, id_col, vec_col, dim, n_planes, enriched)
+    return _pairs_from_bucketed(base, dim, threshold)
+
+
+def _pairs_from_bucketed(base: DataFrame, dim: int, threshold: float) -> DataFrame:
+    """Shared pair tail: bucket equi self-join, exact cosine rerank,
+    (id_a < id_b, cosine >= threshold). ``base`` must carry
+    (vid, vec, bucket, nrm)."""
     a = base.select(
         F.col("vid").alias("id_a"),
         F.col("vec").alias("vec_a"),

@@ -35,12 +35,16 @@ EMB_INDEX_DIR = os.environ.get(
 
 
 def _version() -> str:
+    # every constant the build lineage branches on belongs here — a
+    # changed constant without a version change serves a stale cached
+    # index (ADVICE r10: SEM_K and the flat-vs-two-level cutoff were
+    # missing)
     from ..functions.vectors import ADAPTIVE_LSH_MAX_PLANES
-    from .similarity import SEM_CELL, SEM_ITER
+    from .similarity import SEM_CELL, SEM_ITER, SEM_K, SEM_TWO_LEVEL_MIN
 
     return (
-        f"v2:semcell{SEM_CELL}-iter{SEM_ITER}"
-        f"-bits{ADAPTIVE_LSH_MAX_PLANES}-nrm"
+        f"v2:semk{SEM_K}-semcell{SEM_CELL}-iter{SEM_ITER}"
+        f"-2lvl{SEM_TWO_LEVEL_MIN}-bits{ADAPTIVE_LSH_MAX_PLANES}-nrm"
     )
 
 

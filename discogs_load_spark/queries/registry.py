@@ -72,11 +72,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 # normalize→shingle→minhash chain per query — same semantics, same
 # oracles, referee equality test-pinned (tests/test_sig_index.py), but
 # each query must re-earn its driver row on the NEW path.
-RECHECK: tuple[str, ...] = ()
-# r11: emptied. The 40 r10 entries (CDC/sig-index/emb-index rewired paths)
-# all re-earned fully green rows in CORRECTNESS_r10; leaving them here would
-# make the r11 window replay the freshest-proven queries and starve the
-# genuinely stale tail (r03–r05 rows) of rotation slots (VERDICT r10 item 1).
+# r11: the 40 r10 entries (CDC/sig-index/emb-index rewired paths) all
+# re-earned fully green rows in CORRECTNESS_r10 and were removed — leaving
+# them would make the r11 window replay the freshest-proven queries and
+# starve the genuinely stale tail (r03–r05 rows) of rotation slots
+# (VERDICT r10 item 1).
+RECHECK: tuple[str, ...] = (
+    # r11: q95's blocking moved from the fixed 4-plane bucket to the
+    # adaptive plane-prefix ladder (VERDICT r10 item 2) — semantics AND
+    # oracle changed; it must re-earn a driver row on the new form.
+    "q95_embedding_dedup_groups",
+)
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 

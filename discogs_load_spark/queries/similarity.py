@@ -19,6 +19,7 @@ from ..operators.similarity import (
     embedding_best_match,
     embedding_best_match_adaptive,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_adaptive,
     ivf_topk,
     lsh_topk,
 )
@@ -120,8 +121,9 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic by construction. It stays registered as the oracle-simple
     referee; the user-facing forms are its bounded duals — q192 (per-row
     best match, same blocking), q199 (adaptive plane ladder), q95 (the
-    cluster rollup of this pair set). Excluded from the bench scale tier
-    by policy (bench.SF1_REFEREE_EXCLUDED)."""
+    cluster rollup of the ADAPTIVE pair set since r11 — it rode this
+    fixed-plane pair set through r10). Excluded from the bench scale
+    tier by policy (bench.SF1_REFEREE_EXCLUDED)."""
     from .emb_index import emb_enriched
 
     return embedding_near_dup_pairs(
@@ -384,16 +386,25 @@ def q138_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "q95_embedding_dedup_groups",
-    oracle=f"""
+def _q95_oracle() -> str:
+    from ..functions.vectors import (
+        ADAPTIVE_LSH_MAX_PLANES,
+        adaptive_planes_sql,
+    )
+
+    signs = lsh_bucket_sql("embedding", ADAPTIVE_LSH_MAX_PLANES, DIM, "duckdb")
+    cos = cosine_sql("x.embedding", "y.embedding", DIM, "duckdb")
+    return f"""
     WITH RECURSIVE
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM embeddings),
     buck AS (SELECT vec_id, embedding,
-                    {{bucket}} AS bucket FROM embeddings),
+                    substring({signs}, 1, {adaptive_planes_sql("n_rows")})
+                        AS bucket
+             FROM embeddings CROSS JOIN nr),
     pairs AS (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b
         FROM buck x JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-        WHERE {{cos}} >= {{thr}}
+        WHERE {cos} >= {NEARDUP_THRESHOLD}
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -411,33 +422,46 @@ def q138_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(array_to_string(list_sort(list(node))[1:{MEMBER_CAP}], '|'),
                     '') AS vec_ids
     FROM comp GROUP BY component
-    """.format(
-        bucket=lsh_bucket_sql("embedding", NEARDUP_PLANES, DIM, "duckdb"),
-        cos=cosine_sql("x.embedding", "y.embedding", DIM, "duckdb"),
-        thr=NEARDUP_THRESHOLD,
-    ),
-    tags=("dedup", "similarity", "embedding", "graph"),
+    """
+
+
+@register(
+    "q95_embedding_dedup_groups",
+    oracle=_q95_oracle(),
+    tags=("dedup", "similarity", "embedding", "graph", "adaptive"),
 )
 def q95_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup CLUSTERS: connected components over the q54
-    cosine pair graph — the same transitive-closure step q89 applies to
-    text near-dups (semantic dup chains A~B~C where A~C is below
-    threshold). One min-label propagation joins per round over a
-    pair list that LSH bucketing already made sub-quadratic. Member
+    """Embedding near-dup CLUSTERS: connected components over the
+    adaptive-prefix cosine pair graph — the same transitive-closure step
+    q89 applies to text near-dups (semantic dup chains A~B~C where A~C
+    is below threshold). One min-label propagation joins per round over
+    a pair list that LSH bucketing already made sub-quadratic. Member
     list capped at the MEMBER_CAP smallest ids via rank-before-collect
     (see capped_member_rollup: a dup family is fixture-unbounded);
-    n_vecs counts every member."""
+    n_vecs counts every member.
+
+    r11: blocking moved from the FIXED 4-plane bucket (an N²/16
+    candidate term, quadratic for any frozen plane count — the same
+    scale-killer that referee-excluded q54 at 100.5x) to the adaptive
+    plane-prefix ladder (q199's blocking, reading the stored 16-plane
+    sign bits from the enriched index), so expected bucket population —
+    and candidates per row — stays bounded as the corpus grows. The
+    r10 triage preceding this (SCALE_PROBES_r11 session 1) pinned the
+    driver's 30.51 s sf1 reading to aged-JVM scatter: fresh-process
+    min-of-3 read 12.69 s on the SAME fixed-plane code, below r09's
+    15.64 s. The rewire is the scale fix, not a scatter fix. The
+    fixed-plane pair form remains registered (and oracle-checked) as
+    q54, the family's referee."""
     from ..operators.dedup import capped_member_rollup, connected_components
 
     from .emb_index import emb_enriched
 
-    pairs = embedding_near_dup_pairs(
+    pairs = embedding_near_dup_pairs_adaptive(
         _emb(spark, sf_dir),
         "vec_id",
         "embedding",
         DIM,
         threshold=NEARDUP_THRESHOLD,
-        n_planes=NEARDUP_PLANES,
         enriched=emb_enriched(spark, sf_dir),
     ).select("id_a", "id_b")
     comp = connected_components(pairs)

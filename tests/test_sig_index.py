@@ -52,6 +52,11 @@ def _rows(spark, name):
 
 @pytest.mark.parametrize("name", PINNED)
 def test_index_path_equals_inplan_referee(spark, name, monkeypatch):
+    # pin the switch ON for the index side: an ambient
+    # SPARK_GRAFT_SIG_INDEX=0 would make both sides run the referee and
+    # the equality vacuous (ADVICE r10)
+    monkeypatch.setenv("SPARK_GRAFT_SIG_INDEX", "1")
+    spark.catalog.clearCache()
     via_index = _rows(spark, name)
     monkeypatch.setenv("SPARK_GRAFT_SIG_INDEX", "0")
     spark.catalog.clearCache()
@@ -138,6 +143,9 @@ def test_index_scan_replaces_normalize_chain_in_plan(spark):
     ),
 )
 def test_emb_index_path_equals_inplan_referee(spark, name, monkeypatch):
+    # same anti-vacuity pin as the sig-index test above (ADVICE r10)
+    monkeypatch.setenv("SPARK_GRAFT_EMB_INDEX", "1")
+    spark.catalog.clearCache()
     via_index = _rows(spark, name)
     monkeypatch.setenv("SPARK_GRAFT_EMB_INDEX", "0")
     spark.catalog.clearCache()
