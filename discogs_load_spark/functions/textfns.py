@@ -122,12 +122,24 @@ def oph_bucket_sql(md5_expr: str, n_buckets: int) -> str:
 
 
 def band_key_sql(band: int, rows_per_band: int, dialect: str) -> str:
-    """LSH band key: md5 of the band's concatenated minhashes."""
+    """LSH band key: md5 of the band's concatenated minhashes.
+
+    The Spark side separates with '|' so VARIABLE-LENGTH minhash values
+    (the hashed index's bigint signatures print as 1-19 decimal digits)
+    can't alias across slots (concat(1, 11) == concat(11, 1) otherwise).
+    Key VALUES differ between the dialects either way — only bucket
+    MEMBERSHIP matters, and for the oracle side's fixed-width 32-hex
+    minhashes plain concatenation is already injective.
+
+    CONTRACT: callers must feed NON-NULL minhash rows (every signature
+    accessor filters shingle-less docs) — concat_ws skips nulls, so a
+    null slot would silently alias with its absence instead of nulling
+    the key like plain concat did."""
     lo = band * rows_per_band
     cols = [f"h{i}" for i in range(lo, lo + rows_per_band)]
     if dialect == "duckdb":
         return f"md5({' || '.join(cols)})"
-    return f"md5(concat({', '.join(cols)}))"
+    return f"md5(concat_ws('|', {', '.join(cols)}))"
 
 
 # Adaptive-parameter ladders (the q199/q194 discipline generalized —

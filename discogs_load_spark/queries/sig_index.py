@@ -36,14 +36,51 @@ pipelines persist signatures at ingest (the signature columns are
 ~n_hashes×32 B/doc, trivially small) and re-screen every delta against
 the index instead of re-hashing the corpus (q100's docstring has always
 described this; now it IS this). The ``sh`` column is the honest cost:
-storing raw shingle STRINGS is ~k× corpus size. We keep strings here
-because the DuckDB oracle's exactness argument stays by-construction
-(no hash-collision caveat in the Jaccard/containment verify); at real
-scale the documented variant is a 64-bit hash per shingle (xxhash64 —
-8 B/shingle, collision probability over a pair's union ~|union|²/2⁶⁴),
-or dropping ``sh`` entirely and recomputing verify sets for candidate
-docs only via a semi-join against the raw corpus — the verify stage only
-ever touches candidate pairs, never the full corpus.
+storing raw shingle STRINGS is ~k× corpus size — at 100 TB that is the
+difference between an index and a second corpus.
+
+HASHED/LEAN VARIANT (``SPARK_GRAFT_SIG_HASHED=1``, VERDICT r10
+item 3): the materialized index stores NO shingle payload at all and
+compacts the minhash columns to 60-bit BIGINTs (8 B/slot instead of a
+32-hex md5 string). Measured motivation (tools/sig_index_bytes.py):
+storing xxhash64 shingle ARRAYS saves nothing over strings on
+dictionary-encodable corpora — parquet already collapses both to ~2 B
+dictionary indexes per occurrence — while the minhash columns and the
+shingle payload together were ~85% of the index's bytes. Consumers
+split by need:
+
+- banding consumers read the stored compact signatures: banding
+  compares slot equality only, so candidate sets equal string mode's
+  unless two DISTINCT min-md5s agree on their first 60 bits
+  (~pairs/2⁶⁰ — the driver's oracle diff would surface a hit);
+- set-overlap consumers (the Jaccard/containment verify sets, the
+  prefix-rank blocking artifact) use ``shh`` — xxhash64 per shingle,
+  derived at read: |A∩B| and |A∪B| over xxhash64 images equal the
+  string-set sizes unless two DISTINCT shingles in the same pair's
+  union collide — probability ~|union|²/2⁶⁵ per pair (birthday bound
+  on a 64-bit uniform hash), an accepted error term a production
+  dedup pipeline trades for the smaller index and int-keyed shuffles;
+- shingle-TEXT consumers (SimHash/OPH folds over md5(shingle), the
+  bloom-grid and index-stats rollups that emit shingle columns) derive
+  ``sh`` from the stored ``toks`` with one array transform
+  (functions/textfns.shingles_sql) — values identical to the stored
+  strings by shared build expression, and the expensive part of the
+  chain (regex normalize + tokenize) still comes from the index.
+
+The string-mode index (default) is the REFEREE: tests/test_sig_hashed.py
+pins final-output equality between the modes for every rewired operator
+shape, and pins each compact signature slot to be EXACTLY the 60-bit
+truncation of the same min-md5 string mode stores (same underlying
+minhash — slot agreement is mode-independent modulo the truncation
+bound above). Prefix-filter CANDIDATE sets may
+differ between modes (the rarest-first tie-break orders hash values in
+hashed mode, shingle text in string mode) — exactness of the final pair
+set holds for ANY consistent total order (the PPJoin prefix theorem
+fixes only prefix LENGTH, not the order), which the equality test pins
+empirically. Default stays string mode this round so the driver's
+correctness window keeps rotating the stale tail instead of re-earning
+rewired-path rows (the r10 RECHECK lesson); flipping the default is a
+one-line change once a round has window room.
 
 Reference parity note: the reference engine pre-declares its access
 paths at ingest (discogs-load sql/indexes.sql:1-16); this index is the
@@ -68,28 +105,74 @@ SIG_INDEX_DIR = os.environ.get(
 # bump when shingle/signature semantics change so a stale cached index
 # can never satisfy a new definition
 _SIG_INDEX_VERSION = f"v2:k3-md5-n{DEFAULT_N_HASHES}-contenthash-toks"
+_SIG_INDEX_VERSION_HASHED = (
+    f"v5h:k3-md5-n{DEFAULT_N_HASHES}-chb16-toks-sigint60-noshingle"
+)
 
 SHINGLE_K = 3
+
+
+def hashed_mode() -> bool:
+    """True when the index stores xxhash64 shingles instead of strings
+    (``SPARK_GRAFT_SIG_HASHED=1`` — see module docstring)."""
+    return os.environ.get("SPARK_GRAFT_SIG_HASHED", "0") == "1"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
 
-def sig_frame(docs: DataFrame) -> DataFrame:
+def sig_frame(docs: DataFrame, hashed: bool | None = None) -> DataFrame:
     """The index lineage, in-plan: one row per document (docs with < k
     tokens keep an EMPTY ``sh`` and null h-columns — they are still
     exact-dedup-able via ``content_hash``, matching the long-standing
     operator contract that shingle-less docs fall out of MinHash). The
     normalize→tokenize chain is materialized once per row (the
     _shingle_col discipline: inlined copies defeat codegen
-    subexpression elimination)."""
+    subexpression elimination).
+
+    ``hashed`` (default: the ambient mode) swaps the stored layout:
+
+    - string mode (referee): the full ``sh`` string array plus the
+      32-hex md5 minhash columns — every value inspectable, the
+      by-construction-exact oracle shape;
+    - hashed mode: NO shingle payload at all (``sh``/``shh`` are
+      re-derived from the stored ``toks`` at read — one array
+      transform, no regex; the normalize→tokenize cost stays paid at
+      ingest) and the minhash columns stored as 60-bit BIGINTs (the
+      first 15 hex digits of the same min-md5) — 8 B instead of ~32 B
+      per slot. Banding compares signature equality only, so candidate
+      sets match string mode unless two DISTINCT min-md5s agree on
+      their first 60 bits (~pairs/2⁶⁰, the truncation analogue of the
+      shingle-hash bound in the module docstring). Null contract
+      unchanged: shingle-less docs keep null h-columns in both modes."""
+    if hashed is None:
+        hashed = hashed_mode()
     out = (
         docs.withColumn("__norm", F.expr(norm_sql("text", "spark")))
         .withColumn("content_hash", F.md5("__norm"))
         .withColumn("toks", F.expr(tokens_sql("__norm", "spark")))
         .withColumn("sh", F.expr(shingles_sql("toks", SHINGLE_K, "spark")))
     )
+    if hashed:
+        sig_cols = [
+            F.expr(
+                f"CAST(conv(substring("
+                f"array_min(transform(sh, s -> md5('{i}:' || s))),"
+                f" 1, 15), 16, 10) AS BIGINT)"
+            ).alias(f"h{i}")
+            for i in range(DEFAULT_N_HASHES)
+        ]
+        # content_hash stored as its 16 raw bytes (LOSSLESS — the exact-
+        # dedup contract keeps all 128 bits; read path derives the hex
+        # string back, lower(hex(chb)) == md5's lowercase output)
+        return out.select(
+            "doc_id",
+            "source",
+            F.unhex("content_hash").alias("chb"),
+            "toks",
+            *sig_cols,
+        )
     sig_cols = [
         F.expr(f"array_min(transform(sh, s -> md5('{i}:' || s)))").alias(
             f"h{i}"
@@ -101,26 +184,43 @@ def sig_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _index_fingerprint(sf_dir: str) -> str:
+def with_derived_index_cols(df: DataFrame) -> DataFrame:
+    """Re-derive the hashed/lean layout's dropped columns at read:
+    ``content_hash`` (hex of the stored 16-byte ``chb`` — bit-identical
+    to md5's lowercase output), ``sh`` (string shingles from the stored
+    token array — identical values to the string-mode column by shared
+    build expression) and ``shh`` (xxhash64 per shingle, the
+    set-consumer payload). All lazily computed — Catalyst prunes them
+    away for consumers that never select them. Public because the
+    streaming index maintainer (q218) lands raw ``sig_frame`` output
+    and normalizes the same way at read."""
+    if "chb" in df.columns:
+        df = df.withColumn("content_hash", F.lower(F.hex("chb")))
+    if "sh" not in df.columns:
+        df = df.withColumn(
+            "sh", F.expr(shingles_sql("toks", SHINGLE_K, "spark"))
+        )
+    if "shh" not in df.columns:
+        df = df.withColumn("shh", F.expr("transform(sh, s -> xxhash64(s))"))
+    return df
+
+
+def _index_fingerprint(sf_dir: str, hashed: bool | None = None) -> str:
+    if hashed is None:
+        hashed = hashed_mode()
+    version = _SIG_INDEX_VERSION_HASHED if hashed else _SIG_INDEX_VERSION
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     st = os.stat(src)
-    return f"{_SIG_INDEX_VERSION}|{src}|{st.st_size}|{int(st.st_mtime)}"
+    return f"{version}|{src}|{st.st_size}|{int(st.st_mtime)}"
 
 
-def doc_signature_index(
-    spark: SparkSession, sf_dir: str, rebuild: bool = False
+def _materialized(
+    spark: SparkSession, dest: str, frame_fn, rebuild: bool
 ) -> DataFrame:
-    """The materialized per-document signature index (see module
-    docstring). Cache key = documents.parquet fingerprint + index
-    version; ``SPARK_GRAFT_SIG_INDEX=0`` bypasses materialization and
-    returns the in-plan lineage (referee mode)."""
-    if os.environ.get("SPARK_GRAFT_SIG_INDEX", "1") == "0":
-        return sig_frame(_docs(spark, sf_dir))
-    fp = _index_fingerprint(sf_dir)
-    key = hashlib.md5(fp.encode()).hexdigest()[:16]
-    dest = os.path.join(SIG_INDEX_DIR, key)
+    """Write-once parquet materialization with the tmp-rename race rule
+    shared by every index builder in this module."""
     if rebuild or not os.path.isdir(dest):
-        frame = sig_frame(_docs(spark, sf_dir))
+        frame = frame_fn()
         tmp = f"{dest}.tmp.{os.getpid()}"
         frame.write.mode("overwrite").parquet(tmp)
         try:
@@ -132,13 +232,42 @@ def doc_signature_index(
     return spark.read.parquet(dest)
 
 
+def doc_signature_index(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """The materialized per-document signature index (see module
+    docstring). Cache key = documents.parquet fingerprint + index
+    version (mode-specific — the two modes cache separately);
+    ``SPARK_GRAFT_SIG_INDEX=0`` bypasses materialization and returns the
+    in-plan lineage (referee mode). In hashed mode the returned frame
+    carries a lazily DERIVED ``sh`` column (from ``toks``) so
+    shingle-text consumers work unchanged while the stored payload is
+    the 8 B/element ``shh``."""
+    hashed = hashed_mode()
+    if os.environ.get("SPARK_GRAFT_SIG_INDEX", "1") == "0":
+        frame = sig_frame(_docs(spark, sf_dir), hashed=hashed)
+        return with_derived_index_cols(frame) if hashed else frame
+    fp = _index_fingerprint(sf_dir, hashed)
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(SIG_INDEX_DIR, key)
+    df = _materialized(
+        spark,
+        dest,
+        lambda: sig_frame(_docs(spark, sf_dir), hashed=hashed),
+        rebuild,
+    )
+    return with_derived_index_cols(df) if hashed else df
+
+
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h{n-1}) — drop-in for
     ``minhash_signatures(docs, "doc_id", "text")`` (same empty-shingle
-    filter, same hash math, column pruning reaches the index scan so the
-    ``sh`` payload is never read)."""
+    filter, same hash math). The filter keys on h0's nullness — the
+    index contract pins null h ⟺ empty shingle array — so column
+    pruning reaches the scan and NO shingle payload is read (in hashed
+    mode none is even stored)."""
     idx = doc_signature_index(spark, sf_dir)
-    return idx.filter(F.size("sh") > 0).select(
+    return idx.filter(F.col("h0").isNotNull()).select(
         "doc_id", *[f"h{i}" for i in range(DEFAULT_N_HASHES)]
     )
 
@@ -155,16 +284,24 @@ def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) — the raw shingle arrays, for the *_from_shingles
-    operator cores (SimHash, OPH MinHash) and the prefix-filter family."""
+    """(doc_id, sh) — the STRING shingle arrays, for the *_from_shingles
+    operator cores (SimHash, OPH MinHash fold md5 over shingle text).
+    In hashed mode ``sh`` is the derived-from-toks column — identical
+    values by shared build expression."""
     return doc_signature_index(spark, sf_dir).select("doc_id", "sh")
 
 
 def doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shset) — distinct shingle sets, the ``sets`` contract of
-    jaccard_verify / containment_verify."""
+    jaccard_verify / containment_verify (both are element-type-agnostic:
+    array_intersect/size only). In hashed mode the sets are xxhash64
+    values (derived from ``toks`` at read) — |A∩B|/|A∪B| over the hash
+    images equals the string-set Jaccard unless two distinct shingles in
+    the pair's union collide (~|union|²/2⁶⁵, the module-docstring
+    bound)."""
+    stored = "shh" if hashed_mode() else "sh"
     return doc_signature_index(spark, sf_dir).select(
-        "doc_id", F.array_distinct("sh").alias("shset")
+        "doc_id", F.array_distinct(stored).alias("shset")
     )
 
 
@@ -177,12 +314,24 @@ def _prefix_rank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment_prefix_pairs derive their prefixes by filtering __rn
     against their own thresholds). Ordering depends on corpus-wide
     document frequency, so like the signature columns it is a pure
-    function of the corpus — an ingest artifact."""
+    function of the corpus — an ingest artifact.
+
+    In hashed mode the ranked element is the xxhash64 value
+    (column still named ``sh`` — consumers join and filter by name):
+    document frequency of a hash equals that of its string
+    (collision-free case), and the rarest-first TIE-BREAK orders hash
+    values instead of shingle text, so prefixes — and with them
+    candidate sets — may differ between modes. The final pair set does
+    not: the prefix theorem's zero-false-negative guarantee fixes only
+    the prefix LENGTH and requires a consistent total order, any order
+    (tests/test_sig_hashed.py pins output equality)."""
     from pyspark.sql import Window as W
 
+    stored = "shh" if hashed_mode() else "sh"
     sh_pairs = (
         doc_signature_index(spark, sf_dir)
-        .select("doc_id", F.explode("sh").alias("sh"))
+        .select("doc_id", F.col(stored).alias("__shs"))
+        .select("doc_id", F.explode("__shs").alias("sh"))
         .distinct()
     )
     doc_freq = sh_pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
@@ -205,17 +354,11 @@ def doc_prefix_rank_index(
     lineage (which then also derives its shingles in-plan)."""
     if os.environ.get("SPARK_GRAFT_SIG_INDEX", "1") == "0":
         return _prefix_rank_frame(spark, sf_dir)
+    # _index_fingerprint is mode-aware, so the hashed and string rank
+    # artifacts cache separately too
     fp = _index_fingerprint(sf_dir) + "|prefixrank-v1"
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     dest = os.path.join(SIG_INDEX_DIR, key)
-    if rebuild or not os.path.isdir(dest):
-        frame = _prefix_rank_frame(spark, sf_dir)
-        tmp = f"{dest}.tmp.{os.getpid()}"
-        frame.write.mode("overwrite").parquet(tmp)
-        try:
-            if rebuild and os.path.isdir(dest):
-                shutil.rmtree(dest)
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
-    return spark.read.parquet(dest)
+    return _materialized(
+        spark, dest, lambda: _prefix_rank_frame(spark, sf_dir), rebuild
+    )

@@ -722,7 +722,7 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         docs.write.mode("overwrite").parquet(src)
 
-    from .sig_index import sig_frame
+    from .sig_index import sig_frame, with_derived_index_cols
 
     out = tempfile.mkdtemp(prefix="q218_sig_idx_")
 
@@ -742,10 +742,15 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    idx = spark.read.parquet(out)
+    # normalize the landed layout (hashed mode stores chb, not the hex
+    # content_hash) the same way the batch index's read path does
+    idx = with_derived_index_cols(spark.read.parquet(out))
     return idx.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum((F.size("sh") > 0).cast("int")).cast("bigint").alias(
+        # h0's nullness IS the minhashable contract (null h ⟺ empty
+        # shingles) and exists in both index modes — the lean hashed
+        # layout stores no shingle payload at all
+        F.sum(F.col("h0").isNotNull().cast("int")).cast("bigint").alias(
             "n_minhashable"
         ),
         F.countDistinct("content_hash").cast("bigint").alias(
