@@ -878,7 +878,6 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join (never all-pairs), domain-sized propagation, and a
     |sources|-row rollup with one 1-row broadcast normalizer. vec_id ==
     doc_id in the fixtures (TESTDATA.md), linking the two tables."""
-    from ..functions.vectors import cosine_sql
     from ..operators.dedup import connected_components
     from .similarity import DIM, SEM_THRESHOLD
 
@@ -898,20 +897,34 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline)
     cv = (
         emb_enriched(spark, sf_dir)
-        .select("cluster", "vec_id", "embedding")
+        .select("cluster", "vec_id", "embedding", "nrm")
         .repartition("cluster")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     av = cv.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     bv = cv.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = cosine_sql("ea", "eb", DIM, "spark")
+    # dot / (stored_norm_a * stored_norm_b): ONE fold per pair instead of
+    # three (the inlined cosine recomputed both norms per PAIR — this was
+    # the suite's single most expensive stage at every tier; bitwise equal
+    # to the oracle's inline form, same association) — r11, VERDICT item 5
+    from ..functions.vectors import dot_sql
+
+    cos = F.expr(dot_sql("ea", "eb", DIM, "spark")) / (
+        F.col("na") * F.col("nb")
+    )
     pairs = (
         av.join(bv, (av.cluster == bv.cluster) & (F.col("id_a") < F.col("id_b")))
-        .filter(F.expr(cos) >= SEM_THRESHOLD)
+        .filter(cos >= SEM_THRESHOLD)
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs)

@@ -941,28 +941,38 @@ def q154_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline)
     cv = (
         emb_enriched(spark, sf_dir)
-        .select("cluster", "vec_id", "embedding")
+        .select("cluster", "vec_id", "embedding", "nrm")
         .repartition("cluster")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     av = cv.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     bv = cv.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = cosine_sql("ea", "eb", DIM, "spark")
+    # dot / (stored_norm_a * stored_norm_b): ONE fold per pair instead of
+    # three (the inlined cosine recomputed both norms per PAIR — r11; the
+    # stored nrm is the same IEEE sqrt, so the quotient is bitwise equal
+    # to the oracle's inline form — the embedding_near_dup_pairs claim)
+    from ..functions.vectors import dot_sql
+
+    cos = F.expr(dot_sql("ea", "eb", DIM, "spark")) / (
+        F.col("na") * F.col("nb")
+    )
     return (
         av.join(
             bv,
             (av.cluster == bv.cluster) & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select(
-            av.cluster.alias("cluster"),
-            "vec_a",
-            "vec_b",
-            F.expr(cos).alias("cos"),
-        )
+        .withColumn("cos", cos)
+        .select(av.cluster.alias("cluster"), "vec_a", "vec_b", "cos")
         .filter(F.col("cos") >= SEM_THRESHOLD)
     )
 

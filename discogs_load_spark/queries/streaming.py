@@ -759,3 +759,236 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+def _q219_oracle() -> str:
+    from .dedup import _cdc_chunks_duckdb
+
+    return f"""
+    WITH ch AS (
+        SELECT DISTINCT unnest({_cdc_chunks_duckdb()}) AS chunk_hash
+        FROM documents
+    )
+    SELECT substring(chunk_hash, 1, 1) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_landed,
+           MIN(chunk_hash) AS min_hash,
+           MAX(chunk_hash) AS max_hash
+    FROM ch GROUP BY bucket
+    """
+
+
+@register(
+    "q219_streaming_cdc_index_maintenance",
+    oracle=_q219_oracle(),
+    tags=("streaming", "index", "cdc", "incremental", "index-maintenance"),
+)
+def q219_streaming_cdc_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDC chunk index maintained BY THE STREAMING ENGINE — q212's
+    batch write-set computed per MICRO-BATCH: documents arrive as a
+    throttled file stream, each batch chunks its documents (the same
+    Arrow chunker the batch index uses), anti-joins the batch's distinct
+    hashes against the index AS LANDED SO FAR, and appends only the
+    novel ones (the q100/q212 'screen the delta against the artifact'
+    shape run incrementally from an empty index). The batch's novel set
+    is materialized BEFORE the append (persist + count) so the
+    anti-join reads the pre-append file listing — the read-your-own-
+    writes hazard a naive same-directory read/append would have.
+
+    The rollup's twin counts ARE the exactly-once invariant: a hash
+    re-appended by any batch (an anti-join that missed earlier
+    landings) makes n_rows_landed exceed n_chunks and breaks the value
+    hash against the oracle, which recomputes the distinct corpus chunk
+    set from raw documents. Scale shape: per batch, one map-side chunk
+    pass + one hash-keyed anti-join against the index (the bucketed
+    lake-table layout q212's docstring names); the landed index grows
+    by novel content only."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import _cdc_chunk_frame
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_docs_{_cache_key(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        docs.write.mode("overwrite").parquet(src)
+
+    out = tempfile.mkdtemp(prefix="q219_cdc_idx_")
+    landed_schema = "chunk_hash string"
+
+    def land_novel(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_hashes = (
+            _cdc_chunk_frame(batch_df).select("chunk_hash").distinct()
+        )
+        if any(f.endswith(".parquet") for f in os.listdir(out)):
+            index_so_far = spark.read.schema(landed_schema).parquet(out)
+        else:
+            index_so_far = spark.createDataFrame([], landed_schema)
+        novel = batch_hashes.join(
+            index_so_far, "chunk_hash", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        novel.count()  # pin the pre-append listing before writing
+        novel.write.mode("append").parquet(out)
+        novel.unpersist()
+
+    with _stream_drain_conf(spark):
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .writeStream.foreachBatch(land_novel)
+            .option("checkpointLocation", os.path.join(out, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    idx = spark.read.parquet(out)
+    return idx.groupBy(
+        F.substring("chunk_hash", 1, 1).alias("bucket")
+    ).agg(
+        F.countDistinct("chunk_hash").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_landed"),
+        F.min("chunk_hash").alias("min_hash"),
+        F.max("chunk_hash").alias("max_hash"),
+    )
+
+
+EMB_STREAM_BITS = 8  # landed sign-prefix width (fixed: dual-dialect)
+
+
+def _q220_oracle() -> str:
+    from ..functions.vectors import lsh_bucket_sql
+    from ..operators.clustering import kmeans_oracle_ctes
+    from .dedup import NEW_MOD, NEW_REM
+    from .similarity import DIM, SEM_ITER, sem_k_sql
+
+    parts, _, last_c = kmeans_oracle_ctes(
+        "base", "vec_id", "embedding", DIM, sem_k_sql("base"), SEM_ITER
+    )
+    from ..functions.vectors import cosine_sql
+
+    cos = cosine_sql("e.embedding", "c.centroid", DIM, "duckdb")
+    bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "duckdb")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH base AS (
+        SELECT * FROM embeddings WHERE vec_id % {NEW_MOD} <> {NEW_REM}
+    ),
+    {body},
+    newv AS (
+        SELECT vec_id, embedding, {bits} AS bits8
+        FROM embeddings WHERE vec_id % {NEW_MOD} = {NEW_REM}
+    ),
+    assigned AS (
+        SELECT vec_id, cluster, bits8 FROM (
+            SELECT e.vec_id, c.cluster, e.bits8,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cluster DESC)
+                       AS rn
+            FROM newv e CROSS JOIN {last_c} c
+        ) WHERE rn = 1
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           MIN(vec_id) AS min_vec,
+           MAX(vec_id) AS max_vec,
+           CAST(COUNT(DISTINCT bits8) AS BIGINT) AS n_buckets
+    FROM assigned GROUP BY cluster
+    """
+
+
+@register(
+    "q220_streaming_emb_index_maintenance",
+    oracle=_q220_oracle(),
+    tags=(
+        "streaming",
+        "index",
+        "embedding",
+        "clustering",
+        "index-maintenance",
+    ),
+)
+def q220_streaming_emb_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The enriched embedding index maintained BY THE STREAMING ENGINE —
+    the emb_index counterpart of q218/q219 (VERDICT r10 item 6): the
+    cluster partition is FROZEN from the base corpus (the ingest
+    artifact — centroids after the same unrolled Lloyd rounds
+    sem_assignments runs, trained WITHOUT the held-out delta), and new
+    vectors (the q100/q212 ``vec_id % {NEW_MOD} == {NEW_REM}`` snapshot
+    convention) arrive as a throttled file stream: each micro-batch
+    assigns its vectors to the nearest frozen centroid (broadcast
+    cosine argmax — a pure per-row function once the centroids are
+    fixed, so no state store) and appends enriched rows (vec_id,
+    cluster, sign-bit prefix) to the landed index. The rollup reads the
+    LANDED artifact; the oracle recomputes base k-means → frozen
+    centroids → delta assignment from raw ``embeddings``, so a dropped
+    batch, a drifted centroid, or a batch/stream divergence in the
+    assignment breaks the value hash.
+
+    This is the production answer to 'new vectors between re-clusters':
+    assign to the existing partition at arrival cost O(k·batch);
+    re-clustering on drift is a batch rebuild of the artifact (the
+    fingerprinted emb_enriched build), not a streaming operator."""
+    from ..functions.vectors import lsh_bucket_sql
+    from ..operators.clustering import assign_clusters, kmeans_centroids
+    from .dedup import NEW_MOD, NEW_REM
+    from .similarity import DIM, SEM_ITER, sem_k_value
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    is_new = (F.col("vec_id") % NEW_MOD) == NEW_REM
+    base = emb.filter(~is_new)
+    # bounded: 1-row count-star scalar sizes k (the emb_enriched rule)
+    k = sem_k_value(base.count())
+    cent = kmeans_centroids(
+        base, "vec_id", "embedding", DIM, k, SEM_ITER
+    ).persist()
+    cent.count()  # materialize the frozen artifact once, outside batches
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_newvecs_{_cache_key(sf_dir, 'embeddings')}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        emb.filter(is_new).write.mode("overwrite").parquet(src)
+
+    out = tempfile.mkdtemp(prefix="q220_emb_idx_")
+    bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark")
+
+    def land_assigned(batch_df: DataFrame, _batch_id: int) -> None:
+        assigned = assign_clusters(
+            batch_df, cent, "vec_id", "embedding", DIM
+        ).select("vec_id", "cluster")
+        enriched = batch_df.select(
+            "vec_id", F.expr(bits).alias("bits8")
+        ).join(assigned, "vec_id")
+        enriched.write.mode("append").parquet(out)
+
+    with _stream_drain_conf(spark):
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(land_assigned)
+            .option("checkpointLocation", os.path.join(out, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    cent.unpersist()
+    idx = spark.read.parquet(out)
+    return idx.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+        F.countDistinct("bits8").cast("bigint").alias("n_buckets"),
+    )
