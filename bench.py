@@ -156,6 +156,11 @@ del _overlap
 SF1_MIN_OF_3 = {
     "q123_prefix_filter_jaccard",
     "q215_containment_prefix_exact",
+    # r11: q95's warm-subprocess sf1 readings are bimodal too (23.66 vs
+    # 4.47 s across the round's two runs, identical code; fresh-process
+    # probes are stable at 4.8-5.5 s — SCALE_PROBES_r11 session 2), the
+    # same one-mode-pays-a-cache-state shape as the prefix family
+    "q95_embedding_dedup_groups",
 }
 
 
