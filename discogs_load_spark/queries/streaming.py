@@ -868,8 +868,13 @@ def _q220_oracle() -> str:
     from .dedup import NEW_MOD, NEW_REM
     from .similarity import DIM, SEM_ITER, sem_k_sql
 
+    # iterations = SEM_ITER + 1: the (SEM_ITER+1)-th centroid CTE is the
+    # per-cluster MEAN of the SEM_ITER-th assignment — exactly the frozen
+    # centroid table the engine derives with recompute_centroids (the
+    # surplus final assignment CTE is never referenced, so DuckDB never
+    # executes it)
     parts, _, last_c = kmeans_oracle_ctes(
-        "base", "vec_id", "embedding", DIM, sem_k_sql("base"), SEM_ITER
+        "base", "vec_id", "embedding", DIM, sem_k_sql("base"), SEM_ITER + 1
     )
     from ..functions.vectors import cosine_sql
 
@@ -936,20 +941,28 @@ def q220_streaming_emb_index_maintenance(
     This is the production answer to 'new vectors between re-clusters':
     assign to the existing partition at arrival cost O(k·batch);
     re-clustering on drift is a batch rebuild of the artifact (the
-    fingerprinted emb_enriched build), not a streaming operator."""
+    fingerprinted emb_enriched build), not a streaming operator.
+
+    The frozen centroids are the CLUSTER MEANS of the base partition —
+    derived from the same ``sem_assignments`` the enriched index build
+    runs (flat Lloyd at fixture scales, two-level above 50k vectors:
+    the first probe of this query used flat k-means training directly
+    and read 19.8x at sf1→sf10, the N·k ≈ N²/{SEM_CELL} term two-level
+    exists to remove). The oracle reproduces the means as one extra
+    centroid CTE after the unrolled flat rounds — exact at every driver
+    scale, where the engine's switch also picks flat."""
     from ..functions.vectors import lsh_bucket_sql
-    from ..operators.clustering import assign_clusters, kmeans_centroids
+    from ..operators.clustering import recompute_centroids
     from .dedup import NEW_MOD, NEW_REM
-    from .similarity import DIM, SEM_ITER, sem_k_value
+    from .similarity import DIM, sem_assignments
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     is_new = (F.col("vec_id") % NEW_MOD) == NEW_REM
     base = emb.filter(~is_new)
-    # bounded: 1-row count-star scalar sizes k (the emb_enriched rule)
-    k = sem_k_value(base.count())
-    cent = kmeans_centroids(
-        base, "vec_id", "embedding", DIM, k, SEM_ITER
-    ).persist()
+    # bounded: 1-row count-star scalar sizes the clustering (emb_enriched
+    # rule); flat vs two-level is sem_assignments' own switch
+    assigned = sem_assignments(base, base.count())
+    cent = recompute_centroids(assigned, base, "vec_id", "embedding").persist()
     cent.count()  # materialize the frozen artifact once, outside batches
 
     src = os.path.join(
@@ -961,20 +974,37 @@ def q220_streaming_emb_index_maintenance(
 
     out = tempfile.mkdtemp(prefix="q220_emb_idx_")
     bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark")
+    from ..functions.vectors import cosine_sql
+
+    ccos = cosine_sql("embedding", "centroid", DIM, "spark")
 
     def land_assigned(batch_df: DataFrame, _batch_id: int) -> None:
-        assigned = assign_clusters(
-            batch_df, cent, "vec_id", "embedding", DIM
-        ).select("vec_id", "cluster")
-        enriched = batch_df.select(
-            "vec_id", F.expr(bits).alias("bits8")
-        ).join(assigned, "vec_id")
-        enriched.write.mode("append").parquet(out)
+        # assign_clusters' shape (broadcast centroids + struct-max
+        # argmax) with bits8 CARRIED THROUGH the grouping key — it is
+        # functionally dependent on vec_id, so this saves the per-batch
+        # join back to the batch frame (measured: per-batch overhead
+        # dominated the sf10 drain)
+        scored = (
+            batch_df.select(
+                "vec_id", F.expr(bits).alias("bits8"), "embedding"
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster"
+            )
+        )
+        (
+            scored.groupBy("vec_id", "bits8")
+            .agg(F.max(F.struct("cos", "cluster")).alias("best"))
+            .select("vec_id", "bits8", F.col("best.cluster").alias("cluster"))
+            .write.mode("append")
+            .parquet(out)
+        )
 
     with _stream_drain_conf(spark):
         q = (
             spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 4)
             .parquet(src)
             .writeStream.foreachBatch(land_assigned)
             .option("checkpointLocation", os.path.join(out, "_chk"))
