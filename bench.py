@@ -121,6 +121,13 @@ SF1_QUERIES = [
     # 3.2-4.2x at sf1->sf10)
     "q216_signature_index_stats",
     "q217_phrase_search",
+    # r11: the streaming index-maintenance trio — per-batch map/anti-join
+    # drains whose cost tracks the file backlog (probed sf1->sf10:
+    # q219 3.2x, q220 10.2x after the two-level-training fix;
+    # SCALE_PROBES_r11)
+    "q218_streaming_index_ingest",
+    "q219_streaming_cdc_index_maintenance",
+    "q220_streaming_emb_index_maintenance",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

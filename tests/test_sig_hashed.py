@@ -1,9 +1,10 @@
-"""Hashed-shingle signature index pins (VERDICT r10 item 3).
+"""Hashed/lean signature index pins (VERDICT r10 item 3).
 
-``SPARK_GRAFT_SIG_HASHED=1`` makes the materialized index store
-``shh`` — xxhash64 per shingle, 8 B/element — instead of the raw
-shingle strings (queries/sig_index.py module docstring). These tests pin
-what makes that safe:
+``SPARK_GRAFT_SIG_HASHED=1`` switches the materialized index to the
+v5h layout: NO stored shingle payload (string and xxhash64 shingles
+re-derive from the stored token array at read), 60-bit BIGINT minhash
+slots, 16-byte content hash (queries/sig_index.py module docstring).
+These tests pin what makes that safe:
 
 1. FINAL OUTPUTS are bitwise mode-equal for every rewired operator
    shape: exact-hash groupBy, MinHash banding + Jaccard verify (hashed
@@ -11,11 +12,14 @@ what makes that safe:
    asymmetric-containment joins (hashed rank artifact — candidates may
    legally differ between modes, outputs may not), bloom/text consumers
    that emit shingle TEXT, and the index-contract stats rollup.
-2. The MinHash signature accessor is bitwise mode-equal (signatures are
-   computed from string shingles at BUILD time in both modes, so banded
-   candidate generation is mode-independent by construction).
-3. The hashed artifact ON DISK carries shh (array<bigint>) and NO sh
-   column — the k×-corpus string payload is genuinely not stored.
+2. Each compact minhash slot is EXACTLY the 60-bit truncation of the
+   string-mode min-md5 (same underlying minhash, so slot agreement is
+   mode-independent modulo the documented truncation bound).
+3. The hashed artifact ON DISK carries no shingle payload at all and
+   int64 minhash columns — the k×-corpus payload is genuinely not
+   stored.
+4. The referee switch (SIG_INDEX=0) is result-neutral WITHIN the
+   hashed layout, completing the four mode quadrants.
 """
 
 from __future__ import annotations
@@ -130,3 +134,23 @@ def test_hashed_shingle_sets_are_bigint(spark, monkeypatch):
     # and the ranked artifact's element follows the mode too
     ranked = si.doc_prefix_rank_index(spark, SF_SMALL, rebuild=True)
     assert ranked.schema["sh"].dataType.simpleString() == "bigint"
+
+
+@pytest.mark.parametrize(
+    "name", ("q52_jaccard_neardup", "q215_containment_prefix_exact")
+)
+def test_hashed_referee_mode_equals_hashed_index_mode(
+    spark, name, monkeypatch
+):
+    """The fourth mode quadrant: SIG_INDEX=0 (in-plan lineage) combined
+    with SIG_HASHED=1 must equal the materialized hashed index path —
+    the referee switch may never change results WITHIN a layout mode
+    (the other three quadrants are pinned by test_sig_index and the
+    mode-equality tests above)."""
+    monkeypatch.setenv("SPARK_GRAFT_SIG_HASHED", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SIG_INDEX", "1")
+    spark.catalog.clearCache()
+    via_index = _rows(spark, name)
+    monkeypatch.setenv("SPARK_GRAFT_SIG_INDEX", "0")
+    spark.catalog.clearCache()
+    assert _rows(spark, name) == via_index
