@@ -185,10 +185,18 @@ def _prior_sf1_timings() -> dict[str, float]:
     (15.64 s in r09 → 30.51 s in r10) ratchet the cap instead of
     tripping it. The round in progress is max(BENCH_r*)+1 — the same
     inference the sidecar writer uses — so the gate always compares
-    against the last COMPLETED round's record."""
+    against the last COMPLETED round's record.
+
+    REDO caveat (ADVICE r11): re-benching AFTER a round's BENCH_r{N}
+    has been written makes the inference read N+1 and compare against
+    that same round's sidecar — the same code state, re-opening the
+    self-ratchet for the redo case. Set SPARK_GRAFT_BENCH_ROUND=N when
+    re-running a finalized round so the gate keys to round N's PRIOR
+    sidecar; an unpinned redo is operator error by contract."""
     import re as _re
 
-    current = (
+    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    current = int(env_round) if env_round else (
         max(
             (
                 int(m.group(1))
@@ -689,13 +697,17 @@ def main() -> None:
     if abs(sf - 0.1) < 1e-9:
         import re as _re
 
+        env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
         rounds = [
             int(m.group(1))
             for p in REPO.glob("BENCH_r*.json")
             for m in [_re.match(r"BENCH_r(\d+)\.json$", p.name)]
             if m
         ]
-        rnd = max(rounds, default=0) + 1
+        # SPARK_GRAFT_BENCH_ROUND pins both the sidecar name and the
+        # sf1 gate prior — the redo-of-a-finalized-round contract
+        # (_prior_sf1_timings docstring)
+        rnd = int(env_round) if env_round else max(rounds, default=0) + 1
         sidecar = {
             "round_guess": rnd,
             "suite_total_s": total,

@@ -127,19 +127,32 @@ def band_key_sql(band: int, rows_per_band: int, dialect: str) -> str:
     The Spark side separates with '|' so VARIABLE-LENGTH minhash values
     (the hashed index's bigint signatures print as 1-19 decimal digits)
     can't alias across slots (concat(1, 11) == concat(11, 1) otherwise).
-    Key VALUES differ between the dialects either way — only bucket
-    MEMBERSHIP matters, and for the oracle side's fixed-width 32-hex
-    minhashes plain concatenation is already injective.
+    The oracle side keeps plain `||` concatenation: its fixed-width
+    32-hex minhashes are injective without a separator, and the
+    separator makes the two dialects' key VALUES differ (before the
+    '|' change they coincided in string mode — md5 over the same
+    concatenation). That divergence is safe because keys never appear
+    in query outputs; only bucket MEMBERSHIP matters, and both forms
+    are injective over non-null slots within their own dialect.
 
-    CONTRACT: callers must feed NON-NULL minhash rows (every signature
-    accessor filters shingle-less docs) — concat_ws skips nulls, so a
-    null slot would silently alias with its absence instead of nulling
-    the key like plain concat did."""
+    NULL slots null the whole key (ADVICE r11): concat_ws SKIPS nulls,
+    so without the guard a partially-null signature row would hash to a
+    valid band key that aliases with the same row minus the null slot —
+    and lsh_candidate_pairs / adaptive_lsh_candidate_pairs are public
+    operators taking arbitrary signature frames, so safety must not
+    rest on the accessors' pre-filtering alone. A nulled key drops the
+    row out of the band equi-join, exactly what plain concat did before
+    the separator change. The DuckDB `||` chain null-propagates
+    natively."""
     lo = band * rows_per_band
     cols = [f"h{i}" for i in range(lo, lo + rows_per_band)]
     if dialect == "duckdb":
         return f"md5({' || '.join(cols)})"
-    return f"md5(concat_ws('|', {', '.join(cols)}))"
+    any_null = " OR ".join(f"{c} IS NULL" for c in cols)
+    return (
+        f"(CASE WHEN {any_null} THEN CAST(NULL AS STRING)"
+        f" ELSE md5(concat_ws('|', {', '.join(cols)})) END)"
+    )
 
 
 # Adaptive-parameter ladders (the q199/q194 discipline generalized —

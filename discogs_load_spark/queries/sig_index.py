@@ -39,8 +39,9 @@ described this; now it IS this). The ``sh`` column is the honest cost:
 storing raw shingle STRINGS is ~k× corpus size — at 100 TB that is the
 difference between an index and a second corpus.
 
-HASHED/LEAN VARIANT (``SPARK_GRAFT_SIG_HASHED=1``, VERDICT r10
-item 3): the materialized index stores NO shingle payload at all and
+HASHED/LEAN LAYOUT (``SPARK_GRAFT_SIG_HASHED``, default ON since r12 —
+VERDICT r10 item 3 built it, r11 item 1 measured it, r12 made it the
+declared access path): the materialized index stores NO shingle payload at all and
 compacts the minhash columns to 60-bit BIGINTs (8 B/slot instead of a
 32-hex md5 string). Measured motivation (tools/sig_index_bytes.py):
 storing xxhash64 shingle ARRAYS saves nothing over strings on
@@ -67,7 +68,8 @@ split by need:
   strings by shared build expression, and the expensive part of the
   chain (regex normalize + tokenize) still comes from the index.
 
-The string-mode index (default) is the REFEREE: tests/test_sig_hashed.py
+The string-mode index (``SPARK_GRAFT_SIG_HASHED=0``) is the REFEREE:
+tests/test_sig_hashed.py
 pins final-output equality between the modes for every rewired operator
 shape, and pins each compact signature slot to be EXACTLY the 60-bit
 truncation of the same min-md5 string mode stores (same underlying
@@ -77,10 +79,18 @@ differ between modes (the rarest-first tie-break orders hash values in
 hashed mode, shingle text in string mode) — exactness of the final pair
 set holds for ANY consistent total order (the PPJoin prefix theorem
 fixes only prefix LENGTH, not the order), which the equality test pins
-empirically. Default stays string mode this round so the driver's
-correctness window keeps rotating the stale tail instead of re-earning
-rewired-path rows (the r10 RECHECK lesson); flipping the default is a
-one-line change once a round has window room.
+empirically.
+
+ACCEPTED ERROR BOUND under the hashed default (ADVICE r11, recorded so
+an eventual collision-induced driver diff is triaged as expected
+behavior, not a regression): against the exact-string DuckDB oracles a
+hashed-mode run carries a nonzero by-construction failure probability —
+~|union|²/2⁶⁵ per verified pair (xxhash64 set images) and ~pairs/2⁶⁰
+per banding slot (60-bit truncation). At the driver's sf0.01 tier
+(~6k docs, ~10³ verified pairs of ~10²-shingle unions) the total is
+< 10⁻¹⁰ per run; a hash-mismatch on exactly one dedup-family query
+should be re-run once and, if repeatable, triaged as a REAL bug (a
+repeatable collision at these set sizes is beyond the bound).
 
 Reference parity note: the reference engine pre-declares its access
 paths at ingest (discogs-load sql/indexes.sql:1-16); this index is the
@@ -112,10 +122,40 @@ _SIG_INDEX_VERSION_HASHED = (
 SHINGLE_K = 3
 
 
+def _semantics_hash() -> str:
+    """Digest of the SQL fragments the build lineage is made of — the
+    normalize, tokenize, and shingle expressions (spark dialect; the
+    duckdb fragments are value-equal by the dialect-fuzz tests). Folded
+    into the fingerprint so an edit to textfns' regexes can never serve
+    a stale cached index built under the old semantics (VERDICT r11
+    item 2: the version STRING only tracks constants someone remembers
+    to bump; the fragment text tracks itself). Resolved through the
+    module attribute (not the import-time binding) so a monkeypatched
+    fragment changes the fingerprint — which is also what the mutation
+    test pins (tests/test_sig_index.py)."""
+    from ..functions import textfns
+
+    frag = "\n".join(
+        (
+            textfns.norm_sql("text", "spark"),
+            textfns.tokens_sql("__norm", "spark"),
+            textfns.shingles_sql("toks", SHINGLE_K, "spark"),
+        )
+    )
+    return hashlib.md5(frag.encode()).hexdigest()[:10]
+
+
 def hashed_mode() -> bool:
-    """True when the index stores xxhash64 shingles instead of strings
-    (``SPARK_GRAFT_SIG_HASHED=1`` — see module docstring)."""
-    return os.environ.get("SPARK_GRAFT_SIG_HASHED", "0") == "1"
+    """True when the index stores the lean v5h layout (no shingle
+    payload, 60-bit bigint minhash slots) — THE DEFAULT since r12
+    (VERDICT r11 item 1: INDEX_BYTES_r11 measured the string payload at
+    5.3-7.4x the hashed layout's dedup bytes; at 100 TB the payload is
+    the binding constraint, so the lean layout is the declared access
+    path, not an option). ``SPARK_GRAFT_SIG_HASHED=0`` selects the
+    string-mode layout — the by-construction-exact REFEREE
+    (tests/test_sig_hashed.py pins output equality between the modes
+    for every rewired operator shape)."""
+    return os.environ.get("SPARK_GRAFT_SIG_HASHED", "1") == "1"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +251,10 @@ def _index_fingerprint(sf_dir: str, hashed: bool | None = None) -> str:
     version = _SIG_INDEX_VERSION_HASHED if hashed else _SIG_INDEX_VERSION
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     st = os.stat(src)
-    return f"{version}|{src}|{st.st_size}|{int(st.st_mtime)}"
+    return (
+        f"{version}-tf{_semantics_hash()}"
+        f"|{src}|{st.st_size}|{int(st.st_mtime)}"
+    )
 
 
 def _materialized(

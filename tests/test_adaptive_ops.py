@@ -56,6 +56,31 @@ def test_df_cap_ladder_is_sqrt_at_rung_edges():
             assert want * want == n  # cap = sqrt(N) at each rung edge
 
 
+def test_band_key_null_slot_nulls_key_in_both_dialects(spark):
+    """A partially-null signature row must produce a NULL band key —
+    dropping out of the band equi-join — not a valid key aliasing with
+    the same row minus the null slot (ADVICE r11: concat_ws skips
+    nulls, and lsh_candidate_pairs is a public operator over arbitrary
+    signature frames, so the guard can't live only in the accessors'
+    pre-filtering)."""
+    from discogs_load_spark.functions.textfns import band_key_sql
+
+    expr = band_key_sql(0, 2, "spark")
+    rows = spark.sql(
+        f"SELECT {expr} AS k FROM VALUES"
+        " ('a', 'b'), ('a', CAST(NULL AS STRING)), (NULL, 'b')"
+        " AS t(h0, h1)"
+    ).collect()
+    assert rows[0].k is not None
+    assert rows[1].k is None and rows[2].k is None
+    c = duckdb.connect()
+    dk = c.execute(
+        f"SELECT {band_key_sql(0, 2, 'duckdb')} AS k FROM"
+        " (SELECT 'a' AS h0, CAST(NULL AS VARCHAR) AS h1)"
+    ).fetchone()[0]
+    assert dk is None
+
+
 # --- structural property: wider bands ⟹ candidate subset -------------------
 
 

@@ -94,13 +94,51 @@ def test_fingerprint_tracks_fixture_identity_and_version(tmp_path):
     src = os.path.join(SF_SMALL, "documents.parquet")
     dst = tmp_path / "documents.parquet"
     (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, str(dst))
-    fp1 = si._index_fingerprint(str(tmp_path))
+    fp1 = si._index_fingerprint(str(tmp_path), hashed=False)
     assert fp1.startswith(si._SIG_INDEX_VERSION)
+    assert si._index_fingerprint(str(tmp_path), hashed=True).startswith(
+        si._SIG_INDEX_VERSION_HASHED
+    )
     # a regenerated fixture (same path, new mtime) must change the key
     st = os.stat(dst)
     os.utime(dst, (st.st_atime, st.st_mtime + 7))
-    fp2 = si._index_fingerprint(str(tmp_path))
+    fp2 = si._index_fingerprint(str(tmp_path), hashed=False)
     assert fp1 != fp2
+
+
+def test_fingerprint_tracks_textfn_semantics(monkeypatch):
+    """A changed normalize/tokenize/shingle SQL fragment must change the
+    fingerprint WITHOUT anyone remembering to bump the version string
+    (VERDICT r11 item 2: the under-folded fingerprint was the repo's one
+    latent wrong-answer path — a semantics edit serving a stale cached
+    index). Both layouts must rebuild: they share the build lineage."""
+    from discogs_load_spark.functions import textfns
+
+    fp_s = si._index_fingerprint(SF_SMALL, hashed=False)
+    fp_h = si._index_fingerprint(SF_SMALL, hashed=True)
+    orig = textfns.norm_sql
+    monkeypatch.setattr(
+        textfns, "norm_sql", lambda col, d: f"upper({orig(col, d)})"
+    )
+    assert si._index_fingerprint(SF_SMALL, hashed=False) != fp_s
+    assert si._index_fingerprint(SF_SMALL, hashed=True) != fp_h
+
+
+def test_emb_version_tracks_clustering_constants(monkeypatch):
+    """The emb-index fingerprint must fold every constant the build
+    lineage branches on — SEM_K was the r10 miss; pin it (and the
+    two-level cutoff) with a mutation, not a string inspection."""
+    from discogs_load_spark.queries import emb_index as ei
+    from discogs_load_spark.queries import similarity
+
+    v0 = ei._version()
+    monkeypatch.setattr(similarity, "SEM_K", similarity.SEM_K + 1)
+    v1 = ei._version()
+    assert v1 != v0
+    monkeypatch.setattr(
+        similarity, "SEM_TWO_LEVEL_MIN", similarity.SEM_TWO_LEVEL_MIN + 1
+    )
+    assert ei._version() != v1
 
 
 def test_index_build_is_one_map_side_pass(spark):

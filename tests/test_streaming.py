@@ -213,3 +213,56 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
         for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_q219_lands_partitioned_and_prunes_anti_join_reads(spark):
+    """The streaming CDC index maintainer must land its novel hashes
+    hash-prefix-PARTITIONED (pb= directories) and a bucket-filtered read
+    of the landed artifact must scan a strict subset of its files —
+    the partition pruning that bounds the per-batch anti-join to the
+    touched slice instead of the whole accumulated index (VERDICT r11
+    item 4). Exercised on the REAL landed artifact of a full q219 drain,
+    and the per-batch latencies the probe protocol reads must be there,
+    one per micro-batch."""
+    import os
+
+    from discogs_load_spark.queries import streaming as st
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    name = "q219_streaming_cdc_index_maintenance"
+    result = REGISTRY[name].fn(spark, SF_SMALL)
+    assert result.count() == 16  # hex first-char rollup, all buckets hit
+
+    out = st._LAST_CDC_LANDED_DIR
+    assert out is not None
+    part_dirs = [
+        e for e in os.listdir(out)
+        if e.startswith(f"{st.CDC_LANDED_PART_COL}=")
+    ]
+    assert len(part_dirs) > 1, "landing is not hash-prefix partitioned"
+
+    schema = f"chunk_hash string, {st.CDC_LANDED_PART_COL} string"
+    full = spark.read.schema(schema).parquet(out)
+    one_bucket = part_dirs[0].split("=", 1)[1]
+    pruned = full.filter(F.col(st.CDC_LANDED_PART_COL) == one_bucket)
+    # the bucket predicate must reach the scan as a PARTITION filter
+    # (directory pruning), not a data filter over a full scan
+    from discogs_load_spark.plans import formatted_plan
+
+    plan = formatted_plan(pruned)
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines and any(
+        st.CDC_LANDED_PART_COL in ln and one_bucket in ln
+        for ln in pf_lines
+    ), plan
+    # and the pruned read genuinely scans fewer rows than the artifact
+    # holds (each partition dir holds only its own bucket's hashes)
+    assert 0 < pruned.count() < full.count()
+
+    # one latency per micro-batch (>= 1: at sf0.001 the source can land
+    # as a single file and drain in one batch; the probe tiers land
+    # many files and genuinely span batches)
+    lat = st.BATCH_LATENCIES.get(name)
+    assert lat and all(t > 0 for t in lat)

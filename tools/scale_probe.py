@@ -204,10 +204,30 @@ def main() -> None:
             time.sleep(1.0)
         time.sleep(2.0)  # executor-side task interrupts lag the tracker
 
+    def per_batch_stats(q: str) -> dict | None:
+        """Per-micro-batch latencies for the streaming-maintenance trio
+        (VERDICT r11 item 5): drain wall time is backlog-proportional by
+        construction (more files = more batches), so a drain-total
+        scale_x overstates a streaming query's growth; the steady-state
+        number is the per-batch latency. Read from
+        streaming.BATCH_LATENCIES, which each drain resets and fills."""
+        from discogs_load_spark.queries import streaming
+
+        lat = streaming.BATCH_LATENCIES.get(q)
+        if not lat:
+            return None
+        return {
+            "n_batches": len(lat),
+            "mean_s": round(sum(lat) / len(lat), 3),
+            "max_s": round(max(lat), 3),
+            "last_s": round(lat[-1], 3),
+        }
+
     out: dict[str, list[dict]] = {}
     for _ in range(args.repeats):
         for q in args.queries:
             s = timed(q, small, None)
+            pb_small = per_batch_stats(q)
             b = timed(q, big, args.timeout_s)
             if b == "timeout":
                 settle()
@@ -217,6 +237,14 @@ def main() -> None:
                 rec["scale_x"] = round(b / s, 1)
             else:
                 rec["scale_x_floor"] = round(args.timeout_s / s, 1)
+            if pb_small:
+                rec[f"{small_name}_per_batch"] = pb_small
+                pb_big = per_batch_stats(q)
+                if pb_big:
+                    rec[f"{big_name}_per_batch"] = pb_big
+                    rec["per_batch_mean_scale_x"] = round(
+                        pb_big["mean_s"] / pb_small["mean_s"], 1
+                    )
             out.setdefault(q, []).append(rec)
     print(
         json.dumps(
