@@ -792,13 +792,17 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # q219 landing layout: the index lands hash-prefix-partitioned so each
 # micro-batch's anti-join PRUNES to the directories its candidate hashes
-# can live in. 2 hex chars = 256 buckets — enough granularity that a
-# small steady-state delta touches a strict subset; a production table
-# sizes this to target-file-size instead (the same knob as any bucketed
-# lake table). The rollup's 1-char bucket is derived from chunk_hash
-# independently, so the OUTPUT is layout-invariant.
+# can live in. 1 hex char = 16 buckets at fixture scale: bucket count is
+# a target-file-size knob (the same knob as any bucketed lake table —
+# a 100 TB deployment raises SPARK_GRAFT_CDC_LANDED_CHARS so a steady-
+# state delta touches a strict subset), and the MEASURED cost of over-
+# bucketing is real: at 256 buckets batch k's anti-join opened k x 256
+# tiny files and the sf1 drain read 56.7 s vs 14.7 flat (SCALE_PROBES
+# r12) — file-open fixed costs, not data. The rollup's 1-char bucket is
+# derived from chunk_hash independently, so the OUTPUT is
+# layout-invariant.
 CDC_LANDED_PREFIX_CHARS = int(
-    os.environ.get("SPARK_GRAFT_CDC_LANDED_CHARS", "2")
+    os.environ.get("SPARK_GRAFT_CDC_LANDED_CHARS", "1")
 )
 CDC_LANDED_PART_COL = "pb"
 # test hook: the most recent q219 landing directory (tests assert the
