@@ -128,6 +128,10 @@ SF1_QUERIES = [
     "q218_streaming_index_ingest",
     "q219_streaming_cdc_index_maintenance",
     "q220_streaming_emb_index_maintenance",
+    # r12: batch delta assignment via centroid-sized sign-prefix buckets
+    # (the sub-O(k) path for q220's per-batch argmax) — training dominates
+    # (the sem_assignments rounds); the assignment stage is O(rows x ~4)
+    "q221_delta_cluster_assign_lsh",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

@@ -149,6 +149,27 @@ ADAPTIVE_LSH_MAX_PLANES = 16
 ADAPTIVE_LSH_TARGET = 16  # max expected bucket population per band edge
 
 
+def centroid_planes_sql(k_col: str = "k_rows") -> str:
+    """Hyperplane count for bucketing a CENTROID table of k rows — the
+    small-side sibling of :func:`adaptive_planes_sql`, which starts at
+    p=8 because it targets corpus-sized sides (over a k≈8 centroid table
+    p=8 means 256 buckets for 8 rows: almost every probe bucket empty).
+    This ladder targets ~{ADAPTIVE_LSH_TARGET}/4 = 4 expected centroids
+    per bucket at each rung's upper edge, so a probing vector scores
+    O(1) candidates while its bucket is empty with probability
+    ~e^-(k/2^p) (the single-band recall term the consuming operator must
+    surface, e.g. as an explicit unassigned count). Same nested
+    prefix-of-signs family, same pure-integer CASE (cross-engine hash
+    gate), thresholds 4·2^p."""
+    return (
+        f"(CASE WHEN {k_col} <= 16 THEN 2"
+        f" WHEN {k_col} <= 64 THEN 4"
+        f" WHEN {k_col} <= 256 THEN 6"
+        f" WHEN {k_col} <= 1024 THEN 8"
+        f" WHEN {k_col} <= 4096 THEN 10 ELSE 12 END)"
+    )
+
+
 def adaptive_planes_sql(n_col: str = "n_rows") -> str:
     """Hyperplane count as a CASE ladder over the corpus row count: the
     smallest even p (in this ladder) with n / 2^p <= 16 at each band's

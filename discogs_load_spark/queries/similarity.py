@@ -1076,3 +1076,154 @@ def q158_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_factor"
         ),
     )
+
+
+def _delta_assign_oracle() -> str:
+    from ..functions.vectors import (
+        ADAPTIVE_LSH_MAX_PLANES,
+        centroid_planes_sql,
+    )
+    from ..operators.clustering import kmeans_oracle_ctes
+    from .dedup import NEW_MOD, NEW_REM
+
+    # SEM_ITER + 1: the final centroid CTE is the per-cluster MEAN of the
+    # SEM_ITER-th assignment — the same frozen table the engine derives
+    # with recompute_centroids (the q220 oracle construction)
+    parts, _, last_c = kmeans_oracle_ctes(
+        "base", "vec_id", "embedding", DIM, sem_k_sql("base"), SEM_ITER + 1
+    )
+    cbits = lsh_bucket_sql("centroid", ADAPTIVE_LSH_MAX_PLANES, DIM, "duckdb")
+    ebits = lsh_bucket_sql("embedding", ADAPTIVE_LSH_MAX_PLANES, DIM, "duckdb")
+    p = centroid_planes_sql("k_rows")
+    cos = cosine_sql("n.embedding", "c.centroid", DIM, "duckdb")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH base AS (
+        SELECT * FROM embeddings WHERE vec_id % {NEW_MOD} <> {NEW_REM}
+    ),
+    {body},
+    ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_rows FROM {last_c}),
+    centb AS (
+        SELECT cluster, centroid, substring({cbits}, 1, {p}) AS bk
+        FROM {last_c} CROSS JOIN ks
+    ),
+    newv AS (
+        SELECT vec_id, embedding, substring({ebits}, 1, {p}) AS bk
+        FROM embeddings CROSS JOIN ks
+        WHERE vec_id % {NEW_MOD} = {NEW_REM}
+    ),
+    best AS (
+        SELECT vec_id, cluster FROM (
+            SELECT n.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY n.vec_id
+                                      ORDER BY {cos} DESC, c.cluster DESC)
+                       AS rn
+            FROM newv n JOIN centb c ON n.bk = c.bk
+        ) WHERE rn = 1
+    ),
+    lab AS (
+        SELECT n.vec_id, COALESCE(b.cluster, -1) AS cluster
+        FROM newv n LEFT JOIN best b ON n.vec_id = b.vec_id
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           MIN(vec_id) AS min_vec,
+           MAX(vec_id) AS max_vec
+    FROM lab GROUP BY cluster
+    """
+
+
+@register(
+    "q221_delta_cluster_assign_lsh",
+    oracle=_delta_assign_oracle(),
+    tags=("similarity", "embedding", "clustering", "incremental", "ann"),
+)
+def q221_delta_cluster_assign_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-vector cluster assignment in O(rows x k/2^p): the sub-O(k)
+    answer to the cost term q220's per-batch latency metric exposed —
+    its frozen-centroid argmax scores every new vector against ALL k
+    centroids, and with k ~ sqrt(N) under the sem_k ladder the per-batch
+    multiple read 19.1x on 10x-bigger batches (SCALE_PROBES_r12). Here
+    centroids AND delta vectors are bucketed by a shared sign-bit
+    prefix whose length tracks the CENTROID count
+    (functions/vectors.centroid_planes_sql — the small-side sibling of
+    the corpus ladder), so each vector scores ~4 expected candidates
+    regardless of k; the argmax runs within the shared bucket. The
+    recall trade is explicit and first-class in the OUTPUT: a vector
+    whose bucket holds no centroid lands in the ``cluster = -1`` row
+    (single-band LSH miss probability ~e^-(k/2^p)) — the operational
+    signal for raising the probe count or falling back to the exact
+    q220 argmax for the residue, exactly how a production pipeline
+    splits cheap-path/exact-path assignment.
+
+    Training matches q220's frozen-snapshot contract: base corpus =
+    the vec_id-modulo snapshot complement (dedup.NEW_MOD/NEW_REM), the
+    same sem_assignments Lloyd rounds, centroids = per-cluster
+    decimal-exact means. The oracle
+    replays the full chain in SQL (unrolled k-means CTEs + the same
+    prefix join and DESC tie-breaks); like q220 it unrolls FLAT k-means,
+    so above SEM_TWO_LEVEL_MIN the engine's two-level switch makes
+    oracle comparisons fail by construction (fixture scales all run
+    flat). Plan shape: the centroid side is broadcast (k rows), the
+    bucket scalar is a 1-row broadcast count, the delta side is one
+    map pass + a broadcast equi-join + a partial-aggregable struct-max
+    argmax — no shuffle wider than the final |clusters|-sized rollup."""
+    from ..functions.vectors import (
+        ADAPTIVE_LSH_MAX_PLANES,
+        centroid_planes_sql,
+    )
+    from ..operators.clustering import recompute_centroids
+    from .dedup import NEW_MOD, NEW_REM
+
+    emb = _emb(spark, sf_dir)
+    is_new = (F.col("vec_id") % NEW_MOD) == NEW_REM
+    base = emb.filter(~is_new)
+    # bounded: 1-row count-star scalar sizes the clustering
+    n_base = base.count()
+    if n_base > SEM_TWO_LEVEL_MIN:
+        import warnings
+
+        warnings.warn(
+            f"q221: base corpus ({n_base} vectors) exceeds "
+            f"SEM_TWO_LEVEL_MIN={SEM_TWO_LEVEL_MIN}; the oracle unrolls "
+            "flat k-means and fails by construction at this scale "
+            "(docstring). Scale probes are unaffected.",
+            stacklevel=2,
+        )
+    assigned = sem_assignments(base, n_base)
+    cent = recompute_centroids(assigned, base, "vec_id", "embedding").persist()
+    ks = cent.agg(F.count(F.lit(1)).cast("bigint").alias("k_rows"))
+    p = centroid_planes_sql("k_rows")
+    cbits = lsh_bucket_sql("centroid", ADAPTIVE_LSH_MAX_PLANES, DIM, "spark")
+    ebits = lsh_bucket_sql("embedding", ADAPTIVE_LSH_MAX_PLANES, DIM, "spark")
+    centb = cent.crossJoin(F.broadcast(ks)).select(
+        "cluster",
+        "centroid",
+        F.expr(f"substring({cbits}, 1, {p})").alias("bk"),
+    )
+    newv = emb.filter(is_new).crossJoin(F.broadcast(ks)).select(
+        "vec_id",
+        "embedding",
+        F.expr(f"substring({ebits}, 1, {p})").alias("bk"),
+    )
+    cos = cosine_sql("embedding", "centroid", DIM, "spark")
+    best = (
+        newv.join(F.broadcast(centb), "bk")
+        .select("vec_id", F.expr(cos).alias("cos"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("cos", "cluster")).alias("b"))
+        .select("vec_id", F.col("b.cluster").alias("cluster"))
+    )
+    lab = (
+        emb.filter(is_new)
+        .select("vec_id")
+        .join(best, "vec_id", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.lit(-1)))
+    )
+    return lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )

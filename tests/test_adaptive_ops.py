@@ -624,3 +624,48 @@ def test_q215_finds_quote_in_article_that_banding_misses(spark):
     ).collect()
     hits = [r for r in exact if r.id_sub == 1 and r.id_super == 2]
     assert len(hits) == 1 and hits[0].containment == 1.0
+
+
+def test_centroid_planes_ladder_rungs():
+    """The centroid-table ladder targets ~4 expected centroids per
+    bucket at each rung's upper edge (4·2^p thresholds) — the
+    small-side sibling of adaptive_planes_sql, which starts at p=8 and
+    would leave almost every probe bucket empty over a k≈8 table."""
+    from discogs_load_spark.functions.vectors import centroid_planes_sql
+
+    c = duckdb.connect()
+    for k, want in [(1, 2), (16, 2), (17, 4), (64, 4), (65, 6),
+                    (256, 6), (257, 8), (1024, 8), (1025, 10),
+                    (4096, 10), (4097, 12)]:
+        got = c.execute(
+            f"SELECT {centroid_planes_sql(str(k))}"
+        ).fetchone()[0]
+        assert got == want, (k, got, want)
+        if k in (16, 64, 256, 1024, 4096):
+            assert 4 * (2 ** want) == k  # ~4 centroids/bucket at edges
+
+
+def test_q221_partitions_delta_exactly_and_broadcasts_centroids(spark):
+    """Every delta vector lands in EXACTLY one output row's count —
+    assigned rows plus the explicit cluster = -1 bucket-miss row — and
+    the centroid-side joins are broadcast (the small side is k rows; a
+    shuffle join there would be a planning bug)."""
+    from discogs_load_spark.plans import formatted_plan
+    from discogs_load_spark.queries.dedup import NEW_MOD, NEW_REM
+    from discogs_load_spark.queries.registry import REGISTRY
+    from discogs_load_spark.session import load_tables
+
+    out = REGISTRY["q221_delta_cluster_assign_lsh"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    emb = load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+    n_delta = emb.filter(
+        (F.col("vec_id") % NEW_MOD) == NEW_REM
+    ).count()
+    assert sum(r.n_new for r in rows) == n_delta
+    assert all(r.cluster >= -1 for r in rows)
+
+    plan = formatted_plan(
+        REGISTRY["q221_delta_cluster_assign_lsh"].fn(spark, SF_SMALL)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
