@@ -130,8 +130,10 @@ SF1_QUERIES = [
     "q220_streaming_emb_index_maintenance",
     # r12: batch delta assignment via centroid-sized sign-prefix buckets
     # (the sub-O(k) path for q220's per-batch argmax) — training dominates
-    # (the sem_assignments rounds); the assignment stage is O(rows x ~4)
+    # (the sem_assignments rounds); the assignment stage is O(rows x ~4),
+    # and the multiprobe form stays O(rows x p x 4)
     "q221_delta_cluster_assign_lsh",
+    "q222_delta_assign_multiprobe",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

@@ -565,3 +565,97 @@ def q174_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _cdc_compaction_oracle() -> str:
+    from .dedup import _cdc_chunks_duckdb
+
+    return f"""
+    WITH ch AS (
+        SELECT DISTINCT unnest({_cdc_chunks_duckdb()}) AS chunk_hash
+        FROM documents
+    )
+    SELECT substring(chunk_hash, 1, 1) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_compacted,
+           MIN(chunk_hash) AS min_hash,
+           MAX(chunk_hash) AS max_hash
+    FROM ch GROUP BY bucket
+    """
+
+
+# the per-batch arrival grain the fragmented landing simulates (8
+# micro-batches' worth of appends — the q219 drain shape)
+COMPACTION_ARRIVAL_SLICES = 8
+# test hook: the most recent q223 (fragmented, compacted) directory pair
+_LAST_COMPACTION_DIRS: tuple[str, str] | None = None
+
+
+@register(
+    "q223_cdc_index_compaction",
+    oracle=_cdc_compaction_oracle(),
+    tags=("lake", "compaction", "cdc", "index-maintenance"),
+)
+def q223_cdc_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction EXECUTED — the completion of the trio q164
+    (compaction planning) and q219 (the producer: a streaming maintainer
+    whose per-batch appends fragment the hash-prefix-partitioned landing
+    into one-file-per-bucket-per-batch). This is the lake-maintenance
+    rewrite every such table needs: read the fragmented artifact,
+    repartition on the directory column (each bucket's rows collapse
+    into one task, so partitionBy writes exactly ONE file per bucket —
+    tests/test_new_ops.py pins the before>1/after==1 file counts on the
+    real directories), and land the compacted layout. The OUTPUT reads
+    the compacted artifact, and its twin counts are the preservation
+    invariant: a row dropped or duplicated by the rewrite makes
+    n_rows_compacted diverge from n_chunks and breaks the value hash
+    against the oracle, which recomputes the distinct chunk set from
+    raw documents — the same exactly-once accounting q219 uses for
+    appends, applied to the rewrite.
+
+    The fragmented input is built the way the producer fragments it:
+    the corpus's distinct chunk set (from the materialized
+    cdc_chunk_index — referee-switchable like every index consumer)
+    spread over COMPACTION_ARRIVAL_SLICES hash slices — the per-batch
+    arrival grain — so partitionBy writes one file per (slice x
+    touched bucket), ~slices x buckets small files (the pathology; an
+    explicit slice count because AQE's post-shuffle coalescing would
+    otherwise hide it at fixture scale). Both artifacts cache per
+    fixture mtime (the _roundtrip_dir rule). Scale shape: compaction
+    is one read + one hash exchange on the partition column + one
+    write, no wide aggregate; at 100 TB it runs per-partition-group on
+    the q164 plan's grouping rather than whole-table."""
+    from .dedup import cdc_chunk_index
+
+    frag = _roundtrip_dir(sf_dir, "cdcfrag")
+    comp = _roundtrip_dir(sf_dir, "cdccomp")
+    global _LAST_COMPACTION_DIRS
+    _LAST_COMPACTION_DIRS = (frag, comp)
+    schema = "chunk_hash string, pb string"
+    if not os.path.isdir(comp):
+        chunks = (
+            cdc_chunk_index(spark, sf_dir)
+            .select("chunk_hash")
+            .distinct()
+            .withColumn("pb", F.substring("chunk_hash", 1, 1))
+            .repartition(COMPACTION_ARRIVAL_SLICES, "chunk_hash")
+        )
+        chunks.write.mode("overwrite").partitionBy("pb").parquet(frag)
+        # the compaction rewrite under test
+        (
+            spark.read.schema(schema)
+            .parquet(frag)
+            .repartition("pb")
+            .write.mode("overwrite")
+            .partitionBy("pb")
+            .parquet(comp)
+        )
+    idx = spark.read.schema(schema).parquet(comp)
+    return idx.groupBy(
+        F.substring("chunk_hash", 1, 1).alias("bucket")
+    ).agg(
+        F.countDistinct("chunk_hash").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_compacted"),
+        F.min("chunk_hash").alias("min_hash"),
+        F.max("chunk_hash").alias("max_hash"),
+    )

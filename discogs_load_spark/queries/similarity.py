@@ -1078,7 +1078,7 @@ def q158_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _delta_assign_oracle() -> str:
+def _delta_assign_oracle(multiprobe: bool = False) -> str:
     from ..functions.vectors import (
         ADAPTIVE_LSH_MAX_PLANES,
         centroid_planes_sql,
@@ -1097,6 +1097,25 @@ def _delta_assign_oracle() -> str:
     p = centroid_planes_sql("k_rows")
     cos = cosine_sql("n.embedding", "c.centroid", DIM, "duckdb")
     body = ",\n    ".join(parts)
+    if multiprobe:
+        # exact bucket (i = -1) plus every one-bit flip of the prefix —
+        # a centroid lives in exactly ONE bucket and the probed strings
+        # are pairwise distinct, so (vec, centroid) pairs stay unique
+        probe_src = """
+    probes AS (
+        SELECT vec_id, embedding,
+               CASE WHEN i = -1 THEN bk
+                    ELSE substring(bk, 1, i)
+                         || (CASE WHEN substring(bk, i + 1, 1) = '0'
+                                  THEN '1' ELSE '0' END)
+                         || substring(bk, i + 2, p - i - 1)
+               END AS bk
+        FROM (SELECT *, unnest(range(-1, p)) AS i FROM newv)
+    ),"""
+        probe_from = "probes"
+    else:
+        probe_src = ""
+        probe_from = "newv"
     return f"""
     WITH base AS (
         SELECT * FROM embeddings WHERE vec_id % {NEW_MOD} <> {NEW_REM}
@@ -1108,17 +1127,18 @@ def _delta_assign_oracle() -> str:
         FROM {last_c} CROSS JOIN ks
     ),
     newv AS (
-        SELECT vec_id, embedding, substring({ebits}, 1, {p}) AS bk
+        SELECT vec_id, embedding, substring({ebits}, 1, {p}) AS bk,
+               {p} AS p
         FROM embeddings CROSS JOIN ks
         WHERE vec_id % {NEW_MOD} = {NEW_REM}
-    ),
+    ),{probe_src}
     best AS (
         SELECT vec_id, cluster FROM (
             SELECT n.vec_id, c.cluster,
                    row_number() OVER (PARTITION BY n.vec_id
                                       ORDER BY {cos} DESC, c.cluster DESC)
                        AS rn
-            FROM newv n JOIN centb c ON n.bk = c.bk
+            FROM {probe_from} n JOIN centb c ON n.bk = c.bk
         ) WHERE rn = 1
     ),
     lab AS (
@@ -1170,6 +1190,19 @@ def q221_delta_cluster_assign_lsh(
     bucket scalar is a 1-row broadcast count, the delta side is one
     map pass + a broadcast equi-join + a partial-aggregable struct-max
     argmax — no shuffle wider than the final |clusters|-sized rollup."""
+    centb, newv = _frozen_centroid_buckets(spark, sf_dir, "q221")
+    return _delta_assign_rollup(spark, sf_dir, centb, newv)
+
+
+def _frozen_centroid_buckets(
+    spark: SparkSession, sf_dir: str, qname: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the delta-assignment family (q221/q222):
+    frozen centroids from the base snapshot's sem_assignments rounds,
+    both sides bucketed on the centroid-sized sign-bit prefix. Returns
+    (centb = (cluster, centroid, bk), newv = (vec_id, embedding, bk,
+    __p)) — ``__p`` carries the prefix length scalar so the multiprobe
+    variant can splice flipped-bit probes without a second count."""
     from ..functions.vectors import (
         ADAPTIVE_LSH_MAX_PLANES,
         centroid_planes_sql,
@@ -1186,7 +1219,7 @@ def q221_delta_cluster_assign_lsh(
         import warnings
 
         warnings.warn(
-            f"q221: base corpus ({n_base} vectors) exceeds "
+            f"{qname}: base corpus ({n_base} vectors) exceeds "
             f"SEM_TWO_LEVEL_MIN={SEM_TWO_LEVEL_MIN}; the oracle unrolls "
             "flat k-means and fails by construction at this scale "
             "(docstring). Scale probes are unaffected.",
@@ -1207,7 +1240,19 @@ def q221_delta_cluster_assign_lsh(
         "vec_id",
         "embedding",
         F.expr(f"substring({ebits}, 1, {p})").alias("bk"),
+        F.expr(p).alias("__p"),
     )
+    return centb, newv
+
+
+def _delta_assign_rollup(
+    spark: SparkSession, sf_dir: str, centb: DataFrame, newv: DataFrame
+) -> DataFrame:
+    """Shared back half: broadcast bucket equi-join, struct-max argmax
+    (cos DESC, cluster DESC tie-break — partial-aggregable map-side),
+    left-join back so bucket misses land in the cluster = -1 row."""
+    from .dedup import NEW_MOD, NEW_REM
+
     cos = cosine_sql("embedding", "centroid", DIM, "spark")
     best = (
         newv.join(F.broadcast(centb), "bk")
@@ -1216,8 +1261,9 @@ def q221_delta_cluster_assign_lsh(
         .agg(F.max(F.struct("cos", "cluster")).alias("b"))
         .select("vec_id", F.col("b.cluster").alias("cluster"))
     )
+    emb = _emb(spark, sf_dir)
     lab = (
-        emb.filter(is_new)
+        emb.filter((F.col("vec_id") % NEW_MOD) == NEW_REM)
         .select("vec_id")
         .join(best, "vec_id", "left")
         .withColumn("cluster", F.coalesce("cluster", F.lit(-1)))
@@ -1227,3 +1273,48 @@ def q221_delta_cluster_assign_lsh(
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
     )
+
+
+@register(
+    "q222_delta_assign_multiprobe",
+    oracle=_delta_assign_oracle(multiprobe=True),
+    tags=("similarity", "embedding", "clustering", "incremental", "ann"),
+)
+def q222_delta_assign_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q221's recall knob made real: MULTIPROBE delta assignment. Each
+    vector probes its exact sign-prefix bucket PLUS every one-bit flip
+    of the prefix (p+1 probes — the flipped buckets are the likeliest
+    homes of a near-boundary nearest centroid, the standard multiprobe
+    LSH move), then takes the same in-bucket argmax. Candidates stay
+    O(p x 4) per vector — still independent of k — while the
+    bucket-miss probability drops from ~e^-(k/2^p) to roughly its
+    (p+1)-probe power; the residue still lands in the explicit
+    ``cluster = -1`` row. Probed buckets are pairwise-distinct strings
+    and a centroid lives in exactly one bucket, so (vec, centroid)
+    candidate pairs are unique — no dedup stage before the argmax.
+    tests pin the containment contracts vs q221: the multiprobe
+    unassigned set is a subset, and every vector assigned by both gets
+    a cosine at least as good (superset of candidates). Same frozen
+    training, same oracle construction (the probe expansion is plain
+    string splicing in both dialects), same flat-regime caveat."""
+    centb, newv = _frozen_centroid_buckets(spark, sf_dir, "q222")
+    probes = newv.select(
+        "vec_id",
+        "embedding",
+        "bk",
+        "__p",
+        F.explode(F.expr("sequence(-1, __p - 1)")).alias("i"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "CASE WHEN i = -1 THEN bk"
+            " ELSE concat(substring(bk, 1, i),"
+            " CASE WHEN substring(bk, i + 1, 1) = '0'"
+            " THEN '1' ELSE '0' END,"
+            " substring(bk, i + 2, __p - i - 1)) END"
+        ).alias("bk"),
+    )
+    return _delta_assign_rollup(spark, sf_dir, centb, probes)

@@ -669,3 +669,27 @@ def test_q221_partitions_delta_exactly_and_broadcasts_centroids(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q222_multiprobe_dominates_single_probe(spark):
+    """The multiprobe recall contract vs q221: probing a SUPERSET of
+    buckets can only assign MORE vectors (unassigned set shrinks or
+    holds) and never fewer — the n_new of the cluster = -1 row is the
+    observable. Coverage stays a partition: both forms account for
+    every delta vector exactly once."""
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    one = {
+        r.cluster: r.n_new
+        for r in REGISTRY["q221_delta_cluster_assign_lsh"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    multi = {
+        r.cluster: r.n_new
+        for r in REGISTRY["q222_delta_assign_multiprobe"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert sum(one.values()) == sum(multi.values())  # same delta partition
+    assert multi.get(-1, 0) <= one.get(-1, 0)

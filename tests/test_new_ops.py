@@ -137,3 +137,55 @@ def test_prefix_filter_jaccard_equals_bruteforce(spark):
     got_rows = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in got.collect())
     want_rows = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in want.collect())
     assert got_rows == want_rows and len(want_rows) > 0
+
+
+def test_q223_compaction_collapses_files_and_preserves_rows(spark):
+    """The compaction rewrite's two contracts on the REAL artifacts: the
+    fragmented landing holds >1 file per bucket (the arrival-slice
+    pathology the query constructs), the compacted layout exactly 1,
+    and the bucket rollup is identical read from either side — a row
+    dropped or duplicated by the rewrite would diverge the frames (and
+    independently break the twin counts against the driver oracle)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from discogs_load_spark.queries import lake
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    from .conftest import SF_SMALL
+
+    out = REGISTRY["q223_cdc_index_compaction"].fn(spark, SF_SMALL)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows, "empty compaction rollup"
+    frag, comp = lake._LAST_COMPACTION_DIRS
+
+    def files_per_bucket(d):
+        return {
+            b: len(glob.glob(os.path.join(d, b, "*.parquet")))
+            for b in os.listdir(d)
+            if b.startswith("pb=")
+        }
+
+    ff, cf = files_per_bucket(frag), files_per_bucket(comp)
+    assert max(ff.values()) > 1, f"fragmented input not fragmented: {ff}"
+    assert set(cf.values()) == {1}, f"compaction left multi-file buckets: {cf}"
+
+    schema = "chunk_hash string, pb string"
+    roll = lambda d: sorted(  # noqa: E731
+        map(
+            tuple,
+            spark.read.schema(schema)
+            .parquet(d)
+            .groupBy(F.substring("chunk_hash", 1, 1).alias("bucket"))
+            .agg(
+                F.countDistinct("chunk_hash").cast("bigint").alias("n_chunks"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("chunk_hash").alias("min_hash"),
+                F.max("chunk_hash").alias("max_hash"),
+            )
+            .collect(),
+        )
+    )
+    assert roll(frag) == roll(comp)
