@@ -134,6 +134,8 @@ SF1_QUERIES = [
     # and the multiprobe form stays O(rows x p x 4)
     "q221_delta_cluster_assign_lsh",
     "q222_delta_assign_multiprobe",
+    # compaction execution: chunk-set read + one hash exchange + write
+    "q223_cdc_index_compaction",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness
