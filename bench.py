@@ -136,6 +136,8 @@ SF1_QUERIES = [
     "q222_delta_assign_multiprobe",
     # compaction execution: chunk-set read + one hash exchange + write
     "q223_cdc_index_compaction",
+    # the composed maintainer: q219's per-batch shape + periodic rewrites
+    "q224_streaming_maintain_and_compact",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

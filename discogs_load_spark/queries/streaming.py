@@ -1133,3 +1133,142 @@ def q220_streaming_emb_index_maintenance(
         F.max("vec_id").alias("max_vec"),
         F.countDistinct("bits8").cast("bigint").alias("n_buckets"),
     )
+
+
+COMPACT_EVERY = 3  # micro-batches between in-stream compactions
+# test hook: final landed dir + how many generation swaps the drain made
+_LAST_Q224: dict | None = None
+
+
+@register(
+    "q224_streaming_maintain_and_compact",
+    oracle=_q219_oracle(),
+    tags=("streaming", "index", "cdc", "compaction", "index-maintenance"),
+)
+def q224_streaming_maintain_and_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 24/7 maintenance job composed end-to-end: q219's pruned
+    novel-append PLUS q223's compaction run IN-STREAM — every
+    COMPACT_EVERY micro-batches (and once at drain end) the landed
+    index is rewritten one-file-per-bucket into a NEW generation
+    directory and the maintainer's read pointer swaps to it, so the
+    per-batch anti-join never reads an unboundedly fragmenting table.
+    Generation swap instead of in-place overwrite is the point:
+    foreachBatch runs batches sequentially on the driver, so the swap
+    is race-free, the rewrite reads generation N while writing N+1
+    (never its own input — the q219 read-your-own-writes discipline
+    applied to the rewrite), and the superseded generation is deleted
+    to bound disk. The rollup reads the FINAL generation; the oracle is
+    q219's (the distinct corpus chunk set from raw documents), so a row
+    lost or duplicated by ANY append or ANY rewrite across the whole
+    drain breaks the twin counts. tests/test_streaming.py asserts the
+    final artifact is one file per bucket and that the drain actually
+    swapped generations."""
+    import shutil
+
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import _cdc_chunk_frame
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # own 12-file source (vs the shared single-file cache): at 4 files
+    # per trigger every drain spans >= 3 micro-batches at ANY fixture
+    # scale, so the in-stream compaction path is exercised by the
+    # driver's correctness runs too, not only the probe tiers
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_docs12_{_cache_key(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        docs.repartition(12).write.mode("overwrite").parquet(src)
+
+    out_root = tempfile.mkdtemp(prefix="q224_cdc_gen_")
+    landed_schema = f"chunk_hash string, {CDC_LANDED_PART_COL} string"
+    state = {"gen": 0, "since": 0}
+    os.makedirs(os.path.join(out_root, "g0"))
+
+    def cur_dir() -> str:
+        return os.path.join(out_root, f"g{state['gen']}")
+
+    def read_index() -> DataFrame:
+        d = cur_dir()
+        if any(
+            e.startswith(f"{CDC_LANDED_PART_COL}=") for e in os.listdir(d)
+        ):
+            return spark.read.schema(landed_schema).parquet(d)
+        return spark.createDataFrame([], landed_schema)
+
+    def compact() -> None:
+        nxt = os.path.join(out_root, f"g{state['gen'] + 1}")
+        (
+            read_index()
+            .repartition(CDC_LANDED_PART_COL)
+            .write.mode("overwrite")
+            .partitionBy(CDC_LANDED_PART_COL)
+            .parquet(nxt)
+        )
+        old = cur_dir()
+        state["gen"] += 1
+        state["since"] = 0
+        shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
+
+    def land_novel(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_hashes = (
+            _cdc_chunk_frame(batch_df)
+            .select("chunk_hash")
+            .distinct()
+            .withColumn(
+                CDC_LANDED_PART_COL,
+                F.substring("chunk_hash", 1, CDC_LANDED_PREFIX_CHARS),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        touched_rows = batch_hashes.select(CDC_LANDED_PART_COL).distinct()
+        # bounded: <= 16^CDC_LANDED_PREFIX_CHARS short strings (q219 rule)
+        touched = [r[0] for r in touched_rows.collect()]
+        index_so_far = read_index().filter(
+            F.col(CDC_LANDED_PART_COL).isin(touched)
+        )
+        novel = batch_hashes.join(
+            index_so_far.select("chunk_hash"), "chunk_hash", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        novel.count()  # pin the pre-append listing before writing
+        novel.repartition(CDC_LANDED_PART_COL).write.mode(
+            "append"
+        ).partitionBy(CDC_LANDED_PART_COL).parquet(cur_dir())
+        novel.unpersist()
+        batch_hashes.unpersist()
+        state["since"] += 1
+        if state["since"] >= COMPACT_EVERY:
+            compact()
+
+    with _stream_drain_conf(spark):
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                _timed_foreach_batch(
+                    "q224_streaming_maintain_and_compact", land_novel
+                )
+            )
+            .option("checkpointLocation", os.path.join(out_root, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    compact()  # final rewrite: the artifact a consumer would read
+    global _LAST_Q224
+    _LAST_Q224 = {"dir": cur_dir(), "generations": state["gen"]}
+    idx = spark.read.schema(landed_schema).parquet(cur_dir())
+    return idx.groupBy(
+        F.substring("chunk_hash", 1, 1).alias("bucket")
+    ).agg(
+        F.countDistinct("chunk_hash").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_landed"),
+        F.min("chunk_hash").alias("min_hash"),
+        F.max("chunk_hash").alias("max_hash"),
+    )

@@ -266,3 +266,36 @@ def test_q219_lands_partitioned_and_prunes_anti_join_reads(spark):
     # many files and genuinely span batches)
     lat = st.BATCH_LATENCIES.get(name)
     assert lat and all(t > 0 for t in lat)
+
+
+def test_q224_in_stream_compaction_swaps_generations(spark):
+    """The composed maintainer must (a) actually swap generations during
+    the drain (its 12-file source guarantees >= 3 micro-batches at any
+    fixture scale, and COMPACT_EVERY = 3), (b) leave the FINAL artifact
+    one file per bucket (the consumer-facing compaction contract), and
+    (c) record one latency per micro-batch for the probe protocol."""
+    import glob
+    import os
+
+    from discogs_load_spark.queries import streaming as st
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    name = "q224_streaming_maintain_and_compact"
+    out = REGISTRY[name].fn(spark, SF_SMALL)
+    assert out.count() == 16  # hex first-char rollup
+
+    info = st._LAST_Q224
+    assert info is not None
+    lat = st.BATCH_LATENCIES[name]
+    assert len(lat) >= 3 and all(t > 0 for t in lat)
+    # >= 1 in-stream swap (since >= COMPACT_EVERY batches) + the final one
+    assert info["generations"] >= 2
+
+    files_per_bucket = {
+        b: len(glob.glob(os.path.join(info["dir"], b, "*.parquet")))
+        for b in os.listdir(info["dir"])
+        if b.startswith(f"{st.CDC_LANDED_PART_COL}=")
+    }
+    assert files_per_bucket and set(files_per_bucket.values()) == {1}, (
+        files_per_bucket
+    )
