@@ -5,6 +5,16 @@
                  (see discogs_load_spark/queries/*).
 ``oracle_sql`` — DuckDB-runnable ANSI-SQL dual for each query (omitted only
                  for genuinely non-SQL-expressible ops → rows-only check).
+
+Hashed-signature-index collision triage (for whoever reads a driver diff):
+the DEFAULT index layout verifies near-dup pairs through 64-bit hash-set
+images and 60-bit banding slots (queries/sig_index.py), so against the
+exact-string DuckDB oracles a run carries a by-construction failure
+probability of ~|union|²/2⁶⁵ per verified pair — < 10⁻¹⁰ total at the
+driver's sf0.01 tier. A hash-mismatch on exactly ONE dedup-family query
+should be re-run once; if it repeats, triage as a REAL bug (a repeatable
+collision at these set sizes is beyond the bound), or re-run with
+SPARK_GRAFT_SIG_HASHED=0 (the exact-string referee layout) to bisect.
 """
 
 from __future__ import annotations

@@ -632,7 +632,11 @@ def q223_cdc_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _LAST_COMPACTION_DIRS
     _LAST_COMPACTION_DIRS = (frag, comp)
     schema = "chunk_hash string, pb string"
-    if not os.path.isdir(comp):
+    # guard on BOTH artifacts (ADVICE r12): a /tmp reaper that removes the
+    # fragmented dir while the compacted one survives would otherwise
+    # leave _LAST_COMPACTION_DIRS pointing at a missing frag dir and fail
+    # the file-count test on stale-cache state rather than a regression
+    if not (os.path.isdir(comp) and os.path.isdir(frag)):
         chunks = (
             cdc_chunk_index(spark, sf_dir)
             .select("chunk_hash")

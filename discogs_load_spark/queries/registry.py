@@ -77,50 +77,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # them would make the r11 window replay the freshest-proven queries and
 # starve the genuinely stale tail (r03–r05 rows) of rotation slots
 # (VERDICT r10 item 1).
-# r12: the hashed/lean signature index became the DEFAULT layout
-# (VERDICT r11 item 1: queries/sig_index.py hashed_mode now defaults
-# SPARK_GRAFT_SIG_HASHED=1). Semantics and oracles are unchanged and
-# string↔hashed output equality is test-pinned (tests/test_sig_hashed.py),
-# but every sig-index consumer's DEFAULT execution path changed — 60-bit
-# bigint banding slots, xxhash64 verify sets, derived-from-toks shingle
-# text, hashed prefix-rank blocking — so each must re-earn its driver row
-# on the path users now get (the r10 flip discipline). q95's r11 row
-# landed green, so it rotates normally again.
+# r12: the hashed/lean signature index became the DEFAULT layout — all 31
+# consumers plus q218 were listed here and ALL re-earned fully green rows
+# in CORRECTNESS_r12 (50/50 green window), so they were removed (the r10→r11
+# lesson again: leaving re-proven names starves the stale tail of slots).
+# r13: q218's LANDING LAYOUT changed (hash-prefix-partitioned + in-stream
+# generation-swap compaction, the q224 treatment — VERDICT r12 item 3).
+# Semantics and the oracle are unchanged and flat↔partitioned output
+# equality is test-pinned, but the executed path users get is new, so q218
+# must re-earn its driver row on it.
 RECHECK: tuple[str, ...] = (
-    # dedup family (queries/dedup.py)
-    "q50_exact_dedup",
-    "q51_minhash_lsh_pairs",
-    "q52_jaccard_neardup",
-    "q53_simhash",
-    "q64_simhash_hamming_pairs",
-    "q89_dedup_components",
-    "q100_incremental_dedup",
-    "q123_prefix_filter_jaccard",
-    "q141_dedup_consensus",
-    "q175_oph_minhash_pairs",
-    "q195_minhash_best_match",
-    "q201_adaptive_band_neardup",
-    "q204_neardup_keepers",
-    "q207_minhash_containment",
-    "q210_adaptive_merge_purge",
-    "q215_containment_prefix_exact",
-    "q216_signature_index_stats",
-    # sketch consumers of the stored shingles/tokens (queries/extra.py)
-    "q180_countmin_heavy_hitters",
-    "q184_bloom_membership",
-    "q209_adaptive_cms_width",
-    # token-column consumers (queries/sampling.py, queries/text.py)
-    "q87_tfidf_topk",
-    "q142_boilerplate_ngrams",
-    "q145_bm25_topk",
-    "q146_lm_doc_score",
-    "q147_dup_ngram_fraction",
-    "q171_bpe_merges",
-    "q172_bpe_encode",
-    "q178_kneser_ney",
-    "q182_pmi_collocations",
-    "q217_phrase_search",
-    # the streaming maintainer lands sig_frame's ambient layout
     "q218_streaming_index_ingest",
 )
 

@@ -228,6 +228,14 @@ def main() -> None:
         for q in args.queries:
             s = timed(q, small, None)
             pb_small = per_batch_stats(q)
+            # ADVICE r12: drop the small run's latencies BEFORE the big
+            # run — if the big drain dies or times out before its
+            # _timed_foreach_batch wrapper resets the list, the stale
+            # small-tier latencies would masquerade as the big tier's
+            # and record a phantom per_batch_mean_scale_x of ~1.0.
+            from discogs_load_spark.queries import streaming as _streaming
+
+            _streaming.BATCH_LATENCIES.pop(q, None)
             b = timed(q, big, args.timeout_s)
             if b == "timeout":
                 settle()
