@@ -720,41 +720,102 @@ def _q218_oracle() -> str:
     """
 
 
+# test hook: final q218 landed dir + generation-swap count (the q224
+# pattern applied to the signature index — VERDICT r12 item 3)
+_LAST_Q218: dict | None = None
+
+
 @register(
     "q218_streaming_index_ingest",
     oracle=_q218_oracle(),
-    tags=("streaming", "index", "dedup"),
+    tags=("streaming", "index", "dedup", "compaction", "index-maintenance"),
 )
 def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r10 signature index maintained BY THE STREAMING ENGINE — the
     ingest-time story (queries/sig_index.py) run as the 24/7 job it
-    would be in production: documents arrive as a file-source stream
-    (throttled to 4 files per trigger so the drain genuinely spans
-    multiple micro-batches), each micro-batch runs the SAME
-    ``sig_frame`` build the batch index uses and appends its signature
-    rows to the index table via foreachBatch (the q92 landing pattern —
-    the batch-only parquet sink works unmodified), and the landed index
-    is read back and rolled up per source. The oracle recomputes the
-    rollup from raw ``documents``, so a row lost or duplicated in
-    transit, or a batch/stream divergence in the build expression,
-    breaks the value hash. Scale shape: the per-batch build is the
-    index's own one-pass map (no state store at all — signatures are
-    pure per-row functions, the embarrassingly-streamable case), and
-    the rollup is |sources|-sized."""
+    would be in production: documents arrive as a file-source stream,
+    each micro-batch runs the SAME ``sig_frame`` build the batch index
+    uses and appends its signature rows to the index table via
+    foreachBatch (the q92 landing pattern — the batch-only parquet sink
+    works unmodified), and the landed index is read back and rolled up
+    per source. The oracle recomputes the rollup from raw ``documents``,
+    so a row lost or duplicated in transit, or a batch/stream divergence
+    in the build expression, breaks the value hash.
+
+    r13 (VERDICT r12 item 3): the landing gets the q224 treatment — the
+    sig index is the repo's most-consumed artifact, and the old flat
+    ``mode("append")`` landing was the one remaining unboundedly-
+    fragmenting table (one file set per micro-batch, forever). Rows now
+    land hash-prefix-PARTITIONED (``pb`` = first hex char of the content
+    hash — 16 balanced buckets, the measured q219 sizing) and every
+    COMPACT_EVERY micro-batches (plus once at drain end) the landing is
+    rewritten one-file-per-bucket into a NEW generation directory with
+    the read pointer swapped and the superseded generation deleted —
+    race-free because foreachBatch runs sequentially on the driver, and
+    never reading its own write target. Own 12-file source (shared with
+    q224's cache) so every drain spans >= 3 micro-batches at any fixture
+    scale and the driver's correctness runs exercise the swap path.
+
+    Scale shape: the per-batch build is the index's own one-pass map
+    (no state store — signatures are pure per-row functions) and never
+    READS the landing, so steady-state per-batch latency is flat in the
+    index size; the compaction batches read one generation (amortized
+    1/COMPACT_EVERY, and at 100 TB run per-touched-partition on the
+    q164 plan's grouping rather than whole-table). The rollup output is
+    layout-invariant: same oracle, same columns as the flat landing."""
+    import shutil
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     src = os.path.join(
         tempfile.gettempdir(),
-        f"stream_docs_{_cache_key(sf_dir, 'documents')}",
+        f"stream_docs12_{_cache_key(sf_dir, 'documents')}",
     )
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        docs.write.mode("overwrite").parquet(src)
+        docs.repartition(12).write.mode("overwrite").parquet(src)
 
-    from .sig_index import sig_frame, with_derived_index_cols
+    from .sig_index import hashed_mode, sig_frame, with_derived_index_cols
 
-    out = tempfile.mkdtemp(prefix="q218_sig_idx_")
+    out_root = tempfile.mkdtemp(prefix="q218_sig_gen_")
+    state = {"gen": 0, "since": 0}
+    os.makedirs(os.path.join(out_root, "g0"))
+
+    def cur_dir() -> str:
+        return os.path.join(out_root, f"g{state['gen']}")
+
+    # partition bucket from the content hash in EITHER index layout
+    # (hashed mode stores the 16 raw bytes as chb; string mode the hex)
+    pb_col = (
+        F.substring(F.lower(F.hex("chb")), 1, 1)
+        if hashed_mode()
+        else F.substring("content_hash", 1, 1)
+    )
+
+    def compact() -> None:
+        nxt = os.path.join(out_root, f"g{state['gen'] + 1}")
+        (
+            spark.read.parquet(cur_dir())
+            .repartition(CDC_LANDED_PART_COL)
+            .write.mode("overwrite")
+            .partitionBy(CDC_LANDED_PART_COL)
+            .parquet(nxt)
+        )
+        old = cur_dir()
+        state["gen"] += 1
+        state["since"] = 0
+        shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
 
     def land(batch_df: DataFrame, _batch_id: int) -> None:
-        sig_frame(batch_df).write.mode("append").parquet(out)
+        (
+            sig_frame(batch_df)
+            .withColumn(CDC_LANDED_PART_COL, pb_col)
+            .repartition(CDC_LANDED_PART_COL)
+            .write.mode("append")
+            .partitionBy(CDC_LANDED_PART_COL)
+            .parquet(cur_dir())
+        )
+        state["since"] += 1
+        if state["since"] >= COMPACT_EVERY:
+            compact()
 
     with _stream_drain_conf(spark):
         q = (
@@ -764,16 +825,19 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(
                 _timed_foreach_batch("q218_streaming_index_ingest", land)
             )
-            .option("checkpointLocation", os.path.join(out, "_chk"))
+            .option("checkpointLocation", os.path.join(out_root, "_chk"))
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+    compact()  # final rewrite: the artifact a consumer would read
+    global _LAST_Q218
+    _LAST_Q218 = {"dir": cur_dir(), "generations": state["gen"]}
     # normalize the landed layout (hashed mode stores chb, not the hex
     # content_hash) the same way the batch index's read path does
-    idx = with_derived_index_cols(spark.read.parquet(out))
+    idx = with_derived_index_cols(spark.read.parquet(cur_dir()))
     return idx.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         # h0's nullness IS the minhashable contract (null h ⟺ empty
@@ -801,9 +865,12 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r12) — file-open fixed costs, not data. The rollup's 1-char bucket is
 # derived from chunk_hash independently, so the OUTPUT is
 # layout-invariant.
-CDC_LANDED_PREFIX_CHARS = int(
-    os.environ.get("SPARK_GRAFT_CDC_LANDED_CHARS", "1")
-)
+def cdc_landed_prefix_chars() -> int:
+    """Bucket-count knob, read PER CALL (like sig_index.hashed_mode) so
+    setting SPARK_GRAFT_CDC_LANDED_CHARS after import — notebooks,
+    in-process tooling, the scale probes — takes effect (ADVICE r12:
+    the module-import-time read silently ignored late sets)."""
+    return int(os.environ.get("SPARK_GRAFT_CDC_LANDED_CHARS", "1"))
 CDC_LANDED_PART_COL = "pb"
 # test hook: the most recent q219 landing directory (tests assert the
 # partitioned layout and the pruned read's file subset on the real
@@ -885,7 +952,7 @@ def q219_streaming_cdc_index_maintenance(
             .distinct()
             .withColumn(
                 CDC_LANDED_PART_COL,
-                F.substring("chunk_hash", 1, CDC_LANDED_PREFIX_CHARS),
+                F.substring("chunk_hash", 1, cdc_landed_prefix_chars()),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1220,7 +1287,7 @@ def q224_streaming_maintain_and_compact(
             .distinct()
             .withColumn(
                 CDC_LANDED_PART_COL,
-                F.substring("chunk_hash", 1, CDC_LANDED_PREFIX_CHARS),
+                F.substring("chunk_hash", 1, cdc_landed_prefix_chars()),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

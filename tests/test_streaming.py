@@ -299,3 +299,36 @@ def test_q224_in_stream_compaction_swaps_generations(spark):
     assert files_per_bucket and set(files_per_bucket.values()) == {1}, (
         files_per_bucket
     )
+
+
+def test_q218_sig_landing_partitioned_and_compacted(spark):
+    """The streamed signature-index landing must get the q224 treatment
+    (VERDICT r12 item 3): (a) land hash-prefix-partitioned (pb= dirs),
+    (b) swap generations in-stream (12-file source, COMPACT_EVERY = 3,
+    so >= 1 in-stream swap plus the final one), (c) leave the FINAL
+    artifact one file per bucket, and (d) record one latency per
+    micro-batch. The rollup itself stays layout-invariant — pinned by
+    the oracle-parity suite against raw documents."""
+    import glob
+    import os
+
+    from discogs_load_spark.queries import streaming as st
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    name = "q218_streaming_index_ingest"
+    out = REGISTRY[name].fn(spark, SF_SMALL)
+    assert out.count() >= 1  # per-source rollup
+
+    info = st._LAST_Q218
+    assert info is not None
+    lat = st.BATCH_LATENCIES[name]
+    assert len(lat) >= 3 and all(t > 0 for t in lat)
+    assert info["generations"] >= 2
+
+    files_per_bucket = {
+        b: len(glob.glob(os.path.join(info["dir"], b, "*.parquet")))
+        for b in os.listdir(info["dir"])
+        if b.startswith(f"{st.CDC_LANDED_PART_COL}=")
+    }
+    assert len(files_per_bucket) > 1, "landing is not hash-prefix partitioned"
+    assert set(files_per_bucket.values()) == {1}, files_per_bucket
