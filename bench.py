@@ -134,10 +134,17 @@ SF1_QUERIES = [
     # and the multiprobe form stays O(rows x p x 4)
     "q221_delta_cluster_assign_lsh",
     "q222_delta_assign_multiprobe",
+    # r13: the composed complete-assignment operator — q222's cheap path
+    # + exact argmax for ONLY the bucket-miss residue (O(residue x k),
+    # residue ~ miss^(p+1)); expected at or under the q221/q222 shape
+    "q225_delta_assign_complete",
     # compaction execution: chunk-set read + one hash exchange + write
     "q223_cdc_index_compaction",
     # the composed maintainer: q219's per-batch shape + periodic rewrites
     "q224_streaming_maintain_and_compact",
+    # r13: the embedding-index composed maintainer (q220's per-batch
+    # argmax + partitioned landing + periodic generation-swap rewrites)
+    "q226_streaming_emb_maintain_and_compact",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness
@@ -229,6 +236,78 @@ def _prior_sf1_timings() -> dict[str, float]:
             q = json.loads(p.read_text()).get("sf1", {}).get("queries")
             if q:
                 return {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError, json.JSONDecodeError, AttributeError):
+            continue
+    return {}
+
+
+# --- per-batch gate for the streaming maintainers (VERDICT r12 item 4) ------
+# Drain totals are backlog-proportional BY CONSTRUCTION (10x rows = more/
+# bigger micro-batches), so the drain-based scale_x and the sf1 time gate
+# stay the published-but-NON-GATING numbers for these queries' growth
+# shape; the steady-state streaming health number is the PER-BATCH mean
+# latency (streaming.BATCH_LATENCIES). Without its own gate, a q220-style
+# per-batch blow-up (19.1x on 10x batches, SCALE_PROBES_r12 — the
+# O(batch x k) term) hiding inside an amortized-looking drain total would
+# never flag automatically.
+STREAMING_PER_BATCH = (
+    "q218_streaming_index_ingest",
+    "q219_streaming_cdc_index_maintenance",
+    "q220_streaming_emb_index_maintenance",
+    "q224_streaming_maintain_and_compact",
+    "q226_streaming_emb_maintain_and_compact",
+)
+
+
+def per_batch_gate(
+    cur_scale_x: float | None, prior_scale_x: float | None
+) -> bool:
+    """True = the current per-batch mean scale reading is a regression
+    suspect vs the last completed round's record: >1.5x the prior
+    reading plus 0.5 absolute slack (sub-second batch means are noisy).
+    No prior record (first round with the gate, or a new query) or no
+    current reading (single-batch drains at tiny fixtures) = no flag —
+    the record is still published for the next round to gate against."""
+    if cur_scale_x is None or prior_scale_x is None:
+        return False
+    return cur_scale_x > 1.5 * prior_scale_x + 0.5
+
+
+def _prior_sf1_per_batch() -> dict[str, float]:
+    """Newest PRIOR-round sidecar's sf1.per_batch mean_scale_x per short
+    name — the reference side of per_batch_gate. Same round-resolution
+    contract (and SPARK_GRAFT_BENCH_ROUND redo caveat) as
+    _prior_sf1_timings."""
+    import re as _re
+
+    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    current = int(env_round) if env_round else (
+        max(
+            (
+                int(m.group(1))
+                for p in REPO.glob("BENCH_r*.json")
+                for m in [_re.match(r"BENCH_r(\d+)\.json$", p.name)]
+                if m
+            ),
+            default=0,
+        )
+        + 1
+    )
+    paths = sorted(
+        REPO.glob("BENCH_perquery_r*.json"),
+        key=lambda p: int(_re.search(r"r(\d+)", p.name).group(1)),
+    )
+    for p in reversed(paths):
+        if int(_re.search(r"r(\d+)", p.name).group(1)) >= current:
+            continue
+        try:
+            pb = json.loads(p.read_text()).get("sf1", {}).get("per_batch")
+            if pb:
+                return {
+                    k: float(v["mean_scale_x"])
+                    for k, v in pb.items()
+                    if isinstance(v, dict) and v.get("mean_scale_x")
+                }
         except (OSError, ValueError, json.JSONDecodeError, AttributeError):
             continue
     return {}
@@ -344,17 +423,36 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     if st_path and os.path.exists(st_path):
         suite_t = json.loads(Path(st_path).read_text())
 
-    def time_pair(name: str) -> tuple[float, float]:
+    from discogs_load_spark.queries import streaming as _streaming
+
+    def time_pair(name: str) -> tuple[float, float, dict | None]:
+        # clear stale latencies BEFORE each side (the scale_probe rule,
+        # ADVICE r12) so a drain that dies pre-wrapper can't misattribute
+        _streaming.BATCH_LATENCIES.pop(name, None)
         t0 = _t.monotonic()
         _materialize(REGISTRY[name].fn(spark, sf_dir))
         base = round(_t.monotonic() - t0, 2)
+        lat_b = list(_streaming.BATCH_LATENCIES.get(name) or [])
+        _streaming.BATCH_LATENCIES.pop(name, None)
         t0 = _t.monotonic()
         _materialize(REGISTRY[name].fn(spark, SF1_DIR))
         big = round(_t.monotonic() - t0, 2)
+        lat_g = list(_streaming.BATCH_LATENCIES.get(name) or [])
         # queries share helper lineages (q154/q169 reuse the same kmeans
         # frame): drop plan-matched caches so every pair starts cold
         spark.catalog.clearCache()
-        return base, big
+        pb = None
+        if name in STREAMING_PER_BATCH and lat_b and lat_g:
+            mb = sum(lat_b) / len(lat_b)
+            mg = sum(lat_g) / len(lat_g)
+            pb = {
+                "base_mean_s": round(mb, 3),
+                "sf1_mean_s": round(mg, 3),
+                "n_batches_base": len(lat_b),
+                "n_batches_sf1": len(lat_g),
+                "mean_scale_x": round(mg / mb, 1),
+            }
+        return base, big, pb
 
     # big-side reference: the last committed round's sf1 readings — any
     # reading >1.5x its prior value (+1 s absolute slack) is re-measured
@@ -393,43 +491,72 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         b["scale_x"] = round(b["sf1_s"] / max(b["base_s"], 0.01), 1)
     spark.catalog.clearCache()
 
+    prior_pb = _prior_sf1_per_batch()
     t01: dict[str, float] = {}
     t1: dict[str, float] = {}
+    per_batch: dict[str, dict] = {}
     suspect: list[str] = []
     retried: list[str] = []
     sf1_suspect: list[str] = []
     sf1_retried: list[str] = []
+    pb_suspect: list[str] = []
+    pb_retried: list[str] = []
+
+    def _keep_pb(cur: dict | None, new: dict | None) -> dict | None:
+        # keep the attempt with the SMALLER per-batch scale reading —
+        # the min-of-attempts discipline the time gates already use
+        if new is None:
+            return cur
+        if cur is None or new["mean_scale_x"] < cur["mean_scale_x"]:
+            return new
+        return cur
+
     for name in SF1_QUERIES:
         short = name.split("_", 1)[0]
-        base, big = time_pair(name)
+        base, big, pb = time_pair(name)
         if name in SF1_MIN_OF_3:  # documented-bimodal family: min-of-3
             for _ in range(2):
-                b2, g2 = time_pair(name)
+                b2, g2, p2 = time_pair(name)
                 base, big = min(base, b2), min(big, g2)
+                pb = _keep_pb(pb, p2)
         base_cap = 3.0 * suite_t[name] + 1.0 if name in suite_t else None
         big_cap = (
             1.5 * prior_sf1[short] + 1.0 if short in prior_sf1 else None
         )
         base_viol = base_cap is not None and base > base_cap
         big_viol = big_cap is not None and big > big_cap
-        base_trig, big_trig = base_viol, big_viol  # what prompted retries
+        pb_viol = per_batch_gate(
+            pb["mean_scale_x"] if pb else None, prior_pb.get(short)
+        )
+        # what prompted retries
+        base_trig, big_trig, pb_trig = base_viol, big_viol, pb_viol
         tries = 0
-        while (base_viol or big_viol) and tries < 2:
+        while (base_viol or big_viol or pb_viol) and tries < 2:
             tries += 1
-            b2, g2 = time_pair(name)
+            b2, g2, p2 = time_pair(name)
             base, big = min(base, b2), min(big, g2)
+            pb = _keep_pb(pb, p2)
             base_viol = base_cap is not None and base > base_cap
             big_viol = big_cap is not None and big > big_cap
+            pb_viol = per_batch_gate(
+                pb["mean_scale_x"] if pb else None, prior_pb.get(short)
+            )
         if base_trig:
             retried.append(short)
         if big_trig:
             sf1_retried.append(short)
+        if pb_trig:
+            pb_retried.append(short)
         if base_viol:
             suspect.append(short)
         if big_viol:
             sf1_suspect.append(short)
+        if pb_viol:
+            pb_suspect.append(short)
         t01[name] = base
         t1[name] = big
+        if pb is not None:
+            per_batch[short] = pb
     scale = {
         n.split("_", 1)[0]: round(t1[n] / t01[n], 1) for n in SF1_QUERIES
     }
@@ -447,6 +574,13 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "base_suspect": suspect,
         "sf1_retried": sf1_retried,
         "sf1_suspect": sf1_suspect,
+        # steady-state streaming health (VERDICT r12 item 4): per-batch
+        # mean latencies + their scale reading, gated vs the prior
+        # round's record by per_batch_gate; the drain totals above stay
+        # non-gating for growth shape (backlog-proportional by design)
+        "per_batch": per_batch,
+        "per_batch_retried": pb_retried,
+        "per_batch_suspect": pb_suspect,
         "referee_excluded": sorted(
             n.split("_", 1)[0] for n in SF1_REFEREE_EXCLUDED
         ),

@@ -125,3 +125,71 @@ def emb_cluster_index(
     return emb_enriched(spark, sf_dir, rebuild=rebuild).select(
         "vec_id", "cluster"
     )
+
+
+# --- frozen delta-training centroids (q220/q221/q222/q225) -----------------
+#
+# The streaming/incremental assignment family trains the SAME frozen
+# centroid table on every invocation: base snapshot = the vec_id-modulo
+# complement of the held-out delta (queries/dedup.NEW_MOD/NEW_REM),
+# sem_assignments Lloyd rounds, centroids = per-cluster decimal-exact
+# means (recompute_centroids). That is a deterministic pure function of
+# the embeddings table — an ingest artifact, not per-query work (ADVICE
+# r12: q221/q222 re-ran the full Lloyd training per invocation and leaked
+# a persisted frame). Materialized per embeddings fingerprint with the
+# SAME referee switch as the enriched index (SPARK_GRAFT_EMB_INDEX=0
+# recomputes in-plan; equality test-pinned in tests/test_sig_index.py).
+
+
+def _centroid_version() -> str:
+    from .dedup import NEW_MOD, NEW_REM
+    from .similarity import SEM_CELL, SEM_ITER, SEM_K, SEM_TWO_LEVEL_MIN
+
+    return (
+        f"cent-v1:semk{SEM_K}-semcell{SEM_CELL}-iter{SEM_ITER}"
+        f"-2lvl{SEM_TWO_LEVEL_MIN}-mod{NEW_MOD}r{NEW_REM}"
+    )
+
+
+def _centroid_fingerprint(sf_dir: str) -> str:
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    return f"{_centroid_version()}|{src}|{st.st_size}|{int(st.st_mtime)}"
+
+
+def _centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import recompute_centroids
+    from ..session import load_tables
+    from .dedup import NEW_MOD, NEW_REM
+    from .similarity import sem_assignments
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.filter((F.col("vec_id") % NEW_MOD) != NEW_REM)
+    # bounded: 1-row count-star scalar sizes the clustering to the corpus
+    assigned = sem_assignments(base, base.count())
+    return recompute_centroids(assigned, base, "vec_id", "embedding")
+
+
+def frozen_centroids(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """(cluster, centroid) — the frozen base-snapshot centroid table the
+    delta-assignment family scores against; see the block comment."""
+    if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
+        return _centroid_frame(spark, sf_dir)
+    fp = _centroid_fingerprint(sf_dir)
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(EMB_INDEX_DIR, f"cent_{key}")
+    if rebuild or not os.path.isdir(dest):
+        frame = _centroid_frame(spark, sf_dir)
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        frame.write.mode("overwrite").parquet(tmp)
+        try:
+            if rebuild and os.path.isdir(dest):
+                shutil.rmtree(dest)
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return spark.read.parquet(dest)

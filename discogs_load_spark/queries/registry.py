@@ -40,6 +40,18 @@ class QuerySpec:
     oracle: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Optional regime guard (VERDICT r12 item 5): some oracles are exact
+    # duals only within a fixture regime (e.g. the delta-assignment
+    # family's SQL unrolls FLAT k-means, valid only while the base corpus
+    # is under similarity.SEM_TWO_LEVEL_MIN — above it the engine
+    # switches to two-level clustering and an oracle comparison fails BY
+    # CONSTRUCTION, not by bug). ``oracle_guard(spark, sf_dir)`` returns
+    # None when the comparison is valid at this fixture, else a reason
+    # string; the contract layer (tools/drive_contract.py, the local
+    # oracle-parity suite) SKIPS the comparison loudly with that reason
+    # instead of reporting a misleading hash mismatch. The query itself
+    # is valid at every scale — only the SQL dual has a regime.
+    oracle_guard: Callable[[SparkSession, str], str | None] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -82,12 +94,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 # in CORRECTNESS_r12 (50/50 green window), so they were removed (the r10→r11
 # lesson again: leaving re-proven names starves the stale tail of slots).
 # r13: q218's LANDING LAYOUT changed (hash-prefix-partitioned + in-stream
-# generation-swap compaction, the q224 treatment — VERDICT r12 item 3).
-# Semantics and the oracle are unchanged and flat↔partitioned output
-# equality is test-pinned, but the executed path users get is new, so q218
-# must re-earn its driver row on it.
+# generation-swap compaction, the q224 treatment — VERDICT r12 item 3);
+# q220/q221/q222's frozen centroid training moved from per-invocation
+# Lloyd rounds to the MATERIALIZED fingerprinted artifact
+# (emb_index.frozen_centroids, ADVICE r12 — referee-switchable via
+# SPARK_GRAFT_EMB_INDEX=0, equality test-pinned). Semantics and oracles
+# are unchanged in all four, but the executed default paths are new, so
+# each must re-earn its driver row on the path users now get.
 RECHECK: tuple[str, ...] = (
     "q218_streaming_index_ingest",
+    "q220_streaming_emb_index_maintenance",
+    "q221_delta_cluster_assign_lsh",
+    "q222_delta_assign_multiprobe",
 )
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -166,6 +184,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     doc: str = "",
+    oracle_guard: Callable[[SparkSession, str], str | None] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn`` as the Spark implementation of ``name``."""
 
@@ -173,7 +192,12 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or "")
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+            oracle_guard=oracle_guard,
         )
         return fn
 

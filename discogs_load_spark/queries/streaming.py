@@ -1065,6 +1065,12 @@ def _q220_oracle() -> str:
     """
 
 
+def _flat_oracle_guard(spark: SparkSession, sf_dir: str) -> str | None:
+    from .similarity import flat_oracle_guard
+
+    return flat_oracle_guard(spark, sf_dir)
+
+
 @register(
     "q220_streaming_emb_index_maintenance",
     oracle=_q220_oracle(),
@@ -1075,6 +1081,7 @@ def _q220_oracle() -> str:
         "clustering",
         "index-maintenance",
     ),
+    oracle_guard=_flat_oracle_guard,
 )
 def q220_streaming_emb_index_maintenance(
     spark: SparkSession, sf_dir: str
@@ -1109,35 +1116,20 @@ def q220_streaming_emb_index_maintenance(
     centroid CTE after the unrolled flat rounds — exact at every driver
     scale, where the engine's switch also picks flat."""
     from ..functions.vectors import lsh_bucket_sql
-    from ..operators.clustering import recompute_centroids
     from .dedup import NEW_MOD, NEW_REM
-    from .similarity import DIM, SEM_TWO_LEVEL_MIN, sem_assignments
+    from .emb_index import frozen_centroids
+    from .similarity import DIM
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     is_new = (F.col("vec_id") % NEW_MOD) == NEW_REM
-    base = emb.filter(~is_new)
-    # bounded: 1-row count-star scalar sizes the clustering (emb_enriched
-    # rule); flat vs two-level is sem_assignments' own switch
-    n_base = base.count()
-    if n_base > SEM_TWO_LEVEL_MIN:
-        # the oracle unrolls FLAT k-means; above the cutoff the engine
-        # switches to two-level clustering and an oracle comparison
-        # fails BY CONSTRUCTION — say so loudly instead of letting a
-        # future larger correctness tier read it as a value bug
-        # (ADVICE r11). The query itself stays valid at every scale.
-        import warnings
-
-        warnings.warn(
-            f"q220: base corpus ({n_base} vectors) exceeds "
-            f"SEM_TWO_LEVEL_MIN={SEM_TWO_LEVEL_MIN}; the engine uses "
-            "two-level clustering here but the registered oracle unrolls "
-            "flat k-means — oracle comparisons at this scale fail by "
-            "construction (docstring). Scale probes are unaffected.",
-            stacklevel=2,
-        )
-    assigned = sem_assignments(base, n_base)
-    cent = recompute_centroids(assigned, base, "vec_id", "embedding").persist()
-    cent.count()  # materialize the frozen artifact once, outside batches
+    # the frozen centroid table is the MATERIALIZED ingest artifact now
+    # (emb_index.frozen_centroids, fingerprinted per fixture, referee-
+    # switchable) — the Lloyd training no longer re-runs per invocation
+    # and nothing is left persisted (ADVICE r12). The flat-regime oracle
+    # caveat is a contract-layer guard (similarity.flat_oracle_guard),
+    # not a per-call warn (VERDICT r12 item 5).
+    cent = frozen_centroids(spark, sf_dir).persist()
+    cent.count()  # materialize the broadcast side once, outside batches
 
     src = os.path.join(
         tempfile.gettempdir(),
@@ -1338,4 +1330,152 @@ def q224_streaming_maintain_and_compact(
         F.count(F.lit(1)).cast("bigint").alias("n_rows_landed"),
         F.min("chunk_hash").alias("min_hash"),
         F.max("chunk_hash").alias("max_hash"),
+    )
+
+
+# test hook: final q226 landed dir + generation-swap count
+_LAST_Q226: dict | None = None
+EMB_LANDED_PART_BITS = 4  # pb = first 4 sign bits -> 16 bounded buckets
+
+
+@register(
+    "q226_streaming_emb_maintain_and_compact",
+    oracle=_q220_oracle(),
+    tags=(
+        "streaming",
+        "index",
+        "embedding",
+        "clustering",
+        "compaction",
+        "index-maintenance",
+    ),
+    oracle_guard=_flat_oracle_guard,
+)
+def q226_streaming_emb_maintain_and_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q224's generation-swap maintenance applied to the THIRD index
+    family: the streamed embedding index. q220 lands its enriched rows
+    as a flat per-batch append — the same unbounded small-file
+    fragmentation q218 (signature index) and q219 (CDC index) shed in
+    r12/r13. Here each micro-batch's frozen-centroid argmax rows land
+    PARTITIONED on ``pb`` = the first {EMB_LANDED_PART_BITS} sign bits
+    of the stored prefix (16 bounded buckets — the measured q219
+    bucket-count sizing; a prefix probe prunes to its own directory),
+    and every COMPACT_EVERY micro-batches plus once at drain end the
+    landing is rewritten one-file-per-bucket into a new generation with
+    the read pointer swapped and the superseded generation deleted
+    (race-free: foreachBatch is sequential, and the rewrite never reads
+    its own write target). Own 12-file source so every drain spans >= 3
+    micro-batches at any fixture scale and the driver's correctness
+    runs exercise the swap path. With this, all three streamed index
+    families (signature / CDC chunk / embedding) run the same bounded
+    24/7 maintenance loop: partitioned landing, in-stream compaction,
+    layout-invariant rollup. Oracle and output are exactly q220's (the
+    frozen-centroid delta assignment recomputed from raw embeddings),
+    so a row lost or duplicated by ANY append or ANY rewrite breaks the
+    value hash; same materialized frozen-centroid artifact, same
+    flat-regime oracle guard."""
+    import shutil
+
+    from .dedup import NEW_MOD, NEW_REM
+    from .emb_index import frozen_centroids
+    from .similarity import DIM
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    is_new = (F.col("vec_id") % NEW_MOD) == NEW_REM
+    cent = frozen_centroids(spark, sf_dir).persist()
+    cent.count()  # materialize the broadcast side once, outside batches
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_newvecs12_{_cache_key(sf_dir, 'embeddings')}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        emb.filter(is_new).repartition(12).write.mode("overwrite").parquet(
+            src
+        )
+
+    out_root = tempfile.mkdtemp(prefix="q226_emb_gen_")
+    state = {"gen": 0, "since": 0}
+    os.makedirs(os.path.join(out_root, "g0"))
+
+    def cur_dir() -> str:
+        return os.path.join(out_root, f"g{state['gen']}")
+
+    def compact() -> None:
+        nxt = os.path.join(out_root, f"g{state['gen'] + 1}")
+        (
+            spark.read.parquet(cur_dir())
+            .repartition(CDC_LANDED_PART_COL)
+            .write.mode("overwrite")
+            .partitionBy(CDC_LANDED_PART_COL)
+            .parquet(nxt)
+        )
+        old = cur_dir()
+        state["gen"] += 1
+        state["since"] = 0
+        shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
+
+    from ..functions.vectors import cosine_sql, lsh_bucket_sql
+
+    bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark")
+    ccos = cosine_sql("embedding", "centroid", DIM, "spark")
+
+    def land_assigned(batch_df: DataFrame, _batch_id: int) -> None:
+        scored = (
+            batch_df.select(
+                "vec_id", F.expr(bits).alias("bits8"), "embedding"
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster"
+            )
+        )
+        (
+            scored.groupBy("vec_id", "bits8")
+            .agg(F.max(F.struct("cos", "cluster")).alias("best"))
+            .select(
+                "vec_id", "bits8", F.col("best.cluster").alias("cluster")
+            )
+            .withColumn(
+                CDC_LANDED_PART_COL,
+                F.substring("bits8", 1, EMB_LANDED_PART_BITS),
+            )
+            .repartition(CDC_LANDED_PART_COL)
+            .write.mode("append")
+            .partitionBy(CDC_LANDED_PART_COL)
+            .parquet(cur_dir())
+        )
+        state["since"] += 1
+        if state["since"] >= COMPACT_EVERY:
+            compact()
+
+    with _stream_drain_conf(spark):
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                _timed_foreach_batch(
+                    "q226_streaming_emb_maintain_and_compact", land_assigned
+                )
+            )
+            .option("checkpointLocation", os.path.join(out_root, "_chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    cent.unpersist()
+    compact()  # final rewrite: the artifact a consumer would read
+    global _LAST_Q226
+    _LAST_Q226 = {"dir": cur_dir(), "generations": state["gen"]}
+    idx = spark.read.parquet(cur_dir())
+    return idx.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+        F.countDistinct("bits8").cast("bigint").alias("n_buckets"),
     )

@@ -693,3 +693,81 @@ def test_q222_multiprobe_dominates_single_probe(spark):
     }
     assert sum(one.values()) == sum(multi.values())  # same delta partition
     assert multi.get(-1, 0) <= one.get(-1, 0)
+
+
+def test_q225_completes_every_assignment_via_bounded_exact_residue(spark):
+    """The composed operator's three contracts (VERDICT r12 item 2):
+    (a) COMPLETE — every delta vector gets a real cluster, no -1 row;
+    (b) the exact-path residue is EXACTLY q222's bucket-miss set (the
+    composition routes only the former cluster = -1 vectors through the
+    O(k) argmax), so residue_fraction stays small by construction —
+    pinned < 0.5 at fixture scale (multiprobe covers p+1 of the 2^p
+    buckets, so a miss needs ALL probed buckets centroid-free);
+    (c) the cheap path is a genuine approximation of the exact argmax,
+    not garbage — agreement with the full q220-style exact assignment
+    is pinned >= 0.6 at fixture scale (it is NOT 1.0 in general: an
+    in-bucket argmax may miss the globally nearest centroid — the
+    measured ~60% single-probe disagreement in q225's docstring)."""
+    from pyspark.sql import functions as F
+
+    from discogs_load_spark.functions.vectors import cosine_sql
+    from discogs_load_spark.queries.registry import REGISTRY
+    from discogs_load_spark.queries.similarity import (
+        DIM,
+        _frozen_centroid_buckets,
+        _multiprobe,
+    )
+
+    out = REGISTRY["q225_delta_assign_complete"].fn(spark, SF_SMALL).collect()
+    assert all(r.cluster >= 0 for r in out)  # complete: no -1 row
+    n_new = sum(r.n_new for r in out)
+    n_exact = sum(r.n_via_exact for r in out)
+
+    multi = {
+        r.cluster: r.n_new
+        for r in REGISTRY["q222_delta_assign_multiprobe"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert sum(multi.values()) == n_new  # same delta partition
+    assert n_exact == multi.get(-1, 0)  # residue == q222's miss set
+    assert n_exact / n_new < 0.5
+
+    # per-vector agreement with the exact argmax (the q220 computation)
+    centb, newv = _frozen_centroid_buckets(spark, SF_SMALL)
+    cos = cosine_sql("embedding", "centroid", DIM, "spark")
+    exact = (
+        newv.crossJoin(F.broadcast(centb.select("cluster", "centroid")))
+        .select("vec_id", F.expr(cos).alias("cos"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("cos", "cluster")).alias("b"))
+        .select("vec_id", F.col("b.cluster").alias("cluster"))
+    )
+    cheap = (
+        _multiprobe(newv)
+        .join(F.broadcast(centb), "bk")
+        .select("vec_id", F.expr(cos).alias("cos"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("cos", "cluster")).alias("b"))
+        .select("vec_id", F.col("b.cluster").alias("cluster"))
+    )
+    e = {r.vec_id: r.cluster for r in exact.collect()}
+    c = {r.vec_id: r.cluster for r in cheap.collect()}
+    # composed = cheap where assigned, exact for the residue — so its
+    # per-vector agreement with exact is bounded below by the cheap
+    # path's hit agreement; residue vectors agree by construction
+    agree = sum(1 for v, cl in c.items() if e[v] == cl) + (len(e) - len(c))
+    assert 0.6 <= agree / len(e) <= 1.0
+
+
+def test_flat_regime_oracle_guard_fires_above_cutoff(spark, monkeypatch):
+    """VERDICT r12 item 5: above SEM_TWO_LEVEL_MIN the delta-assignment
+    oracles are invalid BY CONSTRUCTION (they unroll flat k-means; the
+    engine clusters two-level). The contract layer must get a loud
+    skip reason instead of a hash mismatch — and none at fixture scale."""
+    from discogs_load_spark.queries import similarity as sim
+
+    assert sim.flat_oracle_guard(spark, SF_SMALL) is None
+    monkeypatch.setattr(sim, "SEM_TWO_LEVEL_MIN", 0)
+    reason = sim.flat_oracle_guard(spark, SF_SMALL)
+    assert reason and "two-level" in reason

@@ -69,3 +69,31 @@ def test_referee_exclusions_name_measured_duals():
         assert doc_duals, (
             f"{name}: docstring must name a measured scale-safe dual"
         )
+
+
+def test_per_batch_gate_catches_synthetic_regression():
+    """VERDICT r12 item 4: streaming queries gate on the PER-BATCH mean
+    scale reading (the drain total is backlog-proportional by design and
+    stays non-gating). The gate must catch a q220-style per-batch
+    blow-up against the prior round's record, and must NOT flag ambient
+    noise, missing priors (new query / first gated round), or missing
+    current readings (single-batch tiny drains)."""
+    import sys
+
+    sys.path.insert(0, str(README.parent))
+    import bench
+
+    # synthetic regression: prior round recorded 6.4x, this round 19.1x
+    assert bench.per_batch_gate(19.1, 6.4) is True
+    # ambient noise inside 1.5x + 0.5 slack: no flag
+    assert bench.per_batch_gate(6.8, 6.4) is False
+    assert bench.per_batch_gate(1.2, 0.5) is False  # slack absorbs tiny means
+    # no prior record / no current reading: publish, don't flag
+    assert bench.per_batch_gate(19.1, None) is False
+    assert bench.per_batch_gate(None, 6.4) is False
+    # every gated name is a measured streaming maintainer in the tier
+    assert set(bench.STREAMING_PER_BATCH) <= set(bench.SF1_QUERIES)
+    from discogs_load_spark.queries.registry import REGISTRY as _REG
+
+    for name in bench.STREAMING_PER_BATCH:
+        assert "streaming" in _REG[name].tags

@@ -48,6 +48,10 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
+    if spec.oracle_guard is not None:
+        reason = spec.oracle_guard(spark, SF_SMALL)
+        if reason:
+            pytest.skip(f"oracle regime guard: {reason}")
     sdf = spec.fn(spark, SF_SMALL)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]

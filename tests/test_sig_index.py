@@ -178,6 +178,11 @@ def test_index_scan_replaces_normalize_chain_in_plan(spark):
         "q95_embedding_dedup_groups",
         "q192_best_embedding_match",
         "q199_adaptive_lsh_best_match",
+        # frozen-centroid artifact consumers (r13: the delta-assignment
+        # family's Lloyd training moved to emb_index.frozen_centroids)
+        "q221_delta_cluster_assign_lsh",
+        "q222_delta_assign_multiprobe",
+        "q225_delta_assign_complete",
     ),
 )
 def test_emb_index_path_equals_inplan_referee(spark, name, monkeypatch):
@@ -219,3 +224,41 @@ def test_emb_index_is_total_over_vectors(spark):
         (F.length("bits") != ADAPTIVE_LSH_MAX_PLANES) | (F.col("nrm") <= 0)
     )
     assert bad.count() == 0
+
+
+def test_frozen_centroid_fingerprint_tracks_constants(monkeypatch):
+    """The frozen-centroid artifact's fingerprint must fold every
+    constant the training lineage branches on — the same discipline as
+    the enriched index (a changed constant without a version change
+    serves a stale centroid table and silently drifts every
+    delta-assignment answer)."""
+    from discogs_load_spark.queries import emb_index as ei, similarity as sim
+    from discogs_load_spark.queries import dedup as dd
+
+    v0 = ei._centroid_version()
+    monkeypatch.setattr(sim, "SEM_ITER", sim.SEM_ITER + 1)
+    v1 = ei._centroid_version()
+    assert v1 != v0
+    monkeypatch.setattr(dd, "NEW_REM", (dd.NEW_REM + 1) % dd.NEW_MOD)
+    assert ei._centroid_version() != v1
+
+
+def test_frozen_centroids_artifact_equals_inplan_referee(spark, monkeypatch):
+    """Artifact path (materialized parquet) vs SPARK_GRAFT_EMB_INDEX=0
+    in-plan recompute: the centroid tables must be identical to the
+    last bit (deterministic Lloyd + decimal-exact means + exact parquet
+    double round-trip)."""
+    from discogs_load_spark.queries.emb_index import frozen_centroids
+
+    monkeypatch.setenv("SPARK_GRAFT_EMB_INDEX", "1")
+    via_artifact = sorted(
+        (r.cluster, tuple(r.centroid))
+        for r in frozen_centroids(spark, SF_SMALL).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_EMB_INDEX", "0")
+    in_plan = sorted(
+        (r.cluster, tuple(r.centroid))
+        for r in frozen_centroids(spark, SF_SMALL).collect()
+    )
+    assert via_artifact == in_plan
+    assert len(via_artifact) >= 2

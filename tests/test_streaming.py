@@ -332,3 +332,45 @@ def test_q218_sig_landing_partitioned_and_compacted(spark):
     }
     assert len(files_per_bucket) > 1, "landing is not hash-prefix partitioned"
     assert set(files_per_bucket.values()) == {1}, files_per_bucket
+
+
+def test_q226_emb_landing_partitioned_and_compacted(spark):
+    """The third index family's composed maintainer: (a) pb= partition
+    dirs from the landed sign-prefix, (b) >= 1 in-stream generation
+    swap plus the final one (12-file source, COMPACT_EVERY = 3),
+    (c) one file per bucket at close, (d) one latency per micro-batch,
+    (e) the rollup is layout-invariant — it must equal q220's (same
+    oracle, flat landing) row for row."""
+    import glob
+    import os
+
+    from discogs_load_spark.queries import streaming as st
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    name = "q226_streaming_emb_maintain_and_compact"
+    out = sorted(
+        map(tuple, REGISTRY[name].fn(spark, SF_SMALL).collect())
+    )
+    flat = sorted(
+        map(
+            tuple,
+            REGISTRY["q220_streaming_emb_index_maintenance"]
+            .fn(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    assert out == flat and len(out) >= 1
+
+    info = st._LAST_Q226
+    assert info is not None
+    lat = st.BATCH_LATENCIES[name]
+    assert len(lat) >= 3 and all(t > 0 for t in lat)
+    assert info["generations"] >= 2
+
+    files_per_bucket = {
+        b: len(glob.glob(os.path.join(info["dir"], b, "*.parquet")))
+        for b in os.listdir(info["dir"])
+        if b.startswith(f"{st.CDC_LANDED_PART_COL}=")
+    }
+    assert len(files_per_bucket) > 1, "landing is not sign-prefix partitioned"
+    assert set(files_per_bucket.values()) == {1}, files_per_bucket

@@ -47,8 +47,21 @@ def norm(v):
     return v
 
 qs, oracles = e.queries(), e.oracle_sql()
+# Oracle regime guards (registry.QuerySpec.oracle_guard): a guard returning
+# a reason string means the SQL dual is invalid BY CONSTRUCTION at this
+# fixture (e.g. the delta-assignment oracles unroll flat k-means, valid
+# only under similarity.SEM_TWO_LEVEL_MIN) — skip the comparison loudly
+# with the reason instead of reporting a misleading hash mismatch. At the
+# driver's sf0.01 tier no guard fires; this exists so a future larger
+# correctness tier fails with a clear message (VERDICT r12 item 5).
+from discogs_load_spark.queries.registry import REGISTRY as _REG
 fail = 0
 for name, fn in sorted(qs.items()):
+    guard = getattr(_REG.get(name), "oracle_guard", None)
+    if guard is not None and name in oracles:
+        reason = guard(spark, SF)
+        if reason:
+            print(f"{name}: SKIP-ORACLE (guard: {reason})"); continue
     sdf = fn(spark, SF)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
