@@ -464,7 +464,10 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     # both tiers — but time the builds themselves so the round's record
     # still carries the chunk-stage cost and its scaling
     from discogs_load_spark.queries.dedup import cdc_chunk_index
-    from discogs_load_spark.queries.emb_index import emb_enriched
+    from discogs_load_spark.queries.emb_index import (
+        emb_enriched,
+        frozen_centroids,
+    )
     from discogs_load_spark.queries.sig_index import (
         doc_prefix_rank_index,
         doc_signature_index,
@@ -474,6 +477,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     sig_build: dict[str, float] = {}
     emb_build: dict[str, float] = {}
     rank_build: dict[str, float] = {}
+    cent_build: dict[str, float] = {}
     for label, d in (("base_s", sf_dir), ("sf1_s", SF1_DIR)):
         t0 = _t.monotonic()
         _materialize(cdc_chunk_index(spark, d, rebuild=True))
@@ -487,7 +491,14 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         t0 = _t.monotonic()
         _materialize(doc_prefix_rank_index(spark, d, rebuild=True))
         rank_build[label] = round(_t.monotonic() - t0, 2)
-    for b in (cdc_build, sig_build, emb_build, rank_build):
+        # r13: the frozen delta-training centroids are an ingest artifact
+        # too (emb_index.frozen_centroids) — build outside the timed
+        # windows so whichever delta-assignment query touches a tier
+        # first doesn't absorb the Lloyd rounds into its reading
+        t0 = _t.monotonic()
+        _materialize(frozen_centroids(spark, d, rebuild=True))
+        cent_build[label] = round(_t.monotonic() - t0, 2)
+    for b in (cdc_build, sig_build, emb_build, rank_build, cent_build):
         b["scale_x"] = round(b["sf1_s"] / max(b["base_s"], 0.01), 1)
     spark.catalog.clearCache()
 
@@ -567,6 +578,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "sig_index_build": sig_build,
         "emb_index_build": emb_build,
         "prefix_rank_build": rank_build,
+        "centroid_build": cent_build,
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,

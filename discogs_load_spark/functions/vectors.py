@@ -170,6 +170,19 @@ def centroid_planes_sql(k_col: str = "k_rows") -> str:
     )
 
 
+def centroid_planes_value(k: int) -> int:
+    """Python twin of :func:`centroid_planes_sql` for callers that hold
+    the centroid count as a driver-side scalar (the streaming composed
+    maintainer computes the prefix length once, outside micro-batches).
+    Equality with the SQL ladder at every threshold edge is test-pinned
+    (tests/test_adaptive_ops.py) — a drift here would silently bucket
+    the two dialects differently."""
+    for cap, p in ((16, 2), (64, 4), (256, 6), (1024, 8), (4096, 10)):
+        if k <= cap:
+            return p
+    return 12
+
+
 def adaptive_planes_sql(n_col: str = "n_rows") -> str:
     """Hyperplane count as a CASE ladder over the corpus row count: the
     smallest even p (in this ladder) with n / 2^p <= 16 at each band's

@@ -1102,8 +1102,15 @@ def flat_oracle_guard(spark: SparkSession, sf_dir: str) -> str | None:
 
 
 def _delta_assign_oracle(
-    multiprobe: bool = False, complete: bool = False
+    multiprobe: bool = False,
+    complete: bool = False,
+    landed_bits: int | None = None,
 ) -> str:
+    """SQL dual builder for the delta-assignment family. ``landed_bits``
+    (q226): also derive each new vector's ``landed_bits``-char sign
+    prefix (the streamed index's stored bucket string) and add the
+    per-cluster distinct-bucket count to the complete rollup — passed as
+    an int by the streaming module so no import cycle forms."""
     from ..functions.vectors import (
         ADAPTIVE_LSH_MAX_PLANES,
         centroid_planes_sql,
@@ -1121,6 +1128,13 @@ def _delta_assign_oracle(
     ebits = lsh_bucket_sql("embedding", ADAPTIVE_LSH_MAX_PLANES, DIM, "duckdb")
     p = centroid_planes_sql("k_rows")
     cos = cosine_sql("n.embedding", "c.centroid", DIM, "duckdb")
+    landed_col = (
+        f""",
+               {lsh_bucket_sql("embedding", landed_bits, DIM, "duckdb")}
+                   AS bits8"""
+        if landed_bits
+        else ""
+    )
     body = ",\n    ".join(parts)
     if multiprobe:
         # exact bucket (i = -1) plus every one-bit flip of the prefix —
@@ -1165,12 +1179,16 @@ def _delta_assign_oracle(
         UNION ALL
         SELECT vec_id, cluster, 1 AS via_exact FROM exactr
     )
-    SELECT cluster,
+    SELECT {"l.cluster AS cluster" if landed_bits else "cluster"},
            CAST(COUNT(*) AS BIGINT) AS n_new,
-           MIN(vec_id) AS min_vec,
-           MAX(vec_id) AS max_vec,
+           MIN({"l." if landed_bits else ""}vec_id) AS min_vec,
+           MAX({"l." if landed_bits else ""}vec_id) AS max_vec,{
+               f'''
+           CAST(COUNT(DISTINCT n.bits8) AS BIGINT) AS n_buckets,'''
+               if landed_bits else ""}
            CAST(SUM(via_exact) AS BIGINT) AS n_via_exact
-    FROM lab GROUP BY cluster"""
+    FROM lab{" l JOIN newv n ON l.vec_id = n.vec_id" if landed_bits else ""}
+    GROUP BY {"l.cluster" if landed_bits else "cluster"}"""
     else:
         tail = """
     lab AS (
@@ -1194,7 +1212,7 @@ def _delta_assign_oracle(
     ),
     newv AS (
         SELECT vec_id, embedding, substring({ebits}, 1, {p}) AS bk,
-               {p} AS p
+               {p} AS p{landed_col}
         FROM embeddings CROSS JOIN ks
         WHERE vec_id % {NEW_MOD} = {NEW_REM}
     ),{probe_src}

@@ -1338,9 +1338,17 @@ _LAST_Q226: dict | None = None
 EMB_LANDED_PART_BITS = 4  # pb = first 4 sign bits -> 16 bounded buckets
 
 
+def _q226_oracle() -> str:
+    from .similarity import _delta_assign_oracle
+
+    return _delta_assign_oracle(
+        multiprobe=True, complete=True, landed_bits=EMB_STREAM_BITS
+    )
+
+
 @register(
     "q226_streaming_emb_maintain_and_compact",
-    oracle=_q220_oracle(),
+    oracle=_q226_oracle(),
     tags=(
         "streaming",
         "index",
@@ -1355,29 +1363,44 @@ def q226_streaming_emb_maintain_and_compact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """q224's generation-swap maintenance applied to the THIRD index
-    family: the streamed embedding index. q220 lands its enriched rows
-    as a flat per-batch append — the same unbounded small-file
-    fragmentation q218 (signature index) and q219 (CDC index) shed in
-    r12/r13. Here each micro-batch's frozen-centroid argmax rows land
-    PARTITIONED on ``pb`` = the first {EMB_LANDED_PART_BITS} sign bits
-    of the stored prefix (16 bounded buckets — the measured q219
-    bucket-count sizing; a prefix probe prunes to its own directory),
-    and every COMPACT_EVERY micro-batches plus once at drain end the
-    landing is rewritten one-file-per-bucket into a new generation with
-    the read pointer swapped and the superseded generation deleted
-    (race-free: foreachBatch is sequential, and the rewrite never reads
-    its own write target). Own 12-file source so every drain spans >= 3
-    micro-batches at any fixture scale and the driver's correctness
-    runs exercise the swap path. With this, all three streamed index
-    families (signature / CDC chunk / embedding) run the same bounded
-    24/7 maintenance loop: partitioned landing, in-stream compaction,
-    layout-invariant rollup. Oracle and output are exactly q220's (the
-    frozen-centroid delta assignment recomputed from raw embeddings),
-    so a row lost or duplicated by ANY append or ANY rewrite breaks the
-    value hash; same materialized frozen-centroid artifact, same
-    flat-regime oracle guard."""
+    family — the streamed embedding index — with q225's COMPOSED
+    assignment as the per-batch operator. q220 lands its enriched rows
+    as a flat per-batch append (the fragmentation q218/q219 shed) and
+    scores every arriving vector against ALL k frozen centroids — the
+    O(batch x k) per-batch term the metric flagged at 19.1x and this
+    round's first probe of a naive q226 re-measured at 36x per batch
+    (k ~ n/250 grows with the corpus while the bucketed candidate count
+    does not). Here each micro-batch runs the q225 composition instead:
+    multiprobe sign-prefix argmax for the bulk (O(rows x (p+1) x ~4)
+    candidates, independent of k), exact argmax for ONLY the bucket-miss
+    residue, ``via_exact`` landed per row. Rows land PARTITIONED on
+    ``pb`` = the first {EMB_LANDED_PART_BITS} stored sign bits (16
+    bounded buckets, the measured q219 sizing) and every COMPACT_EVERY
+    micro-batches plus once at drain end the landing is rewritten
+    one-file-per-bucket into a new generation, read pointer swapped,
+    superseded generation deleted (race-free: foreachBatch is
+    sequential; the rewrite never reads its own write target). Own
+    12-file source so every drain spans >= 3 micro-batches at any
+    fixture scale. With this, all three streamed index families
+    (signature / CDC chunk / embedding) run the same bounded 24/7 loop:
+    partitioned landing, in-stream compaction, layout-invariant rollup.
+
+    The composed assignment is a pure per-vector function of the frozen
+    centroid table, so batch boundaries cannot change it — the rollup
+    equals q225's on the shared columns (test-pinned), and the oracle
+    replays the full composition (multiprobe CTE + exact-residue argmax
+    + the landed sign-prefix bucket count), so a row lost or duplicated
+    by ANY append or ANY rewrite, or a batch/stream divergence in the
+    assignment, breaks the value hash. Same materialized frozen-centroid
+    artifact, same flat-regime oracle guard as q220/q221/q222/q225."""
     import shutil
 
+    from ..functions.vectors import (
+        ADAPTIVE_LSH_MAX_PLANES,
+        centroid_planes_value,
+        cosine_sql,
+        lsh_bucket_sql,
+    )
     from .dedup import NEW_MOD, NEW_REM
     from .emb_index import frozen_centroids
     from .similarity import DIM
@@ -1385,7 +1408,17 @@ def q226_streaming_emb_maintain_and_compact(
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     is_new = (F.col("vec_id") % NEW_MOD) == NEW_REM
     cent = frozen_centroids(spark, sf_dir).persist()
-    cent.count()  # materialize the broadcast side once, outside batches
+    # bounded 1-row scalar: the centroid count sizes the shared prefix
+    # ONCE, outside batches (python twin of centroid_planes_sql,
+    # equality test-pinned)
+    p_val = centroid_planes_value(cent.count())
+    cbits = lsh_bucket_sql("centroid", ADAPTIVE_LSH_MAX_PLANES, DIM, "spark")
+    ebits = lsh_bucket_sql("embedding", ADAPTIVE_LSH_MAX_PLANES, DIM, "spark")
+    centb = cent.select(
+        "cluster",
+        "centroid",
+        F.expr(f"substring({cbits}, 1, {p_val})").alias("bk"),
+    )
 
     src = os.path.join(
         tempfile.gettempdir(),
@@ -1417,27 +1450,65 @@ def q226_streaming_emb_maintain_and_compact(
         state["since"] = 0
         shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
 
-    from ..functions.vectors import cosine_sql, lsh_bucket_sql
-
     bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark")
     ccos = cosine_sql("embedding", "centroid", DIM, "spark")
 
     def land_assigned(batch_df: DataFrame, _batch_id: int) -> None:
-        scored = (
-            batch_df.select(
-                "vec_id", F.expr(bits).alias("bits8"), "embedding"
-            )
-            .crossJoin(F.broadcast(cent))
+        newb = batch_df.select(
+            "vec_id",
+            "embedding",
+            F.expr(bits).alias("bits8"),
+            F.expr(f"substring({ebits}, 1, {p_val})").alias("bk"),
+        )
+        probes = newb.select(
+            "vec_id",
+            "bits8",
+            "embedding",
+            "bk",
+            F.explode(F.expr(f"sequence(-1, {p_val - 1})")).alias("i"),
+        ).select(
+            "vec_id",
+            "bits8",
+            "embedding",
+            F.expr(
+                "CASE WHEN i = -1 THEN bk"
+                " ELSE concat(substring(bk, 1, i),"
+                " CASE WHEN substring(bk, i + 1, 1) = '0'"
+                " THEN '1' ELSE '0' END,"
+                f" substring(bk, i + 2, {p_val} - i - 1)) END"
+            ).alias("bk"),
+        )
+        # cheap path: in-bucket argmax over ~4 candidates per probe
+        # (bits8 carried through the grouping key — functionally
+        # dependent on vec_id, the q220 trick)
+        best = (
+            probes.join(F.broadcast(centb), "bk")
+            .select("vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster")
+            .groupBy("vec_id", "bits8")
+            .agg(F.max(F.struct("cos", "cluster")).alias("b"))
             .select(
-                "vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster"
+                "vec_id",
+                "bits8",
+                F.col("b.cluster").alias("cluster"),
+                F.lit(0).alias("via_exact"),
+            )
+        )
+        # exact path for ONLY the bucket-miss residue
+        residb = (
+            newb.join(best.select("vec_id"), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(cent))
+            .select("vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster")
+            .groupBy("vec_id", "bits8")
+            .agg(F.max(F.struct("cos", "cluster")).alias("b"))
+            .select(
+                "vec_id",
+                "bits8",
+                F.col("b.cluster").alias("cluster"),
+                F.lit(1).alias("via_exact"),
             )
         )
         (
-            scored.groupBy("vec_id", "bits8")
-            .agg(F.max(F.struct("cos", "cluster")).alias("best"))
-            .select(
-                "vec_id", "bits8", F.col("best.cluster").alias("cluster")
-            )
+            best.unionByName(residb)
             .withColumn(
                 CDC_LANDED_PART_COL,
                 F.substring("bits8", 1, EMB_LANDED_PART_BITS),
@@ -1478,4 +1549,5 @@ def q226_streaming_emb_maintain_and_compact(
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
         F.countDistinct("bits8").cast("bigint").alias("n_buckets"),
+        F.sum("via_exact").cast("bigint").alias("n_via_exact"),
     )

@@ -339,8 +339,10 @@ def test_q226_emb_landing_partitioned_and_compacted(spark):
     dirs from the landed sign-prefix, (b) >= 1 in-stream generation
     swap plus the final one (12-file source, COMPACT_EVERY = 3),
     (c) one file per bucket at close, (d) one latency per micro-batch,
-    (e) the rollup is layout-invariant — it must equal q220's (same
-    oracle, flat landing) row for row."""
+    (e) the per-batch operator is q225's COMPOSED assignment, which is
+    a pure per-vector function of the frozen centroids — so batch
+    boundaries cannot change it and the rollup must equal q225's on the
+    shared columns, row for row."""
     import glob
     import os
 
@@ -349,17 +351,18 @@ def test_q226_emb_landing_partitioned_and_compacted(spark):
 
     name = "q226_streaming_emb_maintain_and_compact"
     out = sorted(
-        map(tuple, REGISTRY[name].fn(spark, SF_SMALL).collect())
+        (r.cluster, r.n_new, r.min_vec, r.max_vec, r.n_via_exact)
+        for r in REGISTRY[name].fn(spark, SF_SMALL).collect()
     )
-    flat = sorted(
+    composed = sorted(
         map(
             tuple,
-            REGISTRY["q220_streaming_emb_index_maintenance"]
+            REGISTRY["q225_delta_assign_complete"]
             .fn(spark, SF_SMALL)
             .collect(),
         )
     )
-    assert out == flat and len(out) >= 1
+    assert out == composed and len(out) >= 1
 
     info = st._LAST_Q226
     assert info is not None
@@ -374,3 +377,22 @@ def test_q226_emb_landing_partitioned_and_compacted(spark):
     }
     assert len(files_per_bucket) > 1, "landing is not sign-prefix partitioned"
     assert set(files_per_bucket.values()) == {1}, files_per_bucket
+
+
+def test_centroid_planes_value_matches_sql_ladder():
+    """The streaming maintainer holds the prefix length as a driver-side
+    int (functions/vectors.centroid_planes_value); it must equal the SQL
+    CASE ladder both dialects bucket with, at every threshold edge."""
+    import duckdb
+
+    from discogs_load_spark.functions.vectors import (
+        centroid_planes_sql,
+        centroid_planes_value,
+    )
+
+    con = duckdb.connect()
+    for k in (1, 8, 16, 17, 64, 65, 256, 257, 1024, 1025, 4096, 4097, 99999):
+        want = con.execute(
+            f"SELECT {centroid_planes_sql(str(k))}"
+        ).fetchone()[0]
+        assert centroid_planes_value(k) == want, k
