@@ -145,6 +145,10 @@ SF1_QUERIES = [
     # r13: the embedding-index composed maintainer (q220's per-batch
     # argmax + partitioned landing + periodic generation-swap rewrites)
     "q226_streaming_emb_maintain_and_compact",
+    # r13: the LSM read-merge — two pruned artifact scans + one union +
+    # one 32-byte-key groupBy (~linear; the delta artifact caches per
+    # fixture so steady-state reads pay no build)
+    "q227_index_delta_merge_read",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

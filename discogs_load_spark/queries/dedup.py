@@ -292,6 +292,60 @@ NEW_REM = 4
 
 
 @register(
+    "q227_index_delta_merge_read",
+    oracle=f"""
+    SELECT md5({norm_sql('text', 'duckdb')}) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies,
+           CAST(SUM(CASE WHEN doc_id % {NEW_MOD} = {NEW_REM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup", "index", "lake", "incremental", "exact"),
+)
+def q227_index_delta_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSM read-merge (NEW r13): exact dedup computed over BASE
+    INDEX ∪ DELTA LANDING instead of a full rebuild — the read path
+    every main+delta index architecture needs between compactions
+    (LevelDB/Iceberg read-merge; q218 lands the delta, q223/q224
+    compact it, and THIS is how a consumer reads correct answers while
+    that cycle runs). Base side = the materialized signature index
+    filtered to the base snapshot (a pruned scan: 2 columns of a
+    one-row-per-doc parquet); delta side = the streamed generation's
+    artifact (sig_delta_landing — sig_frame of the new-snapshot docs,
+    hash-prefix-partitioned exactly like q218's compacted landing).
+    The union covers every document exactly once, so the oracle is the
+    FULL-REBUILD answer (q50's oracle + the per-hash delta count): a
+    row lost at the seam, double-counted across generations, or a
+    base/delta build divergence breaks the value hash. ``n_delta``
+    surfaces how much of each duplicate group arrived via the delta —
+    the observable that proves the merged view actually reads both
+    sides. Plan shape: two pruned artifact scans + one union + one
+    32-byte-key groupBy; no re-derivation from raw text (plan-asserted:
+    no regexp_replace), both snapshot filters are scan-level."""
+    from .sig_index import sig_delta_landing
+
+    base = (
+        doc_signature_index(spark, sf_dir)
+        .filter((F.col("doc_id") % NEW_MOD) != NEW_REM)
+        .select("doc_id", "content_hash", F.lit(0).alias("is_delta"))
+    )
+    delta = sig_delta_landing(spark, sf_dir).select(
+        "doc_id", "content_hash", F.lit(1).alias("is_delta")
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("is_delta").cast("bigint").alias("n_delta"),
+        )
+    )
+
+
+
+@register(
     "q100_incremental_dedup",
     oracle=f"""
     WITH {_PAIRS_CTE_BODY.replace(

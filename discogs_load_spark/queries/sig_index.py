@@ -258,14 +258,26 @@ def _index_fingerprint(sf_dir: str, hashed: bool | None = None) -> str:
 
 
 def _materialized(
-    spark: SparkSession, dest: str, frame_fn, rebuild: bool
+    spark: SparkSession,
+    dest: str,
+    frame_fn,
+    rebuild: bool,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Write-once parquet materialization with the tmp-rename race rule
-    shared by every index builder in this module."""
+    shared by every index builder in this module. ``partition_by``
+    lands the artifact directory-partitioned, one file per bucket (the
+    q219/q218 landed layout: repartition on the directory column so
+    partitionBy writes one file per bucket, not tasks x buckets)."""
     if rebuild or not os.path.isdir(dest):
         frame = frame_fn()
         tmp = f"{dest}.tmp.{os.getpid()}"
-        frame.write.mode("overwrite").parquet(tmp)
+        if partition_by:
+            frame.repartition(partition_by).write.mode(
+                "overwrite"
+            ).partitionBy(partition_by).parquet(tmp)
+        else:
+            frame.write.mode("overwrite").parquet(tmp)
         try:
             if rebuild and os.path.isdir(dest):
                 shutil.rmtree(dest)
@@ -298,6 +310,54 @@ def doc_signature_index(
         dest,
         lambda: sig_frame(_docs(spark, sf_dir), hashed=hashed),
         rebuild,
+    )
+    return with_derived_index_cols(df) if hashed else df
+
+
+SIG_DELTA_PART_COL = "pb"
+
+
+def sig_delta_landing(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """The streamed DELTA generation of the signature index as a cached
+    artifact: ``sig_frame`` of the new-snapshot documents
+    (doc_id-modulo convention, queries/dedup.NEW_MOD/NEW_REM), landed
+    hash-prefix-PARTITIONED (``pb`` = first hex char of the content
+    hash — exactly q218's landed layout after its in-stream
+    compaction, one file per bucket). This is the 'delta' side of the
+    LSM read-merge (q227): a consumer reads base index ∪ delta landing
+    without waiting for the next full index rebuild. Same fingerprint
+    discipline (documents fingerprint + index version + the snapshot
+    modulus) and the same ``SPARK_GRAFT_SIG_INDEX=0`` in-plan referee
+    switch as the base index."""
+    from .dedup import NEW_MOD, NEW_REM  # deferred: dedup imports us
+
+    hashed = hashed_mode()
+
+    def delta_frame() -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(
+            (F.col("doc_id") % NEW_MOD) == NEW_REM
+        )
+        frame = sig_frame(docs, hashed=hashed)
+        pb = (
+            F.substring(F.lower(F.hex("chb")), 1, 1)
+            if hashed
+            else F.substring("content_hash", 1, 1)
+        )
+        return frame.withColumn(SIG_DELTA_PART_COL, pb)
+
+    if os.environ.get("SPARK_GRAFT_SIG_INDEX", "1") == "0":
+        frame = delta_frame()
+        return with_derived_index_cols(frame) if hashed else frame
+    fp = (
+        f"{_index_fingerprint(sf_dir, hashed)}"
+        f"|delta-mod{NEW_MOD}r{NEW_REM}"
+    )
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(SIG_INDEX_DIR, f"delta_{key}")
+    df = _materialized(
+        spark, dest, delta_frame, rebuild, partition_by=SIG_DELTA_PART_COL
     )
     return with_derived_index_cols(df) if hashed else df
 

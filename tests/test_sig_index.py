@@ -43,6 +43,9 @@ PINNED = (
     "q142_boilerplate_ngrams",
     "q145_bm25_topk",
     "q146_lm_doc_score",
+    # r13: the LSM read-merge (base index ∪ delta landing) — the switch
+    # must flip BOTH artifact reads to their in-plan lineages
+    "q227_index_delta_merge_read",
 )
 
 
@@ -262,3 +265,41 @@ def test_frozen_centroids_artifact_equals_inplan_referee(spark, monkeypatch):
     )
     assert via_artifact == in_plan
     assert len(via_artifact) >= 2
+
+
+def test_delta_landing_is_partitioned_and_merge_reads_both_artifacts(spark):
+    """The LSM pair's physical contracts: (a) the delta artifact lands
+    hash-prefix-partitioned and a bucket probe reaches the scan as a
+    PARTITION filter (directory pruning — the q219 discipline applied
+    to the delta generation); (b) q227's plan reads BOTH materialized
+    artifacts and re-derives nothing from raw text (no normalize chain);
+    (c) the union covers every document exactly once (sum of n_copies
+    == |documents|, sum of n_delta == |new snapshot|)."""
+    from discogs_load_spark.plans import formatted_plan
+    from discogs_load_spark.queries.dedup import NEW_MOD, NEW_REM
+    from discogs_load_spark.queries.sig_index import (
+        SIG_DELTA_PART_COL,
+        SIG_INDEX_DIR,
+        sig_delta_landing,
+    )
+    from discogs_load_spark.session import load_tables
+
+    delta = sig_delta_landing(spark, SF_SMALL)
+    pruned = delta.filter(F.col(SIG_DELTA_PART_COL) == "7")
+    plan = formatted_plan(pruned)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any(SIG_DELTA_PART_COL in ln and "7" in ln for ln in pf), (
+        plan
+    )
+
+    q = REGISTRY["q227_index_delta_merge_read"]
+    plan = formatted_plan(q.fn(spark, SF_SMALL))
+    assert plan.count(SIG_INDEX_DIR) >= 2, plan  # base + delta artifacts
+    assert "regexp_replace" not in plan
+
+    rows = q.fn(spark, SF_SMALL).collect()
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    assert sum(r.n_copies for r in rows) == docs.count()
+    assert sum(r.n_delta for r in rows) == docs.filter(
+        (F.col("doc_id") % NEW_MOD) == NEW_REM
+    ).count()
