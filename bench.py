@@ -142,8 +142,11 @@ SF1_QUERIES = [
     "q223_cdc_index_compaction",
     # the composed maintainer: q219's per-batch shape + periodic rewrites
     "q224_streaming_maintain_and_compact",
-    # r13: the embedding-index composed maintainer (q220's per-batch
-    # argmax + partitioned landing + periodic generation-swap rewrites)
+    # r13: the embedding-index composed maintainer — q225's composition
+    # per micro-batch (multiprobe cheap path + exact-residue argmax,
+    # candidates independent of k; the naive exact-argmax form probed
+    # 36x per batch and was replaced, SCALE_PROBES_r13) + partitioned
+    # landing + periodic generation-swap rewrites
     "q226_streaming_emb_maintain_and_compact",
     # r13: the LSM read-merge — two pruned artifact scans + one union +
     # one 32-byte-key groupBy (~linear; the delta artifact caches per
@@ -475,6 +478,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     from discogs_load_spark.queries.sig_index import (
         doc_prefix_rank_index,
         doc_signature_index,
+        sig_delta_landing,
     )
 
     cdc_build: dict[str, float] = {}
@@ -482,6 +486,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     emb_build: dict[str, float] = {}
     rank_build: dict[str, float] = {}
     cent_build: dict[str, float] = {}
+    delta_build: dict[str, float] = {}
     for label, d in (("base_s", sf_dir), ("sf1_s", SF1_DIR)):
         t0 = _t.monotonic()
         _materialize(cdc_chunk_index(spark, d, rebuild=True))
@@ -502,7 +507,18 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         t0 = _t.monotonic()
         _materialize(frozen_centroids(spark, d, rebuild=True))
         cent_build[label] = round(_t.monotonic() - t0, 2)
-    for b in (cdc_build, sig_build, emb_build, rank_build, cent_build):
+        # r13: q227's delta generation is an ingest artifact as well
+        t0 = _t.monotonic()
+        _materialize(sig_delta_landing(spark, d, rebuild=True))
+        delta_build[label] = round(_t.monotonic() - t0, 2)
+    for b in (
+        cdc_build,
+        sig_build,
+        emb_build,
+        rank_build,
+        cent_build,
+        delta_build,
+    ):
         b["scale_x"] = round(b["sf1_s"] / max(b["base_s"], 0.01), 1)
     spark.catalog.clearCache()
 
@@ -583,6 +599,7 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "emb_index_build": emb_build,
         "prefix_rank_build": rank_build,
         "centroid_build": cent_build,
+        "sig_delta_build": delta_build,
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
