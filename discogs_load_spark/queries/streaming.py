@@ -83,6 +83,83 @@ def _timed_foreach_batch(name: str, fn):
     return wrapped
 
 
+class _GenerationLanding:
+    """The shared generation-swap landing behind the three streamed
+    index maintainers (q218 signature / q224 CDC chunk / q226
+    embedding): micro-batches APPEND partitioned writes into the
+    current generation directory; every COMPACT_EVERY appends (and once
+    more at drain end, the caller's final ``compact()``) the landing is
+    rewritten one-file-per-bucket into generation N+1, the read pointer
+    swaps, and generation N is deleted to bound disk. foreachBatch runs
+    batches sequentially on the driver, so the swap is race-free; the
+    rewrite reads generation N while writing N+1 — never its own write
+    target (the q219 read-your-own-writes discipline applied to the
+    rewrite). ``read_schema`` (q224) makes ``read()`` safe on a
+    generation with no partition dirs yet — the anti-join consumer's
+    empty-index case; the append-only maintainers infer from parquet."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        prefix: str,
+        part_col: str,
+        read_schema: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.part_col = part_col
+        self.read_schema = read_schema
+        self.root = tempfile.mkdtemp(prefix=prefix)
+        self.gen = 0
+        self.since = 0
+        os.makedirs(os.path.join(self.root, "g0"))
+
+    def cur_dir(self) -> str:
+        return os.path.join(self.root, f"g{self.gen}")
+
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.root, "_chk")
+
+    def read(self) -> DataFrame:
+        d = self.cur_dir()
+        if self.read_schema is not None:
+            if any(
+                e.startswith(f"{self.part_col}=") for e in os.listdir(d)
+            ):
+                return self.spark.read.schema(self.read_schema).parquet(d)
+            return self.spark.createDataFrame([], self.read_schema)
+        return self.spark.read.parquet(d)
+
+    def append(self, df: DataFrame) -> None:
+        """Land one micro-batch (repartition on the directory column so
+        partitionBy writes one file per touched bucket, not
+        tasks x buckets), then compact if the cadence is due."""
+        (
+            df.repartition(self.part_col)
+            .write.mode("append")
+            .partitionBy(self.part_col)
+            .parquet(self.cur_dir())
+        )
+        self.since += 1
+        if self.since >= COMPACT_EVERY:
+            self.compact()
+
+    def compact(self) -> None:
+        import shutil
+
+        nxt = os.path.join(self.root, f"g{self.gen + 1}")
+        (
+            self.read()
+            .repartition(self.part_col)
+            .write.mode("overwrite")
+            .partitionBy(self.part_col)
+            .parquet(nxt)
+        )
+        old = self.cur_dir()
+        self.gen += 1
+        self.since = 0
+        shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
+
+
 def _cache_key(sf_dir: str, table: str = "events") -> str:
     """/tmp cache key for fixture-derived copies: path + source mtime, so a
     regenerated fixture (new round, new seed) can never serve a stale copy
@@ -763,8 +840,6 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/COMPACT_EVERY, and at 100 TB run per-touched-partition on the
     q164 plan's grouping rather than whole-table). The rollup output is
     layout-invariant: same oracle, same columns as the flat landing."""
-    import shutil
-
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     src = os.path.join(
         tempfile.gettempdir(),
@@ -775,13 +850,9 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sig_index import hashed_mode, sig_frame, with_derived_index_cols
 
-    out_root = tempfile.mkdtemp(prefix="q218_sig_gen_")
-    state = {"gen": 0, "since": 0}
-    os.makedirs(os.path.join(out_root, "g0"))
-
-    def cur_dir() -> str:
-        return os.path.join(out_root, f"g{state['gen']}")
-
+    landing = _GenerationLanding(
+        spark, "q218_sig_gen_", CDC_LANDED_PART_COL
+    )
     # partition bucket from the content hash in EITHER index layout
     # (hashed mode stores the 16 raw bytes as chb; string mode the hex)
     pb_col = (
@@ -790,32 +861,10 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         else F.substring("content_hash", 1, 1)
     )
 
-    def compact() -> None:
-        nxt = os.path.join(out_root, f"g{state['gen'] + 1}")
-        (
-            spark.read.parquet(cur_dir())
-            .repartition(CDC_LANDED_PART_COL)
-            .write.mode("overwrite")
-            .partitionBy(CDC_LANDED_PART_COL)
-            .parquet(nxt)
-        )
-        old = cur_dir()
-        state["gen"] += 1
-        state["since"] = 0
-        shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
-
     def land(batch_df: DataFrame, _batch_id: int) -> None:
-        (
-            sig_frame(batch_df)
-            .withColumn(CDC_LANDED_PART_COL, pb_col)
-            .repartition(CDC_LANDED_PART_COL)
-            .write.mode("append")
-            .partitionBy(CDC_LANDED_PART_COL)
-            .parquet(cur_dir())
+        landing.append(
+            sig_frame(batch_df).withColumn(CDC_LANDED_PART_COL, pb_col)
         )
-        state["since"] += 1
-        if state["since"] >= COMPACT_EVERY:
-            compact()
 
     with _stream_drain_conf(spark):
         q = (
@@ -825,19 +874,19 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.foreachBatch(
                 _timed_foreach_batch("q218_streaming_index_ingest", land)
             )
-            .option("checkpointLocation", os.path.join(out_root, "_chk"))
+            .option("checkpointLocation", landing.checkpoint_dir())
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    compact()  # final rewrite: the artifact a consumer would read
+    landing.compact()  # final rewrite: the artifact a consumer would read
     global _LAST_Q218
-    _LAST_Q218 = {"dir": cur_dir(), "generations": state["gen"]}
+    _LAST_Q218 = {"dir": landing.cur_dir(), "generations": landing.gen}
     # normalize the landed layout (hashed mode stores chb, not the hex
     # content_hash) the same way the batch index's read path does
-    idx = with_derived_index_cols(spark.read.parquet(cur_dir()))
+    idx = with_derived_index_cols(landing.read())
     return idx.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         # h0's nullness IS the minhashable contract (null h ⟺ empty
@@ -1224,8 +1273,6 @@ def q224_streaming_maintain_and_compact(
     drain breaks the twin counts. tests/test_streaming.py asserts the
     final artifact is one file per bucket and that the drain actually
     swapped generations."""
-    import shutil
-
     from pyspark.storagelevel import StorageLevel
 
     from .dedup import _cdc_chunk_frame
@@ -1242,35 +1289,10 @@ def q224_streaming_maintain_and_compact(
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         docs.repartition(12).write.mode("overwrite").parquet(src)
 
-    out_root = tempfile.mkdtemp(prefix="q224_cdc_gen_")
     landed_schema = f"chunk_hash string, {CDC_LANDED_PART_COL} string"
-    state = {"gen": 0, "since": 0}
-    os.makedirs(os.path.join(out_root, "g0"))
-
-    def cur_dir() -> str:
-        return os.path.join(out_root, f"g{state['gen']}")
-
-    def read_index() -> DataFrame:
-        d = cur_dir()
-        if any(
-            e.startswith(f"{CDC_LANDED_PART_COL}=") for e in os.listdir(d)
-        ):
-            return spark.read.schema(landed_schema).parquet(d)
-        return spark.createDataFrame([], landed_schema)
-
-    def compact() -> None:
-        nxt = os.path.join(out_root, f"g{state['gen'] + 1}")
-        (
-            read_index()
-            .repartition(CDC_LANDED_PART_COL)
-            .write.mode("overwrite")
-            .partitionBy(CDC_LANDED_PART_COL)
-            .parquet(nxt)
-        )
-        old = cur_dir()
-        state["gen"] += 1
-        state["since"] = 0
-        shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
+    landing = _GenerationLanding(
+        spark, "q224_cdc_gen_", CDC_LANDED_PART_COL, read_schema=landed_schema
+    )
 
     def land_novel(batch_df: DataFrame, _batch_id: int) -> None:
         batch_hashes = (
@@ -1286,21 +1308,16 @@ def q224_streaming_maintain_and_compact(
         touched_rows = batch_hashes.select(CDC_LANDED_PART_COL).distinct()
         # bounded: <= 16^CDC_LANDED_PREFIX_CHARS short strings (q219 rule)
         touched = [r[0] for r in touched_rows.collect()]
-        index_so_far = read_index().filter(
+        index_so_far = landing.read().filter(
             F.col(CDC_LANDED_PART_COL).isin(touched)
         )
         novel = batch_hashes.join(
             index_so_far.select("chunk_hash"), "chunk_hash", "left_anti"
         ).persist(StorageLevel.MEMORY_AND_DISK)
         novel.count()  # pin the pre-append listing before writing
-        novel.repartition(CDC_LANDED_PART_COL).write.mode(
-            "append"
-        ).partitionBy(CDC_LANDED_PART_COL).parquet(cur_dir())
+        landing.append(novel)
         novel.unpersist()
         batch_hashes.unpersist()
-        state["since"] += 1
-        if state["since"] >= COMPACT_EVERY:
-            compact()
 
     with _stream_drain_conf(spark):
         q = (
@@ -1312,17 +1329,17 @@ def q224_streaming_maintain_and_compact(
                     "q224_streaming_maintain_and_compact", land_novel
                 )
             )
-            .option("checkpointLocation", os.path.join(out_root, "_chk"))
+            .option("checkpointLocation", landing.checkpoint_dir())
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    compact()  # final rewrite: the artifact a consumer would read
+    landing.compact()  # final rewrite: the artifact a consumer would read
     global _LAST_Q224
-    _LAST_Q224 = {"dir": cur_dir(), "generations": state["gen"]}
-    idx = spark.read.schema(landed_schema).parquet(cur_dir())
+    _LAST_Q224 = {"dir": landing.cur_dir(), "generations": landing.gen}
+    idx = landing.read()
     return idx.groupBy(
         F.substring("chunk_hash", 1, 1).alias("bucket")
     ).agg(
@@ -1393,8 +1410,6 @@ def q226_streaming_emb_maintain_and_compact(
     by ANY append or ANY rewrite, or a batch/stream divergence in the
     assignment, breaks the value hash. Same materialized frozen-centroid
     artifact, same flat-regime oracle guard as q220/q221/q222/q225."""
-    import shutil
-
     from ..functions.vectors import (
         ADAPTIVE_LSH_MAX_PLANES,
         centroid_planes_value,
@@ -1429,26 +1444,9 @@ def q226_streaming_emb_maintain_and_compact(
             src
         )
 
-    out_root = tempfile.mkdtemp(prefix="q226_emb_gen_")
-    state = {"gen": 0, "since": 0}
-    os.makedirs(os.path.join(out_root, "g0"))
-
-    def cur_dir() -> str:
-        return os.path.join(out_root, f"g{state['gen']}")
-
-    def compact() -> None:
-        nxt = os.path.join(out_root, f"g{state['gen'] + 1}")
-        (
-            spark.read.parquet(cur_dir())
-            .repartition(CDC_LANDED_PART_COL)
-            .write.mode("overwrite")
-            .partitionBy(CDC_LANDED_PART_COL)
-            .parquet(nxt)
-        )
-        old = cur_dir()
-        state["gen"] += 1
-        state["since"] = 0
-        shutil.rmtree(old, ignore_errors=True)  # bound disk to ~1 gen
+    landing = _GenerationLanding(
+        spark, "q226_emb_gen_", CDC_LANDED_PART_COL
+    )
 
     bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark")
     ccos = cosine_sql("embedding", "centroid", DIM, "spark")
@@ -1507,20 +1505,12 @@ def q226_streaming_emb_maintain_and_compact(
                 F.lit(1).alias("via_exact"),
             )
         )
-        (
-            best.unionByName(residb)
-            .withColumn(
+        landing.append(
+            best.unionByName(residb).withColumn(
                 CDC_LANDED_PART_COL,
                 F.substring("bits8", 1, EMB_LANDED_PART_BITS),
             )
-            .repartition(CDC_LANDED_PART_COL)
-            .write.mode("append")
-            .partitionBy(CDC_LANDED_PART_COL)
-            .parquet(cur_dir())
         )
-        state["since"] += 1
-        if state["since"] >= COMPACT_EVERY:
-            compact()
 
     with _stream_drain_conf(spark):
         q = (
@@ -1532,7 +1522,7 @@ def q226_streaming_emb_maintain_and_compact(
                     "q226_streaming_emb_maintain_and_compact", land_assigned
                 )
             )
-            .option("checkpointLocation", os.path.join(out_root, "_chk"))
+            .option("checkpointLocation", landing.checkpoint_dir())
             .start()
         )
         try:
@@ -1540,10 +1530,10 @@ def q226_streaming_emb_maintain_and_compact(
         finally:
             q.stop()
     cent.unpersist()
-    compact()  # final rewrite: the artifact a consumer would read
+    landing.compact()  # final rewrite: the artifact a consumer would read
     global _LAST_Q226
-    _LAST_Q226 = {"dir": cur_dir(), "generations": state["gen"]}
-    idx = spark.read.parquet(cur_dir())
+    _LAST_Q226 = {"dir": landing.cur_dir(), "generations": landing.gen}
+    idx = landing.read()
     return idx.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new"),
         F.min("vec_id").alias("min_vec"),
