@@ -195,27 +195,26 @@ SF1_MIN_OF_3 = {
 }
 
 
-def _prior_sf1_timings() -> dict[str, float]:
-    """Newest PRIOR-round BENCH_perquery_r*.json's sf1 per-query map — the
-    reference for the big-side sanity gate (VERDICT r09 item 3): the
-    sf0.1 side has had a suite-reference gate since r08, but the sf1
-    side had none and produced phantom regressions two rounds running
-    (q95 in r08; q187/q186/q104 in r09 — all pinned to aged-JVM scatter
-    by fresh-process re-measure). Keys are short names (q64...).
+def _prior_sidecar_section(key: str) -> dict | None:
+    """Newest PRIOR-round BENCH_perquery_r*.json's ``sf1.<key>`` section —
+    the shared reference-resolution rule behind BOTH big-side gates (the
+    sf1 time gate and the per-batch gate), in one place (r13 review: two
+    hand-copies would let a fix to the round inference reach one gate
+    and not the other).
 
     Sidecars from the CURRENT round are skipped (VERDICT r10 item 2): an
     in-round bench run writes BENCH_perquery_r{N} for the round in
     progress, and keying the cap to it let q95's intra-round creep
-    (15.64 s in r09 → 30.51 s in r10) ratchet the cap instead of
+    (15.64 s in r09 -> 30.51 s in r10) ratchet the cap instead of
     tripping it. The round in progress is max(BENCH_r*)+1 — the same
-    inference the sidecar writer uses — so the gate always compares
+    inference the sidecar writer uses — so the gates always compare
     against the last COMPLETED round's record.
 
     REDO caveat (ADVICE r11): re-benching AFTER a round's BENCH_r{N}
     has been written makes the inference read N+1 and compare against
     that same round's sidecar — the same code state, re-opening the
     self-ratchet for the redo case. Set SPARK_GRAFT_BENCH_ROUND=N when
-    re-running a finalized round so the gate keys to round N's PRIOR
+    re-running a finalized round so the gates key to round N's PRIOR
     sidecar; an unpinned redo is operator error by contract."""
     import re as _re
 
@@ -240,12 +239,21 @@ def _prior_sf1_timings() -> dict[str, float]:
         if int(_re.search(r"r(\d+)", p.name).group(1)) >= current:
             continue
         try:
-            q = json.loads(p.read_text()).get("sf1", {}).get("queries")
-            if q:
-                return {k: float(v) for k, v in q.items()}
+            sec = json.loads(p.read_text()).get("sf1", {}).get(key)
+            if sec:
+                return sec
         except (OSError, ValueError, json.JSONDecodeError, AttributeError):
             continue
-    return {}
+    return None
+
+
+def _prior_sf1_timings() -> dict[str, float]:
+    """Newest prior round's sf1 per-query seconds — the big-side time
+    gate's reference (VERDICT r09 item 3: the sf1 side had no gate and
+    produced phantom regressions two rounds running). Keys are short
+    names (q64...); round resolution lives in _prior_sidecar_section."""
+    sec = _prior_sidecar_section("queries")
+    return {k: float(v) for k, v in sec.items()} if sec else {}
 
 
 # --- per-batch gate for the streaming maintainers (VERDICT r12 item 4) ------
@@ -281,43 +289,17 @@ def per_batch_gate(
 
 
 def _prior_sf1_per_batch() -> dict[str, float]:
-    """Newest PRIOR-round sidecar's sf1.per_batch mean_scale_x per short
-    name — the reference side of per_batch_gate. Same round-resolution
-    contract (and SPARK_GRAFT_BENCH_ROUND redo caveat) as
-    _prior_sf1_timings."""
-    import re as _re
-
-    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-    current = int(env_round) if env_round else (
-        max(
-            (
-                int(m.group(1))
-                for p in REPO.glob("BENCH_r*.json")
-                for m in [_re.match(r"BENCH_r(\d+)\.json$", p.name)]
-                if m
-            ),
-            default=0,
-        )
-        + 1
-    )
-    paths = sorted(
-        REPO.glob("BENCH_perquery_r*.json"),
-        key=lambda p: int(_re.search(r"r(\d+)", p.name).group(1)),
-    )
-    for p in reversed(paths):
-        if int(_re.search(r"r(\d+)", p.name).group(1)) >= current:
-            continue
-        try:
-            pb = json.loads(p.read_text()).get("sf1", {}).get("per_batch")
-            if pb:
-                return {
-                    k: float(v["mean_scale_x"])
-                    for k, v in pb.items()
-                    if isinstance(v, dict) and v.get("mean_scale_x")
-                }
-        except (OSError, ValueError, json.JSONDecodeError, AttributeError):
-            continue
-    return {}
+    """Newest prior round's sf1.per_batch mean_scale_x per short name —
+    the per-batch gate's reference; round resolution lives in
+    _prior_sidecar_section (shared with the time gate)."""
+    sec = _prior_sidecar_section("per_batch")
+    if not sec:
+        return {}
+    return {
+        k: float(v["mean_scale_x"])
+        for k, v in sec.items()
+        if isinstance(v, dict) and v.get("mean_scale_x")
+    }
 
 
 def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -100,20 +99,16 @@ def emb_enriched(
     lineage (referee mode)."""
     if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
         return _enriched_frame(spark, sf_dir)
+    # one write-once/tmp-rename implementation for every index artifact
+    # (r13 review: three hand-copies of the race rule)
+    from .sig_index import _materialized
+
     fp = _index_fingerprint(sf_dir)
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     dest = os.path.join(EMB_INDEX_DIR, key)
-    if rebuild or not os.path.isdir(dest):
-        frame = _enriched_frame(spark, sf_dir)
-        tmp = f"{dest}.tmp.{os.getpid()}"
-        frame.write.mode("overwrite").parquet(tmp)
-        try:
-            if rebuild and os.path.isdir(dest):
-                shutil.rmtree(dest)
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
-    return spark.read.parquet(dest)
+    return _materialized(
+        spark, dest, lambda: _enriched_frame(spark, sf_dir), rebuild
+    )
 
 
 def emb_cluster_index(
@@ -179,17 +174,11 @@ def frozen_centroids(
     delta-assignment family scores against; see the block comment."""
     if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
         return _centroid_frame(spark, sf_dir)
+    from .sig_index import _materialized
+
     fp = _centroid_fingerprint(sf_dir)
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     dest = os.path.join(EMB_INDEX_DIR, f"cent_{key}")
-    if rebuild or not os.path.isdir(dest):
-        frame = _centroid_frame(spark, sf_dir)
-        tmp = f"{dest}.tmp.{os.getpid()}"
-        frame.write.mode("overwrite").parquet(tmp)
-        try:
-            if rebuild and os.path.isdir(dest):
-                shutil.rmtree(dest)
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
-    return spark.read.parquet(dest)
+    return _materialized(
+        spark, dest, lambda: _centroid_frame(spark, sf_dir), rebuild
+    )

@@ -108,6 +108,12 @@ class _GenerationLanding:
         self.spark = spark
         self.part_col = part_col
         self.read_schema = read_schema
+        # captured from the first appended batch: partition-directory
+        # TYPE INFERENCE must never retype the bucket column — q226's
+        # pb is a 4-char '0'/'1' string, which an inferred read would
+        # parse as an integer and re-land as pb=10 instead of pb=0010,
+        # silently changing the bucket naming across a generation swap
+        self._schema = None
         self.root = tempfile.mkdtemp(prefix=prefix)
         self.gen = 0
         self.since = 0
@@ -127,12 +133,18 @@ class _GenerationLanding:
             ):
                 return self.spark.read.schema(self.read_schema).parquet(d)
             return self.spark.createDataFrame([], self.read_schema)
+        if self._schema is not None:
+            # the writer's own schema (bucket column included as its
+            # written type) — partition values parse as declared
+            return self.spark.read.schema(self._schema).parquet(d)
         return self.spark.read.parquet(d)
 
     def append(self, df: DataFrame) -> None:
         """Land one micro-batch (repartition on the directory column so
         partitionBy writes one file per touched bucket, not
         tasks x buckets), then compact if the cadence is due."""
+        if self._schema is None:
+            self._schema = df.schema
         (
             df.repartition(self.part_col)
             .write.mode("append")
@@ -141,6 +153,17 @@ class _GenerationLanding:
         )
         self.since += 1
         if self.since >= COMPACT_EVERY:
+            self.compact()
+
+    def finalize(self) -> None:
+        """Drain-end compaction, elided when provably redundant: if the
+        cadence compact already ran after the last append (since == 0
+        with at least one swap behind us) the current generation is
+        already one file per bucket, and re-rewriting it would charge
+        every drain whose batch count is a multiple of COMPACT_EVERY —
+        which the fixed 12-file sources make ALL of them — one wasted
+        full read+shuffle+write of the landing (r13 review finding)."""
+        if self.since or self.gen == 0:
             self.compact()
 
     def compact(self) -> None:
@@ -881,7 +904,7 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    landing.compact()  # final rewrite: the artifact a consumer would read
+    landing.finalize()  # drain-end rewrite, elided if already compact
     global _LAST_Q218
     _LAST_Q218 = {"dir": landing.cur_dir(), "generations": landing.gen}
     # normalize the landed layout (hashed mode stores chb, not the hex
@@ -1336,7 +1359,7 @@ def q224_streaming_maintain_and_compact(
             q.processAllAvailable()
         finally:
             q.stop()
-    landing.compact()  # final rewrite: the artifact a consumer would read
+    landing.finalize()  # drain-end rewrite, elided if already compact
     global _LAST_Q224
     _LAST_Q224 = {"dir": landing.cur_dir(), "generations": landing.gen}
     idx = landing.read()
@@ -1530,7 +1553,7 @@ def q226_streaming_emb_maintain_and_compact(
         finally:
             q.stop()
     cent.unpersist()
-    landing.compact()  # final rewrite: the artifact a consumer would read
+    landing.finalize()  # drain-end rewrite, elided if already compact
     global _LAST_Q226
     _LAST_Q226 = {"dir": landing.cur_dir(), "generations": landing.gen}
     idx = landing.read()

@@ -288,8 +288,9 @@ def test_q224_in_stream_compaction_swaps_generations(spark):
     assert info is not None
     lat = st.BATCH_LATENCIES[name]
     assert len(lat) >= 3 and all(t > 0 for t in lat)
-    # >= 1 in-stream swap (since >= COMPACT_EVERY batches) + the final one
-    assert info["generations"] >= 2
+    # >= 1 in-stream swap (since >= COMPACT_EVERY batches); the drain-end
+    # finalize() is elided when the landing is already compact
+    assert info["generations"] >= 1
 
     files_per_bucket = {
         b: len(glob.glob(os.path.join(info["dir"], b, "*.parquet")))
@@ -323,7 +324,11 @@ def test_q218_sig_landing_partitioned_and_compacted(spark):
     assert info is not None
     lat = st.BATCH_LATENCIES[name]
     assert len(lat) >= 3 and all(t > 0 for t in lat)
-    assert info["generations"] >= 2
+    # >= 3 batches with COMPACT_EVERY = 3 guarantees the IN-STREAM swap
+    # fired; the drain-end finalize() is elided when the cadence compact
+    # already ran after the last batch (no redundant rewrite), so the
+    # floor is 1, not 2
+    assert info["generations"] >= 1
 
     files_per_bucket = {
         b: len(glob.glob(os.path.join(info["dir"], b, "*.parquet")))
@@ -368,7 +373,18 @@ def test_q226_emb_landing_partitioned_and_compacted(spark):
     assert info is not None
     lat = st.BATCH_LATENCIES[name]
     assert len(lat) >= 3 and all(t > 0 for t in lat)
-    assert info["generations"] >= 2
+    assert info["generations"] >= 1
+
+    # partition-type inference must NOT retype the bucket column: pb is
+    # a 4-char '0'/'1' string and every generation's directories must
+    # keep the 4-char naming — an inferred-int read inside compact()
+    # would re-land pb=0010 as pb=10 across a swap (r13 review finding;
+    # _GenerationLanding pins the writer's schema on read)
+    assert all(
+        len(b.split("=", 1)[1]) == 4
+        for b in os.listdir(info["dir"])
+        if b.startswith(f"{st.CDC_LANDED_PART_COL}=")
+    )
 
     files_per_bucket = {
         b: len(glob.glob(os.path.join(info["dir"], b, "*.parquet")))

@@ -58,13 +58,21 @@ from discogs_load_spark.queries.registry import REGISTRY as _REG
 fail = 0
 for name, fn in sorted(qs.items()):
     guard = getattr(_REG.get(name), "oracle_guard", None)
+    guard_reason = None
     if guard is not None and name in oracles:
-        reason = guard(spark, SF)
-        if reason:
-            print(f"{name}: SKIP-ORACLE (guard: {reason})"); continue
+        guard_reason = guard(spark, SF)
     sdf = fn(spark, SF)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    if guard_reason:
+        # the SQL dual is regime-invalid here, but the query itself must
+        # still RUN and produce rows (a guarded query's own crash or
+        # empty result must not hide behind the skip — r13 review)
+        print(
+            f"{name}: rows-only {len(srows)} rows, "
+            f"SKIP-ORACLE (guard: {guard_reason})"
+        )
+        continue
     if name not in oracles:
         print(f"{name}: rows-only, {len(srows)} rows"); continue
     con = fresh_duck()
