@@ -239,9 +239,13 @@ def _prior_sidecar_section(key: str) -> dict | None:
         if int(_re.search(r"r(\d+)", p.name).group(1)) >= current:
             continue
         try:
-            sec = json.loads(p.read_text()).get("sf1", {}).get(key)
-            if sec:
-                return sec
+            # key PRESENCE, not truthiness (ADVICE r13): an
+            # empty-but-present section is this round's real record —
+            # `if sec:` would fall through to an OLDER round's sidecar
+            # and gate against stale numbers
+            sf1 = json.loads(p.read_text()).get("sf1", {})
+            if key in sf1 and sf1[key] is not None:
+                return sf1[key]
         except (OSError, ValueError, json.JSONDecodeError, AttributeError):
             continue
     return None
@@ -293,12 +297,15 @@ def _prior_sf1_per_batch() -> dict[str, float]:
     the per-batch gate's reference; round resolution lives in
     _prior_sidecar_section (shared with the time gate)."""
     sec = _prior_sidecar_section("per_batch")
-    if not sec:
+    if sec is None:
         return {}
+    # `is not None`, not truthiness (ADVICE r13): a recorded 0.0 mean
+    # (round() can hit 0.0 for sub-second means) is a legitimate prior
+    # and must keep gating — dropping it silently disables the gate
     return {
         k: float(v["mean_scale_x"])
         for k, v in sec.items()
-        if isinstance(v, dict) and v.get("mean_scale_x")
+        if isinstance(v, dict) and v.get("mean_scale_x") is not None
     }
 
 

@@ -101,12 +101,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # SPARK_GRAFT_EMB_INDEX=0, equality test-pinned). Semantics and oracles
 # are unchanged in all four, but the executed default paths are new, so
 # each must re-earn its driver row on the path users now get.
-RECHECK: tuple[str, ...] = (
-    "q218_streaming_index_ingest",
-    "q220_streaming_emb_index_maintenance",
-    "q221_delta_cluster_assign_lsh",
-    "q222_delta_assign_multiprobe",
-)
+# r14: empty (VERDICT r13 item 2) — all four r13 names re-earned fully
+# green rows in CORRECTNESS_r13 on their new default paths; the window
+# is now pure staleness rotation (r08/r09 tail first), plus this
+# round's new queries landing in the unsettled tier automatically.
+RECHECK: tuple[str, ...] = ()
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 

@@ -1424,7 +1424,8 @@ def q225_delta_assign_complete(
     Measured on the sf0.01 fixture (isotropic 64-dim embeddings,
     k = 8, p = 2): ~60% of single-probe bucket-hit vectors have an
     in-bucket argmax that differs from the global argmax
-    (tests/test_new_ops.py pins the live agreement rates). And no
+    (tests/test_adaptive_ops.py pins the live agreement rates, in
+    test_q225_completes_every_assignment_via_bounded_exact_residue). And no
     exact sub-O(k) scheme exists to swap in: on isotropic
     high-dimensional data, pairwise distances concentrate, so every
     exact-NN pruning structure (triangle-inequality/Elkan bounds,

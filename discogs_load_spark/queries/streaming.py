@@ -162,7 +162,14 @@ class _GenerationLanding:
         already one file per bucket, and re-rewriting it would charge
         every drain whose batch count is a multiple of COMPACT_EVERY —
         which the fixed 12-file sources make ALL of them — one wasted
-        full read+shuffle+write of the landing (r13 review finding)."""
+        full read+shuffle+write of the landing (r13 review finding).
+        A drain that never appended anything (gen == 0, since == 0, no
+        schema captured) is a no-op: compact() would otherwise hit
+        spark.read.parquet on an empty g0 dir and raise on schema
+        inference (ADVICE r13 — unreachable with the 12-file fixture
+        sources, but the helper is shared infrastructure)."""
+        if self.gen == 0 and self.since == 0 and self._schema is None:
+            return  # nothing was ever appended
         if self.since or self.gen == 0:
             self.compact()
 
