@@ -147,6 +147,7 @@ def kmeans_oracle_ctes(
     k: int | str,  # literal, or a SQL scalar expr (e.g. data-sized k)
     iterations: int,
     scale: int = 9,
+    prefix: str = "",
 ) -> tuple[list[str], str, str]:
     """The unrolled-iteration CTE list plus the names of the final
     assignment and final centroid CTEs — composable by downstream oracles
@@ -154,25 +155,30 @@ def kmeans_oracle_ctes(
 
     Note the seed CTE exposes a ``centroid`` column too, so the final
     centroid CTE has a uniform shape at any iteration count.
+
+    ``prefix`` namespaces the generated CTE names (c0 -> {prefix}c0 ...)
+    so an oracle can compose TWO independent Lloyd chains (q228's
+    centroid refresh trains old-on-base and new-on-full side by side);
+    the default "" keeps every existing oracle's SQL byte-identical.
     """
     cos0 = cosine_sql(f"e.{vec_col}", f"c.{vec_col}", dim, "duckdb")
     cosn = cosine_sql(f"e.{vec_col}", "c.centroid", dim, "duckdb")
     parts = [
-        f"c0 AS (SELECT {id_col} AS cluster, {vec_col}, "
+        f"{prefix}c0 AS (SELECT {id_col} AS cluster, {vec_col}, "
         f"{vec_col} AS centroid FROM {table} WHERE {id_col} < {k})",
-        f"""a0 AS (
+        f"""{prefix}a0 AS (
         SELECT {id_col}, cluster, cos FROM (
             SELECT e.{id_col}, c.cluster, {cos0} AS cos,
                    row_number() OVER (PARTITION BY e.{id_col}
                                       ORDER BY {cos0} DESC, c.cluster DESC) AS rn
-            FROM {table} e CROSS JOIN c0 c
+            FROM {table} e CROSS JOIN {prefix}c0 c
         ) WHERE rn = 1
     )""",
     ]
     for it in range(1, iterations):
-        prev = f"a{it - 1}"
+        prev = f"{prefix}a{it - 1}"
         parts.append(
-            f"""m{it} AS (
+            f"""{prefix}m{it} AS (
         SELECT a.cluster, t.i AS dim,
                CAST(SUM(CAST(CAST(e.{vec_col}[t.i + 1] AS DOUBLE) AS DECIMAL(25,{scale}))) AS DOUBLE)
                  / COUNT(*) AS mean
@@ -182,20 +188,20 @@ def kmeans_oracle_ctes(
     )"""
         )
         parts.append(
-            f"c{it} AS (SELECT cluster, list(mean ORDER BY dim) AS centroid "
-            f"FROM m{it} GROUP BY cluster)"
+            f"{prefix}c{it} AS (SELECT cluster, list(mean ORDER BY dim) AS centroid "
+            f"FROM {prefix}m{it} GROUP BY cluster)"
         )
         parts.append(
-            f"""a{it} AS (
+            f"""{prefix}a{it} AS (
         SELECT {id_col}, cluster, cos FROM (
             SELECT e.{id_col}, c.cluster, {cosn} AS cos,
                    row_number() OVER (PARTITION BY e.{id_col}
                                       ORDER BY {cosn} DESC, c.cluster DESC) AS rn
-            FROM {table} e CROSS JOIN c{it} c
+            FROM {table} e CROSS JOIN {prefix}c{it} c
         ) WHERE rn = 1
     )"""
         )
-    return parts, f"a{iterations - 1}", f"c{iterations - 1}"
+    return parts, f"{prefix}a{iterations - 1}", f"{prefix}c{iterations - 1}"
 
 
 def kmeans_oracle_sql(

@@ -1855,6 +1855,137 @@ def cdc_chunk_index(
     return spark.read.parquet(dest)
 
 
+def cdc_delta_landing(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """(chunk_hash, pb) — the DELTA generation of the CDC chunk index as
+    a cached artifact: the new-snapshot documents' DISTINCT chunk
+    hashes, landed hash-prefix-partitioned exactly like q219's streamed
+    landing (``pb`` = cdc_landed_prefix_chars() leading hex chars) — the
+    'delta' side of the CDC LSM read-merge (q229), the CDC sibling of
+    sig_index.sig_delta_landing. Same fingerprint discipline as the base
+    chunk index (+ the snapshot modulus) and the same
+    ``SPARK_GRAFT_CDC_INDEX=0`` in-plan referee switch."""
+    # deferred: streaming imports us (the landed-layout constants are
+    # the streamed maintainer's, shared so both landings stay one layout)
+    from .streaming import CDC_LANDED_PART_COL, cdc_landed_prefix_chars
+
+    def frame() -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(
+            (F.col("doc_id") % NEW_MOD) == NEW_REM
+        )
+        return (
+            _cdc_chunk_frame(docs)
+            .select("chunk_hash")
+            .distinct()
+            .withColumn(
+                CDC_LANDED_PART_COL,
+                F.substring("chunk_hash", 1, cdc_landed_prefix_chars()),
+            )
+        )
+
+    if os.environ.get("SPARK_GRAFT_CDC_INDEX", "1") == "0":
+        return frame()
+    from .sig_index import _materialized
+
+    fp = (
+        f"{_cdc_index_fingerprint(sf_dir)}"
+        f"|delta-mod{NEW_MOD}r{NEW_REM}-pb{cdc_landed_prefix_chars()}"
+    )
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(CDC_INDEX_DIR, f"delta_{key}")
+    return _materialized(
+        spark, dest, frame, rebuild, partition_by=CDC_LANDED_PART_COL
+    )
+
+
+def _q229_oracle() -> str:
+    return f"""
+    WITH ch AS (
+        SELECT doc_id, unnest({_cdc_chunks_duckdb()}) AS chunk_hash
+        FROM documents
+    ),
+    fl AS (
+        SELECT chunk_hash,
+               MAX(CASE WHEN doc_id % {NEW_MOD} <> {NEW_REM}
+                        THEN 1 ELSE 0 END) AS in_base,
+               MAX(CASE WHEN doc_id % {NEW_MOD} = {NEW_REM}
+                        THEN 1 ELSE 0 END) AS in_delta
+        FROM ch GROUP BY chunk_hash
+    )
+    SELECT substring(chunk_hash, 1, 1) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN in_delta = 1 AND in_base = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_delta,
+           CAST(SUM(in_base * in_delta) AS BIGINT) AS n_shared,
+           MIN(chunk_hash) AS min_hash,
+           MAX(chunk_hash) AS max_hash
+    FROM fl GROUP BY bucket
+    """
+
+
+@register(
+    "q229_cdc_delta_merge_read",
+    oracle=_q229_oracle(),
+    tags=("dedup", "cdc", "index", "lake", "incremental"),
+)
+def q229_cdc_delta_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC LSM read-merge (VERDICT r13 item 3): the corpus chunk
+    dictionary computed over BASE CHUNK INDEX ∪ DELTA LANDING — the
+    novelty answer a CDC consumer needs BETWEEN compactions (q219 lands
+    the delta, q224 compacts it; this is the read path while that cycle
+    runs — the q227 pattern applied to the chunk family). Base side =
+    the materialized chunk index pruned to the base snapshot and the
+    chunk_hash column; delta side = the cdc_delta_landing artifact
+    (hash-prefix-partitioned like the streamed landing). The union
+    covers every corpus chunk exactly once per side, so the oracle is
+    the FULL-REBUILD answer: distinct chunks of the whole corpus with
+    per-side membership flags recomputed from raw text. ``n_novel_delta``
+    (chunks only the delta contains — the novelty measure) and
+    ``n_shared`` (chunks in both snapshots) are the both-sides
+    observables: a reader that silently misses the delta zeroes
+    n_novel_delta; one that misses the base inflates it — either breaks
+    the value hash. Plan shape: two pruned artifact scans (chunk_hash
+    column only; snapshot filter at the base scan) + union + one
+    32-byte-key groupBy + the bucket rollup; no re-derivation from raw
+    text (plan-asserted in tests/test_adaptive_ops.py: no Arrow chunker
+    stage under the default artifact mode)."""
+    base = (
+        cdc_chunk_index(spark, sf_dir)
+        .filter((F.col("doc_id") % NEW_MOD) != NEW_REM)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("is_delta", F.lit(0))
+    )
+    delta = (
+        cdc_delta_landing(spark, sf_dir)
+        .select("chunk_hash")
+        .withColumn("is_delta", F.lit(1))
+    )
+    flags = (
+        base.unionByName(delta)
+        .groupBy("chunk_hash")
+        .agg(
+            F.max(1 - F.col("is_delta")).alias("in_base"),
+            F.max("is_delta").alias("in_delta"),
+        )
+    )
+    return flags.groupBy(
+        F.substring("chunk_hash", 1, 1).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(
+            F.when((F.col("in_delta") == 1) & (F.col("in_base") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_novel_delta"),
+        F.sum(F.col("in_base") * F.col("in_delta"))
+        .cast("bigint")
+        .alias("n_shared"),
+        F.min("chunk_hash").alias("min_hash"),
+        F.max("chunk_hash").alias("max_hash"),
+    )
+
+
 
 @register(
     "q202_cdc_chunk_dedup",

@@ -182,3 +182,221 @@ def frozen_centroids(
     return _materialized(
         spark, dest, lambda: _centroid_frame(spark, sf_dir), rebuild
     )
+
+
+# --- centroid GENERATIONS + refresh (q228, VERDICT r13 item 1) --------------
+#
+# The frozen base-snapshot centroids never retrain: as the corpus grows
+# they drift unboundedly from the data — the one component of the 24/7
+# embedding-index story that stayed permanently stale (the reference
+# rebuilds its indexes after every load: main.rs:105-107 via
+# sql/indexes.sql, so ITS access paths never drift). The refresh job
+# retrains on the FULL corpus (base + accumulated delta) with the same
+# Lloyd stack, lands the new centroid table as a NEW GENERATION of a
+# pointer-swapped artifact, and q228 emits the reassignment delta
+# (vectors whose nearest centroid changed, old -> new). Generation
+# discipline: each generation directory is named by the md5 of its
+# TRAINING-INPUT fingerprint (corpus file identity + snapshot scope +
+# every constant the lineage branches on), the CURRENT pointer file is
+# swapped with os.replace (atomic on POSIX — a reader resolving the
+# pointer sees exactly the old or exactly the new name, never a partial
+# write), and the superseded generation is deleted only AFTER the swap
+# (tests/test_adaptive_ops.py pins the exactly-one-version invariant at
+# every step boundary via the _probe hook).
+
+
+def _refresh_version() -> str:
+    from .similarity import SEM_CELL, SEM_ITER, SEM_K, SEM_TWO_LEVEL_MIN
+
+    return (
+        f"cent-v1:semk{SEM_K}-semcell{SEM_CELL}-iter{SEM_ITER}"
+        f"-2lvl{SEM_TWO_LEVEL_MIN}-full"
+    )
+
+
+def _refresh_fingerprint(sf_dir: str) -> str:
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    return f"{_refresh_version()}|{src}|{st.st_size}|{int(st.st_mtime)}"
+
+
+def _full_centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, centroid) retrained on the FULL corpus — the refresh
+    target: the same construction as _centroid_frame without the base
+    filter, so the SQL dual is the same Lloyd CTE chain over the whole
+    embeddings table."""
+    from ..operators.clustering import recompute_centroids
+    from ..session import load_tables
+    from .similarity import sem_assignments
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # bounded: 1-row count-star scalar sizes the clustering to the corpus
+    assigned = sem_assignments(emb, emb.count())
+    return recompute_centroids(assigned, emb, "vec_id", "embedding")
+
+
+def _centgen_root(sf_dir: str) -> str:
+    """Per-corpus generation store: g_<trainkey> dirs + CURRENT pointer."""
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    corpus = hashlib.md5(
+        f"{src}|{st.st_size}|{int(st.st_mtime)}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(EMB_INDEX_DIR, f"centgen_{corpus}")
+
+
+def current_centroid_generation(sf_dir: str) -> str | None:
+    """The generation dir name the CURRENT pointer resolves to, or None
+    when the store has never been seeded. Readers resolve ONCE and read
+    that directory — the swap never mutates a generation in place."""
+    ptr = os.path.join(_centgen_root(sf_dir), "CURRENT")
+    try:
+        with open(ptr, encoding="utf-8") as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _swap_pointer(root: str, gen_name: str) -> None:
+    """Atomic pointer swap: write-aside + os.replace, so a concurrent
+    reader of CURRENT sees exactly one complete generation name."""
+    ptr = os.path.join(root, "CURRENT")
+    tmp = f"{ptr}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(gen_name)
+    os.replace(tmp, ptr)
+
+
+def _land_generation(root: str, gen_name: str, frame_fn) -> None:
+    """Write a generation directory via the tmp-rename race rule (the
+    _materialized discipline): the finished dir appears atomically."""
+    import shutil
+
+    dest = os.path.join(root, gen_name)
+    if os.path.isdir(dest):
+        return
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    frame_fn().write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+
+
+def refresh_centroids(
+    spark: SparkSession, sf_dir: str, _probe=None
+) -> DataFrame:
+    """(cluster, centroid) — the CURRENT generation after running the
+    refresh cycle: seed the store with the frozen base-snapshot
+    generation if empty, retrain on the full corpus, land the new
+    generation, swap the pointer, delete the superseded generation.
+    Idempotent: when CURRENT already points at the full-corpus
+    generation the call is a pure read. ``_probe(step)`` is a test hook
+    invoked at the step boundaries ('seeded', 'landed', 'swapped',
+    'cleaned') so the generation-swap safety test can assert the
+    exactly-one-complete-version invariant mid-cycle; it is None in
+    production paths. SPARK_GRAFT_EMB_INDEX=0 recomputes the refreshed
+    table in-plan (referee mode, no store)."""
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
+        return _full_centroid_frame(spark, sf_dir)
+
+    root = _centgen_root(sf_dir)
+    os.makedirs(root, exist_ok=True)
+    base_gen = (
+        "g_" + hashlib.md5(_centroid_fingerprint(sf_dir).encode()).hexdigest()[:12]
+    )
+    full_gen = (
+        "g_" + hashlib.md5(_refresh_fingerprint(sf_dir).encode()).hexdigest()[:12]
+    )
+    cur = current_centroid_generation(sf_dir)
+    if cur is None:
+        # seed generation 0 = the frozen base-snapshot centroids (the
+        # same frame the cent_<key> artifact holds — trained here so the
+        # store is self-contained)
+        _land_generation(root, base_gen, lambda: _centroid_frame(spark, sf_dir))
+        _swap_pointer(root, base_gen)
+        cur = base_gen
+        if _probe is not None:
+            _probe("seeded")
+    if cur != full_gen:
+        _land_generation(
+            root, full_gen, lambda: _full_centroid_frame(spark, sf_dir)
+        )
+        if _probe is not None:
+            _probe("landed")  # new gen complete on disk; pointer still old
+        _swap_pointer(root, full_gen)
+        if _probe is not None:
+            _probe("swapped")  # pointer new; old gen still readable
+        if cur != full_gen:
+            shutil.rmtree(os.path.join(root, cur), ignore_errors=True)
+        if _probe is not None:
+            _probe("cleaned")
+    return spark.read.parquet(os.path.join(root, full_gen))
+
+
+# --- LSM read-merge artifacts for the embedding family (q230) ---------------
+#
+# The read path between compactions needs BOTH sides as artifacts (the
+# q227 discipline — no re-derivation in the consumer's plan): the BASE
+# side is the Lloyd-final assignment of the base snapshot (computed by
+# the same training run that froze the centroids — at ingest they are
+# one job's two outputs), the DELTA side is the accumulated
+# delta-assignment landing (the q225 composition's per-vector labels —
+# what q226's streamed maintainer lands batch by batch, here as the
+# whole-delta artifact a compaction would produce).
+
+
+def base_assignments(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """(vec_id, cluster) — the base snapshot's Lloyd-final assignment
+    (sem_assignments over the base corpus: the SEM_ITER-th assignment,
+    whose per-cluster means ARE the frozen centroids). Same fingerprint
+    discipline and SPARK_GRAFT_EMB_INDEX=0 referee as frozen_centroids."""
+    from pyspark.sql import functions as F
+
+    from ..session import load_tables
+    from .dedup import NEW_MOD, NEW_REM
+    from .similarity import sem_assignments
+
+    def frame() -> DataFrame:
+        emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        base = emb.filter((F.col("vec_id") % NEW_MOD) != NEW_REM)
+        # bounded: 1-row count-star scalar sizes the clustering
+        return sem_assignments(base, base.count()).select("vec_id", "cluster")
+
+    if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
+        return frame()
+    from .sig_index import _materialized
+
+    fp = f"{_centroid_fingerprint(sf_dir)}|basea"
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(EMB_INDEX_DIR, f"basea_{key}")
+    return _materialized(spark, dest, frame, rebuild)
+
+
+def emb_delta_landing(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """(vec_id, cluster, via_exact) — the delta snapshot's COMPLETE
+    assignment labels (similarity.complete_delta_labels: q225's
+    multiprobe cheap path + exact argmax for the bucket-miss residue)
+    as a cached artifact: the accumulated landing a consumer merges
+    with base_assignments between compactions (q230). Same fingerprint
+    discipline and referee switch as the other embedding artifacts."""
+
+    def frame() -> DataFrame:
+        from .similarity import complete_delta_labels
+
+        return complete_delta_labels(spark, sf_dir)
+
+    if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
+        return frame()
+    from .sig_index import _materialized
+
+    fp = f"{_centroid_fingerprint(sf_dir)}|deltalab"
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(EMB_INDEX_DIR, f"deltalab_{key}")
+    return _materialized(spark, dest, frame, rebuild)
