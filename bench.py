@@ -152,6 +152,13 @@ SF1_QUERIES = [
     # one 32-byte-key groupBy (~linear; the delta artifact caches per
     # fixture so steady-state reads pay no build)
     "q227_index_delta_merge_read",
+    # r14: the centroid-refresh consumer (two broadcast-argmax passes
+    # over the corpus + the changed-rows join; the retrain itself is
+    # centroid_refresh_build, out of window) and the two new read-merges
+    # (the q227 shape: pruned artifact scans + union + bounded rollup)
+    "q228_centroid_refresh",
+    "q229_cdc_delta_merge_read",
+    "q230_emb_delta_merge_read",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness
@@ -459,10 +466,16 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     # lake table), so build it OUTSIDE the per-query timed windows at
     # both tiers — but time the builds themselves so the round's record
     # still carries the chunk-stage cost and its scaling
-    from discogs_load_spark.queries.dedup import cdc_chunk_index
+    from discogs_load_spark.queries.dedup import (
+        cdc_chunk_index,
+        cdc_delta_landing,
+    )
     from discogs_load_spark.queries.emb_index import (
+        base_assignments,
+        emb_delta_landing,
         emb_enriched,
         frozen_centroids,
+        refresh_centroids,
     )
     from discogs_load_spark.queries.sig_index import (
         doc_prefix_rank_index,
@@ -476,6 +489,8 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     rank_build: dict[str, float] = {}
     cent_build: dict[str, float] = {}
     delta_build: dict[str, float] = {}
+    refresh_build: dict[str, float] = {}
+    readmerge_build: dict[str, float] = {}
     for label, d in (("base_s", sf_dir), ("sf1_s", SF1_DIR)):
         t0 = _t.monotonic()
         _materialize(cdc_chunk_index(spark, d, rebuild=True))
@@ -500,6 +515,20 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         t0 = _t.monotonic()
         _materialize(sig_delta_landing(spark, d, rebuild=True))
         delta_build[label] = round(_t.monotonic() - t0, 2)
+        # r14: the centroid REFRESH (q228's full-corpus retrain +
+        # generation swap) runs at refresh cadence, not per query —
+        # timed here like centroid_build so q228's per-query row
+        # measures the reassignment-delta consumer
+        t0 = _t.monotonic()
+        _materialize(refresh_centroids(spark, d, rebuild=True))
+        refresh_build[label] = round(_t.monotonic() - t0, 2)
+        # r14: the LSM read-merge sides (q229/q230) are ingest/landing
+        # artifacts; their consumers' rows should measure merge+rollup
+        t0 = _t.monotonic()
+        _materialize(cdc_delta_landing(spark, d, rebuild=True))
+        _materialize(base_assignments(spark, d, rebuild=True))
+        _materialize(emb_delta_landing(spark, d, rebuild=True))
+        readmerge_build[label] = round(_t.monotonic() - t0, 2)
     for b in (
         cdc_build,
         sig_build,
@@ -507,6 +536,8 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         rank_build,
         cent_build,
         delta_build,
+        refresh_build,
+        readmerge_build,
     ):
         b["scale_x"] = round(b["sf1_s"] / max(b["base_s"], 0.01), 1)
     spark.catalog.clearCache()
@@ -589,6 +620,8 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         "prefix_rank_build": rank_build,
         "centroid_build": cent_build,
         "sig_delta_build": delta_build,
+        "centroid_refresh_build": refresh_build,
+        "readmerge_build": readmerge_build,
         "base": {n.split("_", 1)[0]: t for n, t in t01.items()},
         "queries": {n.split("_", 1)[0]: t for n, t in t1.items()},
         "scale_x": scale,
@@ -761,6 +794,29 @@ def main() -> None:
     t0 = time.monotonic()
     _materialize(doc_prefix_rank_index(spark, sf_dir, rebuild=True))
     rank_index = {"seconds": round(time.monotonic() - t0, 3)}
+    # r14: the remaining ingest artifacts get the same treatment in the
+    # SUITE sweep (they already had it in the sf1 tier): the round's
+    # fixture is fresh, so without a prebuild whichever query touches
+    # each family first absorbs its build into that per-query row
+    from discogs_load_spark.queries.dedup import cdc_delta_landing
+    from discogs_load_spark.queries.emb_index import (
+        base_assignments,
+        emb_delta_landing,
+        frozen_centroids,
+        refresh_centroids,
+    )
+    from discogs_load_spark.queries.sig_index import sig_delta_landing
+
+    t0 = time.monotonic()
+    _materialize(frozen_centroids(spark, sf_dir, rebuild=True))
+    _materialize(refresh_centroids(spark, sf_dir, rebuild=True))
+    cent_index = {"seconds": round(time.monotonic() - t0, 3)}
+    t0 = time.monotonic()
+    _materialize(sig_delta_landing(spark, sf_dir, rebuild=True))
+    _materialize(cdc_delta_landing(spark, sf_dir, rebuild=True))
+    _materialize(base_assignments(spark, sf_dir, rebuild=True))
+    _materialize(emb_delta_landing(spark, sf_dir, rebuild=True))
+    landing_index = {"seconds": round(time.monotonic() - t0, 3)}
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
@@ -884,6 +940,8 @@ def main() -> None:
             "sig_index_build": sig_index,
             "emb_index_build": emb_index,
             "prefix_rank_build": rank_index,
+            "centroid_builds": cent_index,
+            "landing_builds": landing_index,
         }
         if sf1 is not None:
             sidecar["sf1"] = sf1
