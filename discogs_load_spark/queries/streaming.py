@@ -871,12 +871,13 @@ def q218_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q164 plan's grouping rather than whole-table). The rollup output is
     layout-invariant: same oracle, same columns as the flat landing."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    nf = stream_source_files()
     src = os.path.join(
         tempfile.gettempdir(),
-        f"stream_docs12_{_cache_key(sf_dir, 'documents')}",
+        f"stream_docs{nf}_{_cache_key(sf_dir, 'documents')}",
     )
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        docs.repartition(12).write.mode("overwrite").parquet(src)
+        docs.repartition(nf).write.mode("overwrite").parquet(src)
 
     from .sig_index import hashed_mode, sig_frame, with_derived_index_cols
 
@@ -950,6 +951,21 @@ def cdc_landed_prefix_chars() -> int:
     in-process tooling, the scale probes — takes effect (ADVICE r12:
     the module-import-time read silently ignored late sets)."""
     return int(os.environ.get("SPARK_GRAFT_CDC_LANDED_CHARS", "1"))
+
+
+def stream_source_files() -> int:
+    """Probe knob: file count of the index maintainers' own stream
+    sources (``SPARK_GRAFT_STREAM_FILES``, default 12; read PER CALL
+    like cdc_landed_prefix_chars so late sets take effect). At
+    maxFilesPerTrigger=4 the default yields >= 3 micro-batches per
+    drain — exactly ONE in-stream compaction at COMPACT_EVERY=3, so
+    the amortization claim ("rewrites amortized 1/COMPACT_EVERY") was
+    only ever measured at n_swaps=1. Setting 24 yields 6 batches and
+    TWO in-stream swaps (the second rewriting an already-compacted +
+    newly-appended landing) with the drain-end finalize elided — the
+    r13 verdict's cadence probe. The count is folded into the cached
+    source path, so a probe run can never poison the default cache."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "12"))
 CDC_LANDED_PART_COL = "pb"
 # test hook: the most recent q219 landing directory (tests assert the
 # partitioned layout and the pruned read's file subset on the real
@@ -1312,12 +1328,13 @@ def q224_streaming_maintain_and_compact(
     # per trigger every drain spans >= 3 micro-batches at ANY fixture
     # scale, so the in-stream compaction path is exercised by the
     # driver's correctness runs too, not only the probe tiers
+    nf = stream_source_files()
     src = os.path.join(
         tempfile.gettempdir(),
-        f"stream_docs12_{_cache_key(sf_dir, 'documents')}",
+        f"stream_docs{nf}_{_cache_key(sf_dir, 'documents')}",
     )
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        docs.repartition(12).write.mode("overwrite").parquet(src)
+        docs.repartition(nf).write.mode("overwrite").parquet(src)
 
     landed_schema = f"chunk_hash string, {CDC_LANDED_PART_COL} string"
     landing = _GenerationLanding(
@@ -1439,7 +1456,19 @@ def q226_streaming_emb_maintain_and_compact(
     + the landed sign-prefix bucket count), so a row lost or duplicated
     by ANY append or ANY rewrite, or a batch/stream divergence in the
     assignment, breaks the value hash. Same materialized frozen-centroid
-    artifact, same flat-regime oracle guard as q220/q221/q222/q225."""
+    artifact, same flat-regime oracle guard as q220/q221/q222/q225.
+
+    Persist-once, measured and REJECTED (r13 verdict item 6): the cheap
+    path ``best`` is referenced twice per batch (residue anti-join +
+    landed union), so a persist→unpersist of ``newb``/``best`` inside
+    the batch looked like a free halving of the probe-join work. A/B at
+    BOTH tiers says otherwise — warm per-batch means: no-persist
+    1.23-1.35 s, persist+count 1.39-1.58 s, lazy persist 1.34-1.51 s
+    (sf1, 4 runs each; sf0.1 reads the same ordering). The recompute is
+    two map-side broadcast-join passes over a micro-batch — cheaper
+    than the cache materialization job + ser/deser it would save, at
+    any batch size the 24/7 loop actually sees (bounded by trigger
+    sizing, not corpus size). The simpler form stays."""
     from ..functions.vectors import (
         ADAPTIVE_LSH_MAX_PLANES,
         centroid_planes_value,
@@ -1465,12 +1494,13 @@ def q226_streaming_emb_maintain_and_compact(
         F.expr(f"substring({cbits}, 1, {p_val})").alias("bk"),
     )
 
+    nf = stream_source_files()
     src = os.path.join(
         tempfile.gettempdir(),
-        f"stream_newvecs12_{_cache_key(sf_dir, 'embeddings')}",
+        f"stream_newvecs{nf}_{_cache_key(sf_dir, 'embeddings')}",
     )
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        emb.filter(is_new).repartition(12).write.mode("overwrite").parquet(
+        emb.filter(is_new).repartition(nf).write.mode("overwrite").parquet(
             src
         )
 

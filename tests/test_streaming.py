@@ -395,6 +395,65 @@ def test_q226_emb_landing_partitioned_and_compacted(spark):
     assert set(files_per_bucket.values()) == {1}, files_per_bucket
 
 
+def test_two_swap_cadence_is_correct_and_bounded(spark, monkeypatch):
+    """VERDICT r13 item 5: the amortization claim ('rewrites amortized
+    1/COMPACT_EVERY') was only ever exercised at n_swaps=1 — the 12-file
+    sources give 3 batches per drain, so COMPACT_EVERY=3 fires exactly
+    one in-stream compact and the finalize is elided. A 24-file source
+    (SPARK_GRAFT_STREAM_FILES=24, probe-only — the file count is folded
+    into the cached source path so this can't poison the default cache)
+    gives 6 batches and TWO in-stream swaps, the second rewriting an
+    already-compacted + newly-appended landing. Pin: (a) 6 batches,
+    (b) generations == 2 with the finalize still elided, (c) the final
+    artifact stays one file per bucket, and (d) the rollup is
+    swap-count-invariant — q226's equals q225's composition row for
+    row, exactly as at n_swaps=1."""
+    import glob
+    import os
+
+    from discogs_load_spark.queries import streaming as st
+    from discogs_load_spark.queries.registry import REGISTRY
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_FILES", "24")
+    assert st.stream_source_files() == 24
+
+    name = "q226_streaming_emb_maintain_and_compact"
+    out = sorted(
+        (r.cluster, r.n_new, r.min_vec, r.max_vec, r.n_via_exact)
+        for r in REGISTRY[name].fn(spark, SF_SMALL).collect()
+    )
+    lat = st.BATCH_LATENCIES[name]
+    assert len(lat) == 6 and all(t > 0 for t in lat)
+    info = st._LAST_Q226
+    assert info["generations"] == 2  # two in-stream swaps, finalize elided
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_FILES")
+    composed = sorted(
+        map(
+            tuple,
+            REGISTRY["q225_delta_assign_complete"]
+            .fn(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    assert out == composed and len(out) >= 1
+
+    files_per_bucket = {
+        b: len(glob.glob(os.path.join(info["dir"], b, "*.parquet")))
+        for b in os.listdir(info["dir"])
+        if b.startswith(f"{st.CDC_LANDED_PART_COL}=")
+    }
+    assert files_per_bucket and set(files_per_bucket.values()) == {1}
+
+    # the CDC maintainer on the same 24-file cadence
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_FILES", "24")
+    name = "q224_streaming_maintain_and_compact"
+    assert REGISTRY[name].fn(spark, SF_SMALL).count() == 16
+    lat = st.BATCH_LATENCIES[name]
+    assert len(lat) == 6
+    assert st._LAST_Q224["generations"] == 2
+
+
 def test_centroid_planes_value_matches_sql_ladder():
     """The streaming maintainer holds the prefix length as a driver-side
     int (functions/vectors.centroid_planes_value); it must equal the SQL
