@@ -159,6 +159,10 @@ SF1_QUERIES = [
     "q228_centroid_refresh",
     "q229_cdc_delta_merge_read",
     "q230_emb_delta_merge_read",
+    # r14: the refresh-apply consumer (one pruned artifact scan +
+    # broadcast delta join + two k-row rollups; both artifacts built in
+    # readmerge_build, out of window)
+    "q231_reassign_delta_apply",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness
@@ -475,6 +479,8 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         emb_delta_landing,
         emb_enriched,
         frozen_centroids,
+        full_assignments,
+        reassignment_delta,
         refresh_centroids,
     )
     from discogs_load_spark.queries.sig_index import (
@@ -528,6 +534,8 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
         _materialize(cdc_delta_landing(spark, d, rebuild=True))
         _materialize(base_assignments(spark, d, rebuild=True))
         _materialize(emb_delta_landing(spark, d, rebuild=True))
+        _materialize(full_assignments(spark, d, rebuild=True))
+        _materialize(reassignment_delta(spark, d, rebuild=True))
         readmerge_build[label] = round(_t.monotonic() - t0, 2)
     for b in (
         cdc_build,
@@ -803,6 +811,8 @@ def main() -> None:
         base_assignments,
         emb_delta_landing,
         frozen_centroids,
+        full_assignments,
+        reassignment_delta,
         refresh_centroids,
     )
     from discogs_load_spark.queries.sig_index import sig_delta_landing
@@ -816,6 +826,8 @@ def main() -> None:
     _materialize(cdc_delta_landing(spark, sf_dir, rebuild=True))
     _materialize(base_assignments(spark, sf_dir, rebuild=True))
     _materialize(emb_delta_landing(spark, sf_dir, rebuild=True))
+    _materialize(full_assignments(spark, sf_dir, rebuild=True))
+    _materialize(reassignment_delta(spark, sf_dir, rebuild=True))
     landing_index = {"seconds": round(time.monotonic() - t0, 3)}
     spark.catalog.clearCache()
 

@@ -400,3 +400,82 @@ def emb_delta_landing(
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     dest = os.path.join(EMB_INDEX_DIR, f"deltalab_{key}")
     return _materialized(spark, dest, frame, rebuild)
+
+
+# --- refresh-apply artifacts (q231) ------------------------------------------
+#
+# The refresh cycle's CONSUMER side holds two artifacts: the full-corpus
+# assignment under the OLD (frozen) centroids — the cluster-keyed state
+# every downstream table is organized by — and the reassignment delta
+# the refresh emitted (q228's output, materialized). q231 proves the
+# delta is SUFFICIENT: patching the old state with it reproduces the
+# new-centroid state exactly, without re-running any argmax.
+
+
+def full_assignments(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """(vec_id, cluster) — EVERY corpus vector's exact argmax against
+    the FROZEN (old) centroids: the consumer's cluster-keyed state
+    before a refresh lands. Distinct from base_assignments (the base
+    snapshot's Lloyd-final labels): this is the old index's answer for
+    the whole corpus, base + delta alike. Same fingerprint discipline
+    and SPARK_GRAFT_EMB_INDEX=0 referee as the other artifacts."""
+    from ..operators.clustering import assign_clusters
+    from ..session import load_tables
+
+    def frame() -> DataFrame:
+        from .similarity import DIM
+
+        emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        return assign_clusters(
+            emb, frozen_centroids(spark, sf_dir), "vec_id", "embedding", DIM
+        ).select("vec_id", "cluster")
+
+    if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
+        return frame()
+    from .sig_index import _materialized
+
+    fp = f"{_centroid_fingerprint(sf_dir)}|fulla"
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(EMB_INDEX_DIR, f"fulla_{key}")
+    return _materialized(spark, dest, frame, rebuild)
+
+
+def reassignment_delta(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """(vec_id, old_cluster, new_cluster) — q228's reassignment delta as
+    the artifact the refresh job ships to consumers: every vector whose
+    exact argmax moved between the frozen and the refreshed centroid
+    generations. Keyed on the REFRESH fingerprint (it depends on both
+    generations' training inputs)."""
+    from ..operators.clustering import assign_clusters
+    from ..session import load_tables
+
+    def frame() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .similarity import DIM
+
+        emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        olda = assign_clusters(
+            emb, frozen_centroids(spark, sf_dir), "vec_id", "embedding", DIM
+        ).select("vec_id", F.col("cluster").alias("old_cluster"))
+        newa = assign_clusters(
+            emb, refresh_centroids(spark, sf_dir), "vec_id", "embedding", DIM
+        ).select("vec_id", F.col("cluster").alias("new_cluster"))
+        return (
+            olda.join(newa, "vec_id")
+            .filter(F.col("old_cluster") != F.col("new_cluster"))
+            .select("vec_id", "old_cluster", "new_cluster")
+        )
+
+    if os.environ.get("SPARK_GRAFT_EMB_INDEX", "1") == "0":
+        return frame()
+    from .sig_index import _materialized
+
+    fp = f"{_refresh_fingerprint(sf_dir)}|redelta"
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    dest = os.path.join(EMB_INDEX_DIR, f"redelta_{key}")
+    return _materialized(spark, dest, frame, rebuild)

@@ -1514,7 +1514,11 @@ def _refresh_oracle_guard(spark: SparkSession, sf_dir: str) -> str | None:
     return None
 
 
-def _centroid_refresh_oracle() -> str:
+def _two_chain_ctes() -> str:
+    """WITH-body shared by q228/q231: the base-snapshot filter, two
+    namespaced Lloyd CTE chains (old trained on base, new on the full
+    corpus), and the exact argmax of EVERY corpus vector against each
+    generation (``olda``/``newa``)."""
     from ..operators.clustering import kmeans_oracle_ctes
     from .dedup import NEW_MOD, NEW_REM
 
@@ -1555,7 +1559,11 @@ def _centroid_refresh_oracle() -> str:
                        AS rn
             FROM embeddings e CROSS JOIN {n_c} c
         ) WHERE rn = 1
-    )
+    )"""
+
+
+def _centroid_refresh_oracle() -> str:
+    return f"""{_two_chain_ctes()}
     SELECT o.vec_id, o.old_cluster, n.new_cluster
     FROM olda o JOIN newa n ON o.vec_id = n.vec_id
     WHERE o.old_cluster <> n.new_cluster
@@ -1680,4 +1688,107 @@ def q230_emb_delta_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec"),
             F.max("vec_id").alias("max_vec"),
         )
+    )
+
+
+def _reassign_apply_oracle() -> str:
+    return f"""{_two_chain_ctes()},
+    delta AS (
+        SELECT o.vec_id, o.old_cluster, n.new_cluster
+        FROM olda o JOIN newa n ON o.vec_id = n.vec_id
+        WHERE o.old_cluster <> n.new_cluster
+    ),
+    mem AS (
+        SELECT new_cluster AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        FROM newa GROUP BY 1
+    ),
+    ins AS (
+        SELECT new_cluster AS cluster, CAST(COUNT(*) AS BIGINT) AS n_in
+        FROM delta GROUP BY 1
+    ),
+    outs AS (
+        SELECT old_cluster AS cluster, CAST(COUNT(*) AS BIGINT) AS n_out
+        FROM delta GROUP BY 1
+    ),
+    spine AS (
+        SELECT cluster FROM mem UNION SELECT cluster FROM outs
+    )
+    SELECT s.cluster,
+           CAST(COALESCE(m.n_members, 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(i.n_in, 0) AS BIGINT) AS n_in,
+           CAST(COALESCE(t.n_out, 0) AS BIGINT) AS n_out,
+           m.min_vec, m.max_vec
+    FROM spine s
+    LEFT JOIN mem m ON s.cluster = m.cluster
+    LEFT JOIN ins i ON s.cluster = i.cluster
+    LEFT JOIN outs t ON s.cluster = t.cluster
+    """
+
+
+@register(
+    "q231_reassign_delta_apply",
+    oracle=_reassign_apply_oracle(),
+    tags=("similarity", "embedding", "clustering", "incremental", "index"),
+    oracle_guard=_refresh_oracle_guard,
+)
+def q231_reassign_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh cycle's CONSUMER side — proof that q228's
+    reassignment delta is SUFFICIENT. A cluster-keyed consumer holds the
+    old index's full-corpus assignment (emb_index.full_assignments) and
+    receives the refresh's delta (emb_index.reassignment_delta, q228's
+    output as an artifact); it PATCHES: every vec_id in the delta takes
+    its new_cluster, everything else keeps its old label. The per-final-
+    cluster rollup of the patched state — membership, moved-in,
+    moved-out (a cluster that lost ALL members still surfaces with
+    n_members = 0 via the out-side spine), vec_id extrema — must equal
+    what a full recompute against the refreshed centroids would say.
+
+    The oracle is genuinely INDEPENDENT of the patch: it unrolls both
+    Lloyd chains, takes membership/extrema straight from the NEW exact
+    argmax (never applying the patch), and derives n_in/n_out from the
+    two-chain diff — so a patch that misses a row, double-applies, or
+    coalesces in the wrong order diverges from the oracle's direct
+    recompute and breaks the value hash (patch-vs-recompute, stronger
+    than the composition-replay oracles in this family).
+
+    Plan shape: one pruned scan of the full-assignment artifact
+    (vec_id, cluster — embeddings never read), the small changed-rows
+    delta broadcast into a left join, and two k-row rollups — NO argmax
+    and NO Lloyd stage anywhere in the consumer's plan (plan-asserted).
+    Scale: this is the incremental-update promise made by q228's
+    docstring, kept — at 100 TB the patch is one equi-join of the
+    corpus-sized assignment table with a small delta (shuffle-free if
+    both sides are bucketed by vec_id; broadcast here since the delta is
+    changed-rows-only), vs a full O(N x k) reassignment."""
+    from .emb_index import full_assignments, reassignment_delta
+
+    full_old = full_assignments(spark, sf_dir)
+    delta = reassignment_delta(spark, sf_dir)
+    patched = full_old.join(
+        F.broadcast(delta.select("vec_id", "new_cluster")), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("new_cluster", "cluster").alias("cluster"),
+        F.when(F.col("new_cluster").isNotNull(), 1)
+        .otherwise(0)
+        .alias("moved"),
+    )
+    mem = patched.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("moved").cast("bigint").alias("n_in"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+    outs = delta.groupBy(F.col("old_cluster").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out")
+    )
+    return mem.join(outs, "cluster", "full").select(
+        "cluster",
+        F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
+        F.coalesce("n_in", F.lit(0).cast("bigint")).alias("n_in"),
+        F.coalesce("n_out", F.lit(0).cast("bigint")).alias("n_out"),
+        "min_vec",
+        "max_vec",
     )

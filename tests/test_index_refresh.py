@@ -217,3 +217,61 @@ def test_q230_merge_reads_both_artifacts_and_covers_corpus(spark):
     assert sum(r.n_members for r in rows) == n_all
     assert sum(r.n_delta for r in rows) == n_delta
     assert all(r.cluster >= 0 for r in rows)  # complete: no -1 bucket
+
+
+def test_q231_patch_equals_direct_recompute_and_rederives_nothing(spark):
+    """The refresh-apply consumer (q231): (a) the plan reads the two
+    materialized artifacts (full old assignment + reassignment delta)
+    with the embedding payload pruned at the scan and NO Lloyd stage —
+    the whole point is that the consumer never re-runs an argmax;
+    (b) patch sufficiency at the ROW level: old labels patched by the
+    delta equal a fresh exact argmax against the refreshed centroids
+    for every corpus vector; (c) conservation: memberships sum to the
+    corpus, moved-in and moved-out both sum to the q228 delta size."""
+    from discogs_load_spark.operators.clustering import assign_clusters
+    from discogs_load_spark.plans import formatted_plan
+    from discogs_load_spark.queries.similarity import DIM
+
+    q = REGISTRY["q231_reassign_delta_apply"]
+    plan = formatted_plan(q.fn(spark, SF_SMALL))
+    assert plan.count(ei.EMB_INDEX_DIR) >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "embedding:" not in ln, ln
+
+    # row-level patch sufficiency: patched == direct recompute
+    patched = {
+        (r.vec_id, r.new_cluster if r.new_cluster is not None else r.cluster)
+        for r in ei.full_assignments(spark, SF_SMALL)
+        .join(
+            ei.reassignment_delta(spark, SF_SMALL).select(
+                "vec_id", "new_cluster"
+            ),
+            "vec_id",
+            "left",
+        )
+        .collect()
+    }
+    emb = load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+    direct = {
+        (r.vec_id, r.cluster)
+        for r in assign_clusters(
+            emb,
+            ei.refresh_centroids(spark, SF_SMALL),
+            "vec_id",
+            "embedding",
+            DIM,
+        )
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert patched == direct and len(patched) == emb.count()
+
+    rows = q.fn(spark, SF_SMALL).collect()
+    n_changed = REGISTRY["q228_centroid_refresh"].fn(spark, SF_SMALL).count()
+    assert sum(r.n_members for r in rows) == emb.count()
+    assert sum(r.n_in for r in rows) == n_changed
+    assert sum(r.n_out for r in rows) == n_changed
+    assert n_changed > 0  # the fixture genuinely moves vectors

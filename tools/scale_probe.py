@@ -147,6 +147,8 @@ def main() -> None:
         emb_delta_landing,
         emb_enriched,
         frozen_centroids,
+        full_assignments,
+        reassignment_delta,
         refresh_centroids,
     )
     from discogs_load_spark.queries.sig_index import (
@@ -172,6 +174,8 @@ def main() -> None:
         _materialize(cdc_delta_landing(spark, d))
         _materialize(base_assignments(spark, d))
         _materialize(emb_delta_landing(spark, d))
+        _materialize(full_assignments(spark, d))
+        _materialize(reassignment_delta(spark, d))
     spark.catalog.clearCache()
 
     tiny = str(TESTDATA / "sf0.001")
