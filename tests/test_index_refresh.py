@@ -98,6 +98,15 @@ def test_refresh_artifacts_match_inplan_referee(spark, monkeypatch):
         for r in ei.emb_delta_landing(spark, SF_SMALL).collect()
     )
 
+    fulla = sorted(
+        (r.vec_id, r.cluster)
+        for r in ei.full_assignments(spark, SF_SMALL).collect()
+    )
+    redelta = sorted(
+        (r.vec_id, r.old_cluster, r.new_cluster)
+        for r in ei.reassignment_delta(spark, SF_SMALL).collect()
+    )
+
     monkeypatch.setenv("SPARK_GRAFT_EMB_INDEX", "0")
     assert cent == sorted(
         (r.cluster, tuple(r.centroid))
@@ -111,14 +120,32 @@ def test_refresh_artifacts_match_inplan_referee(spark, monkeypatch):
         (r.vec_id, r.cluster, r.via_exact)
         for r in complete_delta_labels(spark, SF_SMALL).collect()
     )
+    assert fulla == sorted(
+        (r.vec_id, r.cluster)
+        for r in ei.full_assignments(spark, SF_SMALL).collect()
+    )
+    assert redelta == sorted(
+        (r.vec_id, r.old_cluster, r.new_cluster)
+        for r in ei.reassignment_delta(spark, SF_SMALL).collect()
+    )
     assert len(cent) >= 2 and len(basea) > 0 and len(delta) > 0
+    assert len(fulla) > 0 and len(redelta) > 0
 
 
 def test_q228_emits_changed_assignments_only(spark):
     """The reassignment delta's contracts: one row per CHANGED vector
     (old != new on every row, vec_ids unique, all from the corpus), and
     the refreshed generation is what the store's pointer now serves."""
+    from discogs_load_spark.plans import formatted_plan
+
     q = REGISTRY["q228_centroid_refresh"]
+    # the registered form is the materialized-delta READ (the in-plan
+    # argmax pair probed 111x sf1->sf10 and was replaced): one artifact
+    # scan, no Lloyd/argmax crossJoin stage
+    plan = formatted_plan(q.fn(spark, SF_SMALL))
+    assert plan.count(ei.EMB_INDEX_DIR) >= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
     rows = q.fn(spark, SF_SMALL).collect()
     assert all(r.old_cluster != r.new_cluster for r in rows)
     ids = [r.vec_id for r in rows]
