@@ -581,8 +581,18 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
                 base, big = min(base, b2), min(big, g2)
                 pb = _keep_pb(pb, p2)
         base_cap = 3.0 * suite_t[name] + 1.0 if name in suite_t else None
+        # a NEW query has no prior sf1 record, so the 1.5x-prior gate
+        # can't see it — and a quadratic form would silently set a
+        # terrible first reference (r14 lesson: q228's first-shipped
+        # argmax pair probed 111x sf1->sf10 and was only caught by a
+        # manual probe). First records gate on an absolute decade
+        # multiple instead: >4x base + slack across the 10x tier step
+        # is suspect for any per-query read path (index consumers read
+        # ~1-2x; the worst legitimate reading in the registry is ~2.8x).
         big_cap = (
-            1.5 * prior_sf1[short] + 1.0 if short in prior_sf1 else None
+            1.5 * prior_sf1[short] + 1.0
+            if short in prior_sf1
+            else 4.0 * base + 1.0
         )
         base_viol = base_cap is not None and base > base_cap
         big_viol = big_cap is not None and big > big_cap

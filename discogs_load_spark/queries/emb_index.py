@@ -284,7 +284,7 @@ def _land_generation(root: str, gen_name: str, frame_fn) -> None:
 
 
 def refresh_centroids(
-    spark: SparkSession, sf_dir: str, _probe=None
+    spark: SparkSession, sf_dir: str, rebuild: bool = False, _probe=None
 ) -> DataFrame:
     """(cluster, centroid) — the CURRENT generation after running the
     refresh cycle: seed the store with the frozen base-snapshot
@@ -303,6 +303,11 @@ def refresh_centroids(
         return _full_centroid_frame(spark, sf_dir)
 
     root = _centgen_root(sf_dir)
+    if rebuild:
+        # bench/probe prebuilds time the WHOLE cycle from an empty
+        # store (seed train + full retrain + land + swap) — wipe so the
+        # timed value is real work, not an idempotent pointer read
+        shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     base_gen = (
         "g_" + hashlib.md5(_centroid_fingerprint(sf_dir).encode()).hexdigest()[:12]

@@ -1449,9 +1449,13 @@ def q225_delta_assign_complete(
     Plan shape: both argmax paths are broadcast equi-/cross-joins over
     the delta with partial-aggregable struct-max; the cheap-path argmax
     is computed twice (once feeding the residue anti-join) — both
-    passes are map-side over the delta, and a production batch job
-    would persist the batch frame instead (a registered query must not
-    leak cache — ADVICE r12)."""
+    passes are map-side over the delta. The persist-instead guess was
+    MEASURED on the identical composition in q226's per-batch path
+    (VERDICT r13 item 6) and rejected: persist+count and lazy persist
+    both read flat-to-slower than the recompute at both tiers (the
+    cache materialization outweighs two map-side passes over a
+    delta-sized frame — see q226's docstring and SCALE_PROBES_r14),
+    so the double compute IS the faster form, not a compromise."""
     lab = complete_delta_labels(spark, sf_dir)
     return lab.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new"),
