@@ -1948,7 +1948,7 @@ def q229_cdc_delta_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value hash. Plan shape: two pruned artifact scans (chunk_hash
     column only; snapshot filter at the base scan) + union + one
     32-byte-key groupBy + the bucket rollup; no re-derivation from raw
-    text (plan-asserted in tests/test_adaptive_ops.py: no Arrow chunker
+    text (plan-asserted in tests/test_index_refresh.py: no Arrow chunker
     stage under the default artifact mode)."""
     base = (
         cdc_chunk_index(spark, sf_dir)

@@ -201,7 +201,7 @@ def frozen_centroids(
 # swapped with os.replace (atomic on POSIX — a reader resolving the
 # pointer sees exactly the old or exactly the new name, never a partial
 # write), and the superseded generation is deleted only AFTER the swap
-# (tests/test_adaptive_ops.py pins the exactly-one-version invariant at
+# (tests/test_index_refresh.py pins the exactly-one-version invariant at
 # every step boundary via the _probe hook).
 
 
@@ -317,10 +317,14 @@ def refresh_centroids(
     )
     cur = current_centroid_generation(sf_dir)
     if cur is None:
-        # seed generation 0 = the frozen base-snapshot centroids (the
-        # same frame the cent_<key> artifact holds — trained here so the
-        # store is self-contained)
-        _land_generation(root, base_gen, lambda: _centroid_frame(spark, sf_dir))
+        # seed generation 0 = the frozen base-snapshot centroids — read
+        # from the cent_<key> artifact when it exists (identical frame,
+        # same fingerprint lineage) instead of re-running the base Lloyd
+        # training per seed (r14 review finding: every rebuild was
+        # double-training); referee mode recomputes in-plan either way
+        _land_generation(
+            root, base_gen, lambda: frozen_centroids(spark, sf_dir)
+        )
         _swap_pointer(root, base_gen)
         cur = base_gen
         if _probe is not None:
@@ -338,6 +342,14 @@ def refresh_centroids(
             shutil.rmtree(os.path.join(root, cur), ignore_errors=True)
         if _probe is not None:
             _probe("cleaned")
+    # straggler sweep (r14 review finding): a crash between the pointer
+    # swap and the delete would otherwise leak the superseded generation
+    # forever — the idempotent path never revisited it. CURRENT points
+    # at full_gen here, so anything else g_* (including orphaned
+    # .tmp.<pid> dirs from crashed landings) is garbage by contract.
+    for entry in os.listdir(root):
+        if entry.startswith("g_") and entry != full_gen:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     return spark.read.parquet(os.path.join(root, full_gen))
 
 
@@ -464,9 +476,13 @@ def reassignment_delta(
         from .similarity import DIM
 
         emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-        olda = assign_clusters(
-            emb, frozen_centroids(spark, sf_dir), "vec_id", "embedding", DIM
-        ).select("vec_id", F.col("cluster").alias("old_cluster"))
+        # the old side IS full_assignments (identical computation, same
+        # fingerprint lineage) — read the artifact instead of re-running
+        # the corpus-sized argmax per rebuild (r14 review finding: the
+        # builds were paying it twice); referee mode recomputes in-plan
+        olda = full_assignments(spark, sf_dir).select(
+            "vec_id", F.col("cluster").alias("old_cluster")
+        )
         newa = assign_clusters(
             emb, refresh_centroids(spark, sf_dir), "vec_id", "embedding", DIM
         ).select("vec_id", F.col("cluster").alias("new_cluster"))
@@ -480,7 +496,12 @@ def reassignment_delta(
         return frame()
     from .sig_index import _materialized
 
-    fp = f"{_refresh_fingerprint(sf_dir)}|redelta"
+    # BOTH lineages fold in (r14 review finding): the old side depends
+    # on the frozen-centroid fingerprint (which versions NEW_MOD/NEW_REM
+    # — a changed base split changes every old_cluster label), the new
+    # side on the refresh fingerprint; keying on the refresh side alone
+    # could serve a stale delta after a split-constant change
+    fp = f"{_centroid_fingerprint(sf_dir)}|{_refresh_fingerprint(sf_dir)}|redelta"
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     dest = os.path.join(EMB_INDEX_DIR, f"redelta_{key}")
     return _materialized(spark, dest, frame, rebuild)
