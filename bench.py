@@ -165,6 +165,9 @@ SF1_QUERIES = [
     # broadcast delta join + two k-row rollups; both artifacts built in
     # readmerge_build, out of window)
     "q231_reassign_delta_apply",
+    # r14: the drift monitor (one corpus scan + broadcast assigned-
+    # centroid cosine + k-row rollup — linear by construction)
+    "q232_centroid_drift_monitor",
 ]
 
 # Excluded from the scale tier BY POLICY (VERDICT r08 item 5), correctness

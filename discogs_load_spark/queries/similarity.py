@@ -1795,3 +1795,113 @@ def q231_reassign_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_vec",
         "max_vec",
     )
+
+
+def _drift_monitor_oracle() -> str:
+    from ..operators.clustering import kmeans_oracle_ctes
+    from .dedup import NEW_MOD, NEW_REM
+
+    o_parts, _, o_c = kmeans_oracle_ctes(
+        "base", "vec_id", "embedding", DIM, sem_k_sql("base"),
+        SEM_ITER + 1, prefix="o_",
+    )
+    cos = cosine_sql("e.embedding", "c.centroid", DIM, "duckdb")
+    o_body = ",\n    ".join(o_parts)
+    return f"""
+    WITH base AS (
+        SELECT * FROM embeddings WHERE vec_id % {NEW_MOD} <> {NEW_REM}
+    ),
+    {o_body},
+    labeled AS (
+        SELECT vec_id, cluster, cos,
+               CASE WHEN vec_id % {NEW_MOD} = {NEW_REM} THEN 1 ELSE 0 END
+                   AS is_delta
+        FROM (
+            SELECT e.vec_id, c.cluster, {cos} AS cos,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cluster DESC)
+                       AS rn
+            FROM embeddings e CROSS JOIN {o_c} c
+        ) WHERE rn = 1
+    )
+    SELECT cluster,
+           CAST(SUM(1 - is_delta) AS BIGINT) AS n_base,
+           CAST(SUM(is_delta) AS BIGINT) AS n_delta,
+           CAST(SUM(CASE WHEN is_delta = 0
+                         THEN CAST(cos AS DECIMAL(25,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN is_delta = 0 THEN 1 END) AS fit_base,
+           CAST(SUM(CASE WHEN is_delta = 1
+                         THEN CAST(cos AS DECIMAL(25,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN is_delta = 1 THEN 1 END) AS fit_delta
+    FROM labeled GROUP BY cluster
+    """
+
+
+@register(
+    "q232_centroid_drift_monitor",
+    oracle=_drift_monitor_oracle(),
+    tags=("similarity", "embedding", "index", "monitoring"),
+    oracle_guard=flat_oracle_guard,
+)
+def q232_centroid_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The refresh cycle's TRIGGER — the missing policy input between
+    'the index drifts' and 'run q228'. Per cluster of the CURRENT (old)
+    generation: how well do the vectors it serves still fit it? n_base /
+    n_delta member counts plus ``fit_base`` / ``fit_delta`` — the mean
+    cosine of each population to its ASSIGNED centroid (decimal-cast
+    sums, the functions/numeric dec_avg discipline, so the means are
+    order- and engine-insensitive; a cluster with no delta members
+    reads NULL fit_delta on both sides). A widening fit_base−fit_delta
+    gap or a falling fit_base is the drift signal a scheduler
+    thresholds to decide refresh cadence; after a refresh lands, the
+    same monitor re-baselines against the new generation's labels.
+
+    Labels come from the full-corpus assignment ARTIFACT
+    (emb_index.full_assignments — no argmax in the monitor's plan): the
+    cosine is computed against exactly ONE centroid per vector (the
+    assigned one, broadcast k-row join), so the monitor is O(N x DIM) —
+    linear, and cheap enough to run continuously, unlike the O(N x k)
+    reassignment it replaces as the drift estimate. The oracle replays
+    the chain end-to-end: base-trained Lloyd, exact argmax of every
+    vector (whose winning-row cosine IS the assigned-centroid cosine),
+    the delta split, and the decimal rollup — so a stale label, a wrong
+    centroid generation, or a drifted mean breaks the value hash. Same
+    flat-regime guard as the family.
+
+    Scale: one corpus scan + one broadcast of k centroids + one
+    k-group rollup; at 100 TB this is the shape of any per-row scoring
+    pass, shuffle-free until the final k-row aggregate."""
+    from .dedup import NEW_MOD, NEW_REM
+    from .emb_index import frozen_centroids, full_assignments
+
+    emb = _emb(spark, sf_dir)
+    fa = full_assignments(spark, sf_dir)
+    cent = frozen_centroids(spark, sf_dir)
+    cos = cosine_sql("embedding", "centroid", DIM, "spark")
+    labeled = (
+        emb.join(fa, "vec_id")
+        .join(F.broadcast(cent), "cluster")
+        .select(
+            "cluster",
+            F.expr(cos).alias("cos"),
+            ((F.col("vec_id") % NEW_MOD) == NEW_REM)
+            .cast("int")
+            .alias("is_delta"),
+        )
+    )
+    return labeled.groupBy("cluster").agg(
+        F.expr("CAST(SUM(1 - is_delta) AS BIGINT)").alias("n_base"),
+        F.expr("CAST(SUM(is_delta) AS BIGINT)").alias("n_delta"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_delta = 0"
+            " THEN CAST(cos AS DECIMAL(25,6)) END) AS DOUBLE)"
+            " / SUM(CASE WHEN is_delta = 0 THEN 1 END)"
+        ).alias("fit_base"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_delta = 1"
+            " THEN CAST(cos AS DECIMAL(25,6)) END) AS DOUBLE)"
+            " / SUM(CASE WHEN is_delta = 1 THEN 1 END)"
+        ).alias("fit_delta"),
+    )

@@ -302,3 +302,34 @@ def test_q231_patch_equals_direct_recompute_and_rederives_nothing(spark):
     assert sum(r.n_in for r in rows) == n_changed
     assert sum(r.n_out for r in rows) == n_changed
     assert n_changed > 0  # the fixture genuinely moves vectors
+
+
+def test_q232_monitor_is_linear_and_consistent(spark):
+    """The drift monitor: (a) NO argmax/Lloyd stage in the plan — the
+    labels come from the full_assignments artifact and the cosine is
+    against exactly ONE broadcast centroid per vector (a crossJoin
+    stage would mean the monitor re-runs the O(N x k) reassignment it
+    exists to replace); (b) population counts tie out against the
+    corpus and the delta split; (c) the per-cluster fit means are
+    bounded cosines and NULL exactly when the population is empty."""
+    from discogs_load_spark.plans import formatted_plan
+    from discogs_load_spark.queries.dedup import NEW_MOD, NEW_REM
+
+    q = REGISTRY["q232_centroid_drift_monitor"]
+    plan = formatted_plan(q.fn(spark, SF_SMALL))
+    assert plan.count(ei.EMB_INDEX_DIR) >= 2, plan  # labels + centroids
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    rows = q.fn(spark, SF_SMALL).collect()
+    emb = load_tables(spark, SF_SMALL, ["embeddings"])["embeddings"]
+    n_all = emb.count()
+    n_delta = emb.filter((F.col("vec_id") % NEW_MOD) == NEW_REM).count()
+    assert sum(r.n_base + r.n_delta for r in rows) == n_all
+    assert sum(r.n_delta for r in rows) == n_delta
+    for r in rows:
+        assert (r.fit_base is None) == (r.n_base == 0)
+        assert (r.fit_delta is None) == (r.n_delta == 0)
+        for v in (r.fit_base, r.fit_delta):
+            if v is not None:
+                assert -1.0 <= v <= 1.0
