@@ -208,6 +208,11 @@ SF1_MIN_OF_3 = {
     # probes are stable at 4.8-5.5 s — SCALE_PROBES_r11 session 2), the
     # same one-mode-pays-a-cache-state shape as the prefix family
     "q95_embedding_dedup_groups",
+    # r14: q186's sf1 readings across the round's three same-tree runs
+    # were 2.74 / 3.16 / 5.5 s (the last correctly flagged by the 1.5x
+    # gate vs r13's 2.28) — the same bimodal shape; min-of-3 keeps the
+    # committed number the repeatable floor
+    "q186_join_key_skew_profile",
 }
 
 
