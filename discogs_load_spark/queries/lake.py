@@ -642,7 +642,14 @@ def q223_cdc_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("chunk_hash")
             .distinct()
             .withColumn("pb", F.substring("chunk_hash", 1, 1))
-            .repartition(COMPACTION_ARRIVAL_SLICES, "chunk_hash")
+            # slice key = xxhash64(chunk_hash), NOT chunk_hash itself: the
+            # upstream distinct already hash-partitions on chunk_hash, so
+            # when shuffle.partitions == COMPACTION_ARRIVAL_SLICES Catalyst
+            # elides a same-key repartition and AQE may coalesce the
+            # remaining exchange to ONE partition at small fixtures —
+            # writing the "fragmented" landing as one file per bucket.
+            # A derived key keeps the explicit (non-coalescable) exchange.
+            .repartition(COMPACTION_ARRIVAL_SLICES, F.xxhash64("chunk_hash"))
         )
         chunks.write.mode("overwrite").partitionBy("pb").parquet(frag)
         # the compaction rewrite under test
