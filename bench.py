@@ -290,6 +290,21 @@ def _prior_sf1_timings() -> dict[str, float]:
 # per-batch blow-up (19.1x on 10x batches, SCALE_PROBES_r12 — the
 # O(batch x k) term) hiding inside an amortized-looking drain total would
 # never flag automatically.
+# Queries whose FIRST invocation constructs a fixture-keyed /tmp lake
+# artifact (bucketed tables, partitioned/roundtrip layouts, the q223
+# compaction pair) — invoked once out-of-window by the suite prewarm so
+# their timed rows measure the steady-state read path; see the prewarm
+# block in main() for the measured build-vs-read deltas and rationale.
+FIXTURE_PREWARM_QUERIES = (
+    "q101_interchange_roundtrip",
+    "q111_partitioned_lake",
+    "q149_snapshot_diff",
+    "q162_orc_roundtrip",
+    "q174_schema_evolution",
+    "q223_cdc_index_compaction",
+    "q132_bucketed_join",
+)
+
 STREAMING_PER_BATCH = (
     "q218_streaming_index_ingest",
     "q219_streaming_cdc_index_maintenance",
@@ -409,9 +424,14 @@ def bench_sf1(suite_spark, REGISTRY, sf_dir: str) -> dict:
     # scale_x silently include the sf1 render while the sf0.1 side,
     # warmed by the earlier suite sweep, never pays it
     from discogs_load_spark.queries.shred import _q170_dump_path
+    from discogs_load_spark.queries.streaming import prewarm_stream_sources
 
     for d in (sf_dir, SF1_DIR):
         _q170_dump_path(load_tables(spark, d, ["documents"])["documents"], d)
+        # stream-source parquet copies: same out-of-window rule as the
+        # suite sweep (see main()) — without this the first streaming
+        # pair's sf1 side absorbs the one-time sf1 source write
+        prewarm_stream_sources(spark, d)
 
     # JIT-warm every measured query at sf0.001 first: this process's JVM
     # is pristine (that is the point — see docstring), so without this
@@ -854,6 +874,32 @@ def main() -> None:
     _materialize(reassignment_delta(spark, sf_dir, rebuild=True))
     landing_index = {"seconds": round(time.monotonic() - t0, 3)}
     spark.catalog.clearCache()
+    # r14: one-time fixture-derived /tmp inputs get the same out-of-window
+    # treatment as the index artifacts above. The driver regenerates the
+    # fixtures every round, so these caches miss exactly once per round —
+    # and whichever suite position paid the miss carried a one-time build
+    # (measured: q132 5.4 s cold vs 0.7 s steady-state, q223 3.0 vs 0.4,
+    # q149 2.5 vs 0.9 — OPTIMIZATION_r14.md) that is INPUT construction
+    # (lake tables an ingest job writes once; stream-source parquet copies
+    # standing in for kafka), not the operator under measurement. The
+    # stream sources build via the shared helper; the lake artifacts build
+    # by invoking their owning queries once (their builders are the
+    # queries' own cache-miss paths). Total build time stays on the record
+    # as its own line; per-query rows then measure steady-state reads —
+    # which is also what every PRIOR round's committed sidecar de-facto
+    # recorded, since in-round re-runs had warmed the same caches.
+    from discogs_load_spark.queries.shred import _q170_dump_path
+    from discogs_load_spark.queries.streaming import prewarm_stream_sources
+
+    t0 = time.monotonic()
+    prewarm_stream_sources(spark, sf_dir)
+    _q170_dump_path(
+        load_tables(spark, sf_dir, ["documents"])["documents"], sf_dir
+    )
+    for name in FIXTURE_PREWARM_QUERIES:
+        _materialize(REGISTRY[name].fn(spark, sf_dir))
+    fixture_prewarm = {"seconds": round(time.monotonic() - t0, 3)}
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
@@ -978,6 +1024,7 @@ def main() -> None:
             "prefix_rank_build": rank_index,
             "centroid_builds": cent_index,
             "landing_builds": landing_index,
+            "fixture_prewarm": fixture_prewarm,
         }
         if sf1 is not None:
             sidecar["sf1"] = sf1
@@ -1003,6 +1050,7 @@ def main() -> None:
         "sig_index_build": sig_index,
         "emb_index_build": emb_index,
         "prefix_rank_build": rank_index,
+        "fixture_prewarm": fixture_prewarm,
     }
     if sf1 is not None:
         payload["sf1"] = sf1

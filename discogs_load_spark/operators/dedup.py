@@ -803,19 +803,18 @@ def connected_components(
     if prev_sum is None:  # empty graph
         return labels.select("node", F.col("label").alias("component"))
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.esrc == labels.node)
-            .groupBy("edst")
-            .agg(F.min("label").alias("nbr_min"))
+        # one union + one min-aggregate per round (r14: the previous
+        # agg-then-left-join form paid three exchanges per round — the
+        # neighbor-min groupBy plus both sides of the join; folding the
+        # node's own label into the same aggregate via union is the
+        # identical min(own ∪ neighbors) update with one shuffle fewer)
+        propagated = edges.join(labels, edges.esrc == labels.node).select(
+            F.col("edst").alias("node"), "label"
         )
         labels = (
-            labels.join(nbr_min, labels.node == nbr_min.edst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
+            labels.unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
         # bounded: 1-row convergence scalar per round

@@ -1047,32 +1047,49 @@ _SPARK_MERGE_FOLD = (
 )
 
 
-def _merge_step(frame: DataFrame, best: DataFrame, sym_col: str) -> DataFrame:
-    """Apply one learned merge to ``frame[sym_col]``: LEFT join the 1-row
-    (possibly EMPTY) merge frame on TRUE, then fold. An empty merge frame
-    yields NULL m_l/m_r, the fold condition goes NULL -> ELSE, and every
-    row passes through unmerged — rows are never annihilated the way a
-    crossJoin against an empty frame would."""
+def _sql_str_lit(s: str) -> str:
+    """SQL string literal (tokens are [a-z0-9]+ post-norm, but escape
+    anyway so the expression is safe for any symbol content)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_step(frame: DataFrame, best, sym_col: str) -> DataFrame:
+    """Apply one learned merge (a collected (lhs, rhs, freq) row, or None
+    for a round that found no pairs) to ``frame[sym_col]`` as a literal
+    fold — a narrow expression, no join. A None merge is the identity:
+    every row passes through unmerged, identically to the old empty-
+    broadcast-frame LEFT-join form (r14 optimization: the per-round
+    broadcast of a 1-row frame cost a BroadcastExchange + an eager
+    localCheckpoint job per round; the argmax row is a bounded driver
+    scalar — the convergence-scalar collect class — so folding it in as
+    literals removes both)."""
+    if best is None:
+        return frame
     other = [c for c in frame.columns if c != sym_col]
-    return frame.join(
-        F.broadcast(
-            best.select(F.col("lhs").alias("m_l"), F.col("rhs").alias("m_r"))
-        ),
-        F.lit(True),
-        "left",
-    ).select(
+    return frame.select(
         *other,
-        F.expr(_SPARK_MERGE_FOLD.format(src=sym_col, lhs="m_l", rhs="m_r")).alias(
-            sym_col
-        ),
+        F.expr(
+            _SPARK_MERGE_FOLD.format(
+                src=sym_col,
+                lhs=_sql_str_lit(best["lhs"]),
+                rhs=_sql_str_lit(best["rhs"]),
+            )
+        ).alias(sym_col),
     )
 
 
-def _learn_bpe_merges(word_counts: DataFrame) -> list[DataFrame]:
+def _learn_bpe_merges(word_counts: DataFrame) -> list:
     """Run the unrolled merge-learning loop over a (w, cnt) word-count
-    frame; return the per-round 1-row argmax frames (lhs, rhs, freq), each
-    eagerly ``localCheckpoint``ed so downstream consumers (the q171 union,
-    the q172 encoder chain) never re-run earlier rounds."""
+    frame; return the per-round 1-row argmax results as collected Rows
+    (lhs, rhs, freq) — None for a round with no pairs left. Each round's
+    argmax is a 1-row bounded collect (the convergence-scalar class), and
+    the merge is applied to the symbol frame as a LITERAL fold, so the
+    whole loop runs BPE_ROUNDS single-action jobs over the checkpointed
+    top-K histogram instead of per-round broadcast joins + eager 1-row
+    checkpoints (measured ~35 jobs -> ~10 for q171, OPTIMIZATION_r14.md).
+    Re-running the accumulated narrow folds from the one checkpoint costs
+    O(top-K · rounds) interpreted-expression work per round — trivial at
+    K=300 — so no further lineage truncation is needed."""
     words = word_counts.orderBy(F.desc("cnt"), "w").limit(BPE_TOP_WORDS)
     syms = words.select(
         "w",
@@ -1081,7 +1098,7 @@ def _learn_bpe_merges(word_counts: DataFrame) -> list[DataFrame]:
     )
     # bounded: BPE_TOP_WORDS rows; materialized once, every round reuses it
     syms = syms.localCheckpoint(eager=True)
-    bests: list[DataFrame] = []
+    bests: list = []
     for i in range(BPE_ROUNDS):
         pre = syms.select(
             "cnt",
@@ -1091,22 +1108,16 @@ def _learn_bpe_merges(word_counts: DataFrame) -> list[DataFrame]:
         pairs = pre.select(
             "cnt", F.explode(F.arrays_zip("ls", "rs")).alias("p")
         ).select(F.col("p.ls").alias("lhs"), F.col("p.rs").alias("rhs"), "cnt")
-        best = (
+        rows = (
             pairs.groupBy("lhs", "rhs")
             .agg(F.sum("cnt").alias("freq"))
             .orderBy(F.desc("freq"), "lhs", "rhs")
             .limit(1)
-            # 1 row, branches (merge + consumers): truncate lineage so
-            # round i+1 doesn't re-run rounds 0..i per branch
-            .localCheckpoint(eager=True)
+            .collect()  # bounded: 1-row argmax scalar per round
         )
+        best = rows[0] if rows else None
         bests.append(best)
         syms = _merge_step(syms, best, "s")
-        if (i + 1) % 2 == 0 and i + 1 < BPE_ROUNDS:
-            # bounded: BPE_TOP_WORDS rows; every 2 rounds suffices — the
-            # eager 1-row best checkpoints already cut the branching, this
-            # only caps the narrow-op chain Catalyst re-analyzes per round
-            syms = syms.localCheckpoint(eager=True)
     return bests
 
 
@@ -1154,14 +1165,17 @@ def q171_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline — without it the 8-round plan re-derives each round once
     per downstream branch, exponentially)."""
     bests = _learn_bpe_merges(_doc_word_counts(doc_tokens(spark, sf_dir)))
-    merge_rows = [
-        b.select(F.lit(i + 1).cast("int").alias("round"), "lhs", "rhs", "freq")
+    # bests are collected 1-row scalars (see _learn_bpe_merges); the
+    # 8-row output is rebuilt as a local relation — same rows, types and
+    # round order as the old per-round-frame union
+    rows = [
+        (i + 1, b["lhs"], b["rhs"], b["freq"])
         for i, b in enumerate(bests)
+        if b is not None
     ]
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("round")
+    return spark.createDataFrame(
+        rows, "round int, lhs string, rhs string, freq bigint"
+    ).orderBy("round")
 
 
 def _bpe_encode_oracle() -> str:

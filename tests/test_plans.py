@@ -472,16 +472,19 @@ def test_preshard_ingest_prunes_to_rollup_columns(spark):
         assert col not in read[0], f"unpruned column {col} in XML scan"
 
 
-def test_bpe_encode_folds_stay_broadcast_and_pruned(spark):
-    """q172: the 8 merge applications must be broadcast joins (the 1-row
-    merge frames), never CartesianProduct, and the signature-index scan
-    (q172's corpus source since the v2 token column) must prune to
-    (source, toks) — the corpus-sized work is one count shuffle, so an
-    unpruned scan or a shuffled merge join would be the scale leak."""
+def test_bpe_encode_folds_stay_literal_and_pruned(spark):
+    """q172: the 8 merge applications are LITERAL folds (the trainer's
+    1-row argmaxes are collected bounded scalars since r14), so the plan
+    must contain NO join machinery for them at all — no CartesianProduct
+    and no BroadcastNestedLoopJoin (the old 1-row-frame form) — and the
+    signature-index scan (q172's corpus source since the v2 token column)
+    must prune to (source, toks) — the corpus-sized work is one count
+    shuffle, so an unpruned scan or a shuffled merge join would be the
+    scale leak."""
     df = REGISTRY["q172_bpe_encode"].fn(spark, SF_SMALL)
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds
-    assert "BroadcastNestedLoopJoin" in kinds  # 1-row merge frames
+    assert "BroadcastNestedLoopJoin" not in kinds  # merges are literals now
     plan = formatted_plan(df)
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read, "expected a ReadSchema line for the index scan"
