@@ -274,10 +274,22 @@ def q130_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution is (r * 85 * w) div (100 * outw) in BIGINT — integer
     division makes every round bitwise reproducible in any engine, which
     a float power iteration cannot promise (its additions reassociate
-    under shuffle). Scale shape: the per-round join is edges ⋈ ranks —
-    ranks is |nodes| rows (broadcast), edges is partitioned by src and
-    REUSED across all rounds from one persisted aggregate; nothing
-    corpus-sized moves after the transition count."""
+    under shuffle).
+
+    Scale shape (r14): the ONLY corpus-sized work is the transition
+    count — one window pass + one map-side-combinable aggregate. Its
+    output is the event-type transition graph, bounded by the event-type
+    VOCABULARY squared (the same domain bound that let the old form
+    broadcast the rank vector every round — broadcastable and
+    collectable are the same size class here, like the engine's ≤16
+    bucket-string collects). The 10 integer power-iteration rounds then
+    run driver-side over that collected graph: the old declaratively
+    unrolled form spent ~60 Spark jobs (per-round broadcast exchanges,
+    eager rank checkpoints) iterating a ~|vocab|-row state — measured
+    4.1–4.9 s of which the corpus pass was ~1 s. Arithmetic is identical
+    (Python ints ARE arbitrary-precision; all terms non-negative, so
+    // == BIGINT div), so the oracle's unrolled CTE replay still
+    value-hash-matches bitwise."""
     events = load_tables(spark, sf_dir, ["events"])["events"]
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
@@ -289,43 +301,26 @@ def q130_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    from pyspark.storagelevel import StorageLevel
-
-    graph = edges.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = events.select(F.col("event_type").alias("node")).distinct()
-    # node cardinality as a broadcast 1-row aggregate, NOT a driver-side
-    # count() — the whole power iteration stays one declarative plan
-    consts = nodes.agg(
-        F.expr(f"CAST(CAST(15 AS BIGINT) * {PR_SCALE} div (100 * COUNT(*)) AS BIGINT)").alias("b"),
-        F.expr(f"CAST({PR_SCALE} div COUNT(*) AS BIGINT)").alias("r0"),
+    # bounded: ≤ |event-type vocab|² rows (the broadcast size class)
+    graph = [
+        (r["src"], r["dst"], r["w"], r["ow"])
+        for r in edges.join(outw, "src").collect()
+    ]
+    # bounded: ≤ |event-type vocab| rows
+    nodes = sorted(
+        r[0] for r in events.select("event_type").distinct().collect()
     )
-    seeded = nodes.crossJoin(F.broadcast(consts))
-    ranks = seeded.select("node", F.col("r0").alias("r"))
-    for i in range(PR_ITERS):
-        contrib = (
-            graph.join(F.broadcast(ranks), F.col("src") == F.col("node"))
-            .select(
-                F.col("dst"),
-                F.expr("(r * 85 * w) div (100 * ow)").alias("share"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("share").alias("contrib"))
-        )
-        ranks = (
-            seeded.join(F.broadcast(contrib), seeded.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.col("b") + F.coalesce("contrib", F.lit(0)))
-                .cast("bigint")
-                .alias("r"),
-            )
-        )
-        # truncate lineage every 2 rounds (the connected-components
-        # discipline, operators/dedup.py): without it the 10-round plan
-        # nests 10 broadcast+aggregate stages and Catalyst re-analyzes
-        # the whole tree per round — measured 2x wall on the bench with
-        # identical integer outputs. Each checkpoint materializes only
-        # the |nodes|-row rank vector.
-        if (i + 1) % 2 == 0 and i + 1 < PR_ITERS:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.col("r").alias("rank_scaled")).orderBy("node")
+    n = len(nodes)
+    b = 15 * PR_SCALE // (100 * n)
+    ranks = {nd: PR_SCALE // n for nd in nodes}
+    for _ in range(PR_ITERS):
+        contrib: dict = {}
+        for src, dst, w, ow in graph:
+            contrib[dst] = contrib.get(dst, 0) + (
+                ranks[src] * 85 * w
+            ) // (100 * ow)
+        ranks = {nd: b + contrib.get(nd, 0) for nd in nodes}
+    return spark.createDataFrame(
+        [(nd, ranks[nd]) for nd in nodes],
+        "node string, rank_scaled bigint",
+    ).orderBy("node")

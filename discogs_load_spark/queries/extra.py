@@ -202,6 +202,58 @@ def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _histogram_percentiles(
+    df: DataFrame, group_col: str, val_col: str, out_pcts: dict[str, str]
+) -> DataFrame:
+    """Exact interpolated percentiles per group from the distinct-VALUE
+    histogram + one bounded window — bitwise-identical to the builtin
+    ``percentile(col, p)`` aggregate (pinned across all fixtures by
+    tests/test_new_ops.py::test_q213_histogram_percentiles_match_builtin)
+    but without its per-group value-counts buffer: percentile() ships an
+    ObjectHashAggregate map of every distinct value through each partial
+    and merges+sorts per group at the end (measured 2.7 s across its two
+    stages for q213 at sf0.1, the single most expensive piece of that
+    query — OPTIMIZATION_r14.md); this form pays one map-side-combinable
+    shuffle at distinct-value grain instead (guide §2.3 "aggregate
+    before you shuffle").
+
+    Interpolation replicates percentile()'s exact arithmetic:
+    pos = p * (n-1), 0-based over the sorted values; value_at(i) = the
+    value whose cumulative-count range covers i;
+    result = (ceil(pos)-pos)*v_floor + (pos-floor(pos))*v_ceil, with the
+    v_floor == v_ceil case short-circuited (the additive identity does
+    NOT hold in IEEE — (ceil-pos)+(pos-floor) can differ from 1.0)."""
+    hist = df.groupBy(group_col, val_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    wv = W.partitionBy(group_col).orderBy(val_col)
+    wall = W.partitionBy(group_col)
+    cume = hist.withColumn("__cum", F.sum("__c").over(wv)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    aggs, exprs = [], []
+    for out, p in out_pcts.items():
+        pos = f"CAST({p} * CAST(__n - 1 AS DOUBLE) AS DOUBLE)"
+        for idx, suffix in ((f"FLOOR({pos})", "l"), (f"CEIL({pos})", "h")):
+            aggs.append(
+                F.max(
+                    F.expr(
+                        f"CASE WHEN {idx} >= __cum - __c AND {idx} < __cum "
+                        f"THEN {val_col} END"
+                    )
+                ).alias(f"_{out}_{suffix}")
+            )
+        aggs.append(F.max(F.expr(pos)).alias(f"_{out}_p"))
+        exprs.append(
+            F.expr(
+                f"CASE WHEN _{out}_l = _{out}_h THEN _{out}_l "
+                f"ELSE (CEIL(_{out}_p) - _{out}_p) * _{out}_l "
+                f"+ (_{out}_p - FLOOR(_{out}_p)) * _{out}_h END"
+            ).alias(out)
+        )
+    return cume.groupBy(group_col).agg(*aggs).select(group_col, *exprs)
+
+
 @register(
     "q213_approx_bounds",
     oracle="""
@@ -246,11 +298,12 @@ def q213_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("__ao"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
     )
-    pcts = lineitem.groupBy("l_returnflag").agg(
+    approx_med = lineitem.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5)").alias("__am"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("__lo"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("__hi"),
     )
+    pcts = _histogram_percentiles(
+        lineitem, "l_returnflag", "l_extendedprice", {"__lo": "0.45", "__hi": "0.55"}
+    ).join(F.broadcast(approx_med), "l_returnflag")
     g = exact.join(F.broadcast(approx), "l_returnflag").join(
         F.broadcast(pcts), "l_returnflag"
     )

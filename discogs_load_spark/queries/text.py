@@ -201,13 +201,19 @@ def q65_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter(
         (F.col("n_words") >= 5) & (F.col("stopword_ratio") > 0.0)
     )
-    keepers = kept.groupBy("content_hash").agg(
-        F.min("doc_id").alias("keeper_id")
-    )
+    # keeper = min doc_id per content hash, selected with ONE window over
+    # the hash key instead of the old groupBy + left_semi join: the semi
+    # join derived `kept` on BOTH sides, so the quality-signal scan (the
+    # expensive tokenizing map work) ran twice per invocation (r14; same
+    # rows — a doc_id can only be the group minimum of its own group)
+    from pyspark.sql import Window as _W
+
     return (
-        kept.join(
-            keepers, kept.doc_id == keepers.keeper_id, "left_semi"
+        kept.withColumn(
+            "__keeper",
+            F.min("doc_id").over(_W.partitionBy("content_hash")),
         )
+        .filter(F.col("doc_id") == F.col("__keeper"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_kept"),

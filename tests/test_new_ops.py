@@ -189,3 +189,41 @@ def test_q223_compaction_collapses_files_and_preserves_rows(spark):
         )
     )
     assert roll(frag) == roll(comp)
+
+
+def test_q213_histogram_percentiles_match_builtin(spark):
+    """r14: q213's exact p45/p55 bounds moved from the builtin
+    percentile() aggregate (per-group value-counts buffer shipped through
+    every partial) to the distinct-value histogram + window form. The two
+    must be BITWISE identical — the contract flags compare the sketch
+    median against these bounds, so even a 1-ulp interpolation divergence
+    is the class of drift this repo bans."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from discogs_load_spark.queries.extra import _histogram_percentiles
+    from discogs_load_spark.session import load_tables
+
+    from .conftest import SF_SMALL
+
+    li = load_tables(spark, SF_SMALL, ["lineitem"])["lineitem"]
+    builtin = {
+        r[0]: (r[1], r[2])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.45)"),
+            F.expr("percentile(l_extendedprice, 0.55)"),
+        )
+        .collect()
+    }
+    hist = {
+        r[0]: (r[1], r[2])
+        for r in _histogram_percentiles(
+            li, "l_returnflag", "l_extendedprice", {"lo": "0.45", "hi": "0.55"}
+        ).collect()
+    }
+    assert builtin.keys() == hist.keys()
+    for k in builtin:
+        for a, b in zip(builtin[k], hist[k]):
+            assert struct.pack("<d", a) == struct.pack("<d", b), (k, a, b)
