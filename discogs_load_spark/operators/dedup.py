@@ -317,7 +317,12 @@ def lsh_candidate_pairs(
     # signature table is what every production MinHash pipeline does
     # anyway — it's ~40 bytes/doc, MEMORY_AND_DISK spills gracefully, and
     # at lake scale you'd land it as a parquet stage output instead.
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not a bare persist (r14): the self-join sides
+    # materialize as CONCURRENT stages in one job, and a lazily-persisted
+    # frame raced by both is computed by both (two identical full-chain
+    # stages in the q175 profile); the eager checkpoint pays the chain
+    # exactly once.
+    signatures = signatures.localCheckpoint()
     r = n_hashes // bands
     band_struct = F.array(
         *[
@@ -495,12 +500,24 @@ def jaccard_verify(
     non-empty shingle set, so whether empty-set docs appear in ``sets``
     cannot change the inner joins below.
     """
-    # sets is joined twice (id_a and id_b sides) — materialize once
+    # sets is joined twice (id_a and id_b sides) — materialize once.
+    # localCheckpoint, not a bare persist (r14): both join sides build as
+    # concurrent stages, and a lazily-persisted frame raced by both is
+    # computed by both.
     if sets is None:
         sets = _shingle_col(df, text_col, k, "__sh").select(
             F.col(id_col), F.array_distinct("__sh").alias("shset")
         )
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sets = sets.localCheckpoint()
+    # spread the verify compute (r14): the candidate-pair frame is a few
+    # bytes per row, so AQE's byte-based coalescing collapses it to ONE
+    # partition — and the array_intersect per pair is the expensive part,
+    # serialized on one core (a 1.55 s single-task stage in the q141
+    # profile). An explicit-width hash repartition on the pair key is not
+    # coalescible and costs only an (id, id) shuffle.
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     out = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a"), "id_a")
         .withColumnRenamed("shset", "set_a")
@@ -557,7 +574,13 @@ def containment_verify(
         sets = _shingle_col(df, text_col, k, "__sh").select(
             F.col(id_col), F.array_distinct("__sh").alias("shset")
         )
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    # same two r14 treatments as jaccard_verify: eager checkpoint (the
+    # two join sides race a lazy persist) and an uncoalescible pair
+    # repartition (the per-pair intersect is CPU-bound on byte-tiny rows)
+    sets = sets.localCheckpoint()
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     joined = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a"), "id_a")
         .withColumnRenamed("shset", "set_a")
@@ -775,18 +798,28 @@ def connected_components(
     threshold while A~C was never a candidate; training-data dedup needs
     the transitive closure).
 
-    Pregel-style min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels — one equi-join + one
-    groupBy per round, converging in graph-diameter rounds (near-dup
-    components are small cliques, so 2-3 in practice; ``max_iters`` is a
-    safety bound, convergence is detected). Labels only ever decrease, so
+    Pregel-style min-label propagation WITH pointer jumping: each round,
+    every node takes the min of its own label and its neighbors' labels
+    (one equi-join + one union-fold min-aggregate), then compresses one
+    pointer level — label(v) <- label(label(v)) — so the distance a label
+    can travel roughly DOUBLES per round: O(log diameter) rounds instead
+    of O(diameter) (r14; measured 18 propagation rounds on the embedding
+    pair graph collapsing to 6, each Spark round being several jobs of
+    fixed scheduler cost). The jump join is sound because a label is
+    always the id of a REACHABLE node (label(v)=u means v reaches u, so
+    v reaches everything u reaches), labels only ever decrease, and the
+    fixpoint argument needs only neighbor-min stability — which the
+    combined operator's fixpoint includes. Labels only ever decrease, so
     SUM(label) strictly decreases until the fixpoint — a 1-row action per
-    round instead of a change-count join. ``localCheckpoint`` truncates the
-    lineage each round (iterative DataFrame loops otherwise replan from the
-    source every iteration). Diameter > ``max_iters`` raises rather than
-    returning silently-unmerged components; for extreme-diameter graphs use
-    :func:`connected_components_star` (same signature, same output,
-    O(log n) rounds).
+    round instead of a change-count join; the per-round
+    ``localCheckpoint(eager=False)`` truncates lineage (iterative
+    DataFrame loops otherwise replan from the source every iteration) and
+    is MATERIALIZED BY the convergence collect itself — one job per round
+    where the eager form paid two (r14). Diameter beyond what
+    ``max_iters`` jump-rounds cover (~2^max_iters) raises rather than
+    returning silently-unmerged components;
+    :func:`connected_components_star` (same signature, same output) is
+    the alternative O(log n) formulation.
     """
     edges = pairs.select(
         F.col(src).alias("esrc"), F.col(dst).alias("edst")
@@ -796,13 +829,14 @@ def connected_components(
         edges.select(F.col("esrc").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    # bounded: 1-row convergence scalar per round
+    # bounded: 1-row convergence scalar per round (materializes the lazy
+    # checkpoint in the same job)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     if prev_sum is None:  # empty graph
         return labels.select("node", F.col("label").alias("component"))
-    for _ in range(max_iters):
+    for i in range(max_iters):
         # one union + one min-aggregate per round (r14: the previous
         # agg-then-left-join form paid three exchanges per round — the
         # neighbor-min groupBy plus both sides of the join; folding the
@@ -811,13 +845,31 @@ def connected_components(
         propagated = edges.join(labels, edges.esrc == labels.node).select(
             F.col("edst").alias("node"), "label"
         )
-        labels = (
+        cand = (
             labels.unionByName(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
-        # bounded: 1-row convergence scalar per round
+        if i > 1:
+            # pointer jump: label(label(v)). Skipped in round 1 (labels
+            # are still self-pointers there, the jump is the identity)
+            # and round 2: near-dup graphs are mostly small cliques that
+            # converge by round 3, and for them every jump join is two
+            # wasted exchanges — deep chain graphs still collapse in
+            # O(log d) rounds, one round later.
+            # label2 <= label always (label(u) <= u), so the left-join
+            # coalesce is only a guard against ever silently dropping a
+            # node; the inner match is total (every label IS a node).
+            hop = cand.select(
+                F.col("node").alias("label"), F.col("label").alias("label2")
+            )
+            cand = cand.join(hop, "label", "left").select(
+                "node", F.coalesce("label2", "label").alias("label")
+            )
+        labels = cand.localCheckpoint(eager=False)
+        # bounded: 1-row convergence scalar per round (materializes the
+        # checkpoint — the eager-checkpoint-then-collect form ran two
+        # jobs per round for the same work)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -919,7 +971,9 @@ def connected_components_star(
 
     for _ in range(max_iters):
         prev_e = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the fixpoint check's count materializes it in
+        # the same job (the eager form paid a separate job per round — r14)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         if _unchanged(e, prev_e):
             break
     else:

@@ -1152,8 +1152,6 @@ def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership check joins the probe fan-out to the BROADCAST filter
     grid on the word key. Probing never rescans the corpus — the
     filter's contract."""
-    from pyspark.storagelevel import StorageLevel
-
     from ..functions.textfns import doc_shingles_sql
 
     from .sig_index import doc_signature_index
@@ -1161,11 +1159,17 @@ def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded: distinct (source, shingle); feeds the filter build, the
     # probe ranking, and the exact-membership counts — shingle arrays
     # come precomputed from the signature index (k matches SHINGLE_K)
+    # localCheckpoint, not a bare persist: the filter build and the probe
+    # ranking are materialized CONCURRENTLY (AQE broadcast futures), and
+    # a lazily-persisted frame raced by two stages is computed by BOTH —
+    # the profiler showed two ~1.6 s duplicate explode+distinct stages
+    # (r14). The checkpoint pays the pass once, serially, then every
+    # consumer reads the materialized partitions.
     d0 = (
         doc_signature_index(spark, sf_dir)
         .select("source", F.explode("sh").alias("sh"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     # one md5 per element; the K probe positions are slices of it
     pos_arr = F.array(*[F.expr(_bloom_pos("h", j)) for j in range(BLOOM_K)])

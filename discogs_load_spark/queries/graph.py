@@ -27,7 +27,6 @@ engine-extension surface from the north star.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..session import load_tables
 from .registry import register
@@ -109,11 +108,14 @@ def q152_basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     join conditions alone enforce the ordering), with the weakest edge
     weight as the triangle's support. Triangle density over a basket
     graph is the classic bundle/affinity signal."""
-    # the edge list is referenced three times below; without persist each
-    # alias re-derives the whole lineitem⋈part self-join pipeline (the
-    # plan replicates ~7 fact scans). |edges| <= |brands|² — trivially
-    # cached at any data scale.
-    e = _edges(_order_brand(spark, sf_dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    # the edge list is referenced three times below; without materializing
+    # it each alias re-derives the whole lineitem⋈part self-join pipeline
+    # (the plan replicates ~7 fact scans). localCheckpoint, not a bare
+    # persist (r14): two of the three references build as concurrent
+    # broadcast futures, and a lazily-persisted frame raced by several
+    # stages is computed by each. |edges| <= |brands|² — trivially
+    # materialized at any data scale.
+    e = _edges(_order_brand(spark, sf_dir)).localCheckpoint()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e2.ba") == F.col("e1.bb"))
@@ -159,8 +161,12 @@ def q153_brand_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole score costs no pass beyond the edge build. Integer counts,
     one double division — bitwise stable."""
     # ob feeds the edge build twice (both join sides) plus the degree
-    # aggregate; persist pays one (order, brand) dedup instead of three.
-    ob = _order_brand(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # aggregate. localCheckpoint, not a bare persist (r14): the degree
+    # lookups build as CONCURRENT broadcast futures while the edge join
+    # materializes, and a lazily-persisted frame raced by several stages
+    # is computed by each of them — the checkpoint pays the (order,
+    # brand) dedup once, serially, then every consumer reads it.
+    ob = _order_brand(spark, sf_dir).localCheckpoint()
     e = _edges(ob)
     deg = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("brand").alias("ba"), F.col("d").alias("d_a"))

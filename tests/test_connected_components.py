@@ -74,10 +74,23 @@ def test_star_converges_on_high_diameter_path(spark):
 
 
 def test_propagation_raises_instead_of_silently_undermerging(spark):
-    # diameter 200 >> max_iters: pre-r04 this RETURNED wrong components
+    # diameter 200 >> what 3 jump-rounds can cover (~2^3 hops): pre-r04
+    # this RETURNED wrong components instead of raising
     edges = [(i, i + 1) for i in range(200)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs_df(spark, edges), max_iters=10)
+        connected_components(_pairs_df(spark, edges), max_iters=3)
+
+
+def test_propagation_pointer_jumping_handles_high_diameter_path(spark):
+    # r14: pointer jumping (label <- label(label) each round) makes the
+    # propagation variant O(log diameter): a 200-path — which the plain
+    # O(diameter) form could never finish inside the default bound —
+    # converges within the default max_iters with the exact union-find
+    # labeling
+    edges = [(i, i + 1) for i in range(200)]
+    got = _labels(connected_components(_pairs_df(spark, edges)))
+    assert set(got.values()) == {0}
+    assert len(got) == 201
 
 
 def test_star_empty_and_single_edge(spark):
