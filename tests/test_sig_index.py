@@ -158,14 +158,23 @@ def test_index_build_is_one_map_side_pass(spark):
 
 
 def test_index_scan_replaces_normalize_chain_in_plan(spark):
-    """With the index on, q51's plan must read the index parquet and
-    carry NO normalize/shingle stage (regexp_replace is the normalize
-    marker) — the whole point of paying the chain at ingest."""
+    """With the index on, the signature source plan must read the index
+    parquet and carry NO normalize/shingle stage (regexp_replace is the
+    normalize marker) — the whole point of paying the chain at ingest.
+    q51 itself consumes that source through lsh_candidate_pairs, which
+    (r14) eagerly localCheckpoints the signatures before the band
+    self-join, so ITS final plan shows the checkpoint (ExistingRDD), not
+    the parquet scan — assert the source plan for the scan and the query
+    plan for the absence of the chain."""
     from discogs_load_spark.plans import formatted_plan
+
+    src = formatted_plan(si.doc_signatures(spark, SF_SMALL))
+    assert si.SIG_INDEX_DIR in src
+    assert "regexp_replace" not in src
 
     plan = formatted_plan(REGISTRY["q51_minhash_lsh_pairs"].fn(spark, SF_SMALL))
     assert "regexp_replace" not in plan
-    assert si.SIG_INDEX_DIR in plan
+    assert "ExistingRDD" in plan
 
 
 # --- embedding cluster-assignment index (queries/emb_index.py) -----------
