@@ -881,21 +881,20 @@ def q179_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct frame — mergeability is the point of the sketch."""
     from ..functions.textfns import hex_prefix_num_sql
 
-    from pyspark.storagelevel import StorageLevel
-
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     # bounded: distinct (source, md5) pairs. d0 feeds BOTH union branches
     # and scoped feeds BOTH the rank filter and the count aggregate —
-    # without the persists the documents scan + md5 + distinct shuffle
-    # re-derives once per branch (the q176 shared-frame rule)
+    # eager localCheckpoint, not a bare persist (r14): the branches
+    # materialize as concurrent stages and each racer recomputes a lazy
+    # cache's upstream (the q176 shared-frame rule, racing-persist form)
     d0 = (
         docs.select("source", F.md5("text").alias("h"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     scoped = d0.unionByName(
         d0.select("h").distinct().select(F.lit("ALL").alias("source"), "h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
     w = W.partitionBy("source").orderBy("h")
     capped = scoped.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KMV_K

@@ -721,8 +721,14 @@ def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
-    exact = cosine_topk(emb, queries, "vec_id", "embedding", DIM, TOPK).select(
-        "query_id", "neighbor_id"
+    # eager checkpoint: the exact ranking is the full brute-force corpus
+    # scan and every method leg joins against it — left lazy, each leg's
+    # build re-ran the scan (three repeated broadcast-build stages in the
+    # r14 profile). The materialized frame is |queries| x k rows.
+    exact = (
+        cosine_topk(emb, queries, "vec_id", "embedding", DIM, TOPK)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     approx = {
         "lsh": lsh_topk(emb, queries, "vec_id", "embedding", DIM, TOPK, ANN_PLANES),

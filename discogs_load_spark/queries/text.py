@@ -411,12 +411,14 @@ SEARCH_TERMS = ("spark", "window", "vector")
 )
 def q135_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) search executed the way an index-backed engine
-    does it — one semi-join per term against the (doc, token) posting
-    relation, cheapest-term-first at scale — while the oracle evaluates
-    the DEFINITION (per-document array membership). Two independent
-    algorithms, one answer: the differential gate at its most honest.
+    does it — one scan over the union of the terms' posting lists, the
+    AND folded into a distinct-matched-term count (r14; the earlier
+    per-term-semi-join chain re-derived the posting relation once per
+    term) — while the oracle evaluates the DEFINITION (per-document
+    array membership). Two independent algorithms, one answer: the
+    differential gate at its most honest.
 
-    Scale: each semi-join streams the posting rows for ONE term (index
+    Scale: the scan touches only the searched terms' posting rows (index
     lookup shape); the per-row array-contains scan the oracle runs would
     read every token of every document.
     """
@@ -427,11 +429,27 @@ def q135_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         ),
     )
-    out = docs.select("doc_id", "source")
-    for w in SEARCH_TERMS:
-        postings = tok.filter(F.col("token") == w).select("doc_id").distinct()
-        out = out.join(postings, "doc_id", "left_semi")
-    return out.orderBy("doc_id")
+    # conjunction via ONE posting scan: a doc matches iff it holds ALL
+    # terms, i.e. its count of DISTINCT matched terms equals the term
+    # count. The per-term-semi-join form tokenized the corpus once PER
+    # TERM (three racing ~2 s broadcast builds of the same explode chain
+    # in the r14 profile); this is the same index-backed shape an engine
+    # runs — one scan of the union of the terms' postings — with the
+    # AND folded into the count.
+    matched = (
+        tok.filter(F.col("token").isin(*SEARCH_TERMS))
+        .select("doc_id", "token")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_terms"))
+        .filter(F.col("__n_terms") == len(SEARCH_TERMS))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(matched, "doc_id", "left_semi")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -1359,10 +1377,15 @@ def q176_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the feature frame (x, y — two doubles per doc) is
     materialized ONCE from the corpus-sized tokenize pass and persisted
     (the standard featurize-then-iterate ML layout); each round is then
-    one map-side-combinable aggregate over those two columns with the
-    1-row weight state broadcast in — no shuffle keyed by anything
-    corpus-sized, rounds cost one narrow scan each. The weight state is
-    eagerly checkpointed per round (the q130/q171 lineage discipline)."""
+    ONE map-side-combinable aggregate over those two columns, with the
+    1-row weight state collected and folded back as DOUBLE literals
+    (r14, the q171/q130 bounded-scalar discipline — the previous form
+    broadcast the state frame and eagerly checkpointed the 1-row result
+    every round, two extra jobs per round for kilobytes of state). The
+    literal fold is bitwise-exact: collect ships the double as its
+    shortest round-trip decimal and both that parse and Spark's literal
+    parse are correctly rounded, so the next round's arithmetic sees the
+    identical IEEE value the checkpointed column held."""
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir)
@@ -1371,41 +1394,28 @@ def q176_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(stopword_ratio_sql(toks, STOPWORDS["en"], "spark")).alias("x"),
         F.expr("CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END").alias("y"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    state = spark.range(1).select(
-        F.lit(0.0).cast("double").alias("w"), F.lit(0.0).cast("double").alias("b")
-    )
-    rows = []
+
+    def _dlit(v: float | None) -> str:
+        return "CAST(NULL AS DOUBLE)" if v is None else f"CAST('{v!r}' AS DOUBLE)"
+
+    w_sql, b_sql = "CAST(0.0 AS DOUBLE)", "CAST(0.0 AS DOUBLE)"
+    out_rows = []
     for i in range(GD_ROUNDS):
-        e = _gd_exprs("w", "b")
+        e = _gd_exprs(w_sql, b_sql)
         gw = dec_avg_sql(e["ex"], "gw").rsplit(" AS ", 1)[0]
         gb = dec_avg_sql(e["e"], "gb").rsplit(" AS ", 1)[0]
-        state = (
-            f.crossJoin(F.broadcast(state))
-            .groupBy("w", "b")
-            .agg(
-                F.expr(f"first(w) - {GD_LR} * ({gw})").alias("w2"),
-                F.expr(f"first(b) - {GD_LR} * ({gb})").alias("b2"),
-                F.expr(f"CAST(SUM({e['correct']}) AS BIGINT)").alias("n_correct"),
-            )
-            .select(
-                F.col("w2").alias("w"),
-                F.col("b2").alias("b"),
-                "n_correct",
-            )
-            # 1 row; branches (output + next round) — truncate lineage
-            .localCheckpoint(eager=True)
-        )
-        rows.append(
-            state.select(
-                F.lit(i + 1).cast("int").alias("round"), "w", "b", "n_correct"
-            )
-        )
-        state = state.select("w", "b")
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
+        row = f.agg(
+            F.expr(f"{w_sql} - {GD_LR} * ({gw})").alias("w"),
+            F.expr(f"{b_sql} - {GD_LR} * ({gb})").alias("b"),
+            F.expr(f"CAST(SUM({e['correct']}) AS BIGINT)").alias("n_correct"),
+            # bounded: 1-row scalar per round (pre-update gradient + accuracy)
+        ).collect()[0]
+        out_rows.append((i + 1, row["w"], row["b"], row["n_correct"]))
+        w_sql, b_sql = _dlit(row["w"]), _dlit(row["b"])
     f.unpersist()
-    return out.orderBy("round")
+    return spark.createDataFrame(
+        out_rows, "round int, w double, b double, n_correct bigint"
+    ).orderBy("round")
 
 
 def _auc_oracle() -> str:

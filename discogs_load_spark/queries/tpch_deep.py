@@ -653,17 +653,20 @@ def q104_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     # NOT EXISTS(other late supplier) == this order has exactly one
-    # distinct late supplier
-    sole_orders = (
-        late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("l_orderkey")
-    )
+    # distinct late supplier — and that sole supplier IS max(l_suppkey),
+    # so ONE aggregate yields (order, supplier) directly (r14: the
+    # previous form re-derived `late` a second time for a distinct +
+    # semi-join against this aggregate — one extra lineitem⋈orders pass
+    # and one extra shuffle for rows the aggregate already pins)
     sole = (
-        late.distinct()
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.max("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey", "l_suppkey")
         .join(multi, "l_orderkey", "left_semi")
-        .join(sole_orders, "l_orderkey", "left_semi")
     )
     return (
         sole.join(supplier.select("s_suppkey", "s_name"),
