@@ -588,21 +588,34 @@ def containment_verify(
         .withColumnRenamed("shset", "set_b")
         .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
     )
-    ab = joined.select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_super"),
-        (F.col("n_inter").cast("double") / F.size("set_a")).alias(
-            "containment"
-        ),
+    # both directions in ONE pass over `joined` via explode: the previous
+    # ab.unionByName(ba) carried the full join + array_intersect lineage
+    # in each branch, so the CPU-bound intersect (and the caller's pair
+    # derivation) ran twice (the r14 connected_components rule)
+    return (
+        joined.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("id_sub"),
+                        F.col("id_b").alias("id_super"),
+                        (
+                            F.col("n_inter").cast("double") / F.size("set_a")
+                        ).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("id_sub"),
+                        F.col("id_a").alias("id_super"),
+                        (
+                            F.col("n_inter").cast("double") / F.size("set_b")
+                        ).alias("containment"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.id_sub", "e.id_super", "e.containment")
+        .filter(F.col("containment") >= threshold)
     )
-    ba = joined.select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_super"),
-        (F.col("n_inter").cast("double") / F.size("set_b")).alias(
-            "containment"
-        ),
-    )
-    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
 def _ranked_with_id(ranked: DataFrame, id_col: str) -> DataFrame:
@@ -821,9 +834,22 @@ def connected_components(
     :func:`connected_components_star` (same signature, same output) is
     the alternative O(log n) formulation.
     """
+    # symmetrize via explode, not union-of-reversed: the union form's two
+    # branches each carry the FULL pairs lineage, so the caller's whole
+    # upstream pipeline (e.g. q200's Fellegi-Sunter scoring, ~36 jobs)
+    # executed twice inside the edge materialization (r14)
     edges = pairs.select(
-        F.col(src).alias("esrc"), F.col(dst).alias("edst")
-    ).union(pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("esrc"), F.col(dst).alias("edst")
+                ),
+                F.struct(
+                    F.col(dst).alias("esrc"), F.col(src).alias("edst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.esrc", "e.edst")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         edges.select(F.col("esrc").alias("node"))
@@ -922,9 +948,10 @@ def connected_components_star(
     raw = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # node universe BEFORE dropping self-loops: a node whose only pair is
     # (x, x) still labels itself, matching the propagation variant
+    # explode, not union-of-projections: the union's branches each carry
+    # the full caller lineage (the r14 connected_components rule)
     all_nodes = (
-        raw.select(F.col("a").alias("node"))
-        .union(raw.select("b"))
+        raw.select(F.explode(F.array("a", "b")).alias("node"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -662,6 +662,34 @@ def q191_best_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 SNB_WINDOW = 3  # sorted-neighborhood: pair each row with its next w rows
 
 
+def _snb_ranked(part: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The distributed global-rank lineage of :func:`_snb_pairs` —
+    row-grain rank windowed per shuffle partition (pid), stitched with a
+    broadcast per-partition offsets cumsum (the only SinglePartition
+    frame is the bounded one-row-per-partition counts). Split out so the
+    plan-shape test can pin the lineage before _snb_pairs checkpoints
+    it."""
+    sc_parallelism = part.sparkSession.sparkContext.defaultParallelism
+    base = part.select("p_partkey", "p_name", *carry).repartitionByRange(
+        sc_parallelism, "p_name", "p_partkey"
+    )
+    loc = base.withColumn("pid", F.spark_partition_id())
+    wloc = W.partitionBy("pid").orderBy("p_name", "p_partkey")
+    loc = loc.withColumn("lrn", F.row_number().over(wloc))
+    # bounded: one row per shuffle partition
+    sizes = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    return loc.join(F.broadcast(offsets), "pid").select(
+        "p_partkey",
+        "p_name",
+        *carry,
+        (F.col("lrn") + F.col("off")).cast("bigint").alias("rk"),
+    )
+
+
 def _snb_pairs(
     part: DataFrame,
     carry: tuple[str, ...] = (),
@@ -676,33 +704,14 @@ def _snb_pairs(
     sequence(1, w) with w from the mean-multiplicity ladder
     (functions/textfns.adaptive_snb_window_sql) instead of the fixed
     SNB_WINDOW."""
-    from pyspark.storagelevel import StorageLevel
-
     from ..functions.textfns import adaptive_snb_window_sql
 
-    sc_parallelism = part.sparkSession.sparkContext.defaultParallelism
-    base = part.select("p_partkey", "p_name", *carry).repartitionByRange(
-        sc_parallelism, "p_name", "p_partkey"
-    )
-    loc = base.withColumn("pid", F.spark_partition_id())
-    wloc = W.partitionBy("pid").orderBy("p_name", "p_partkey")
-    loc = loc.withColumn("lrn", F.row_number().over(wloc))
-    # bounded: one row per shuffle partition
-    sizes = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
-    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
-    )
-    ranked = (
-        loc.join(F.broadcast(offsets), "pid")
-        .select(
-            "p_partkey",
-            "p_name",
-            *carry,
-            (F.col("lrn") + F.col("off")).cast("bigint").alias("rk"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
-    )
+    # eager localCheckpoint, not a lazy persist: the probe/build join
+    # sides materialize as concurrent stages and each racer recomputed
+    # the range-partition + window chain (the r14 racing-persist rule).
+    # The distributed-rank lineage itself lives in _snb_ranked so the
+    # plan-shape pin (tests/test_plans.py) can assert it pre-checkpoint.
+    ranked = _snb_ranked(part, carry).localCheckpoint()
     probe_src = (
         ranked if stats is None else ranked.crossJoin(F.broadcast(stats))
     )
@@ -781,13 +790,18 @@ FS_M = "0.95"  # P(field agrees | true match) — the fixed m-probability
 FS_1M = "0.05"  # 1 - m, as literal text shared by both dialects
 
 
-def _fs_weight(agree_sql: str, num_col: str) -> str:
+def _fs_weight(
+    agree_sql: str, num_col: str, n_rows_sql: str = "n_rows"
+) -> str:
     """Fellegi-Sunter field weight as IDENTICAL expression text for both
     dialects: m/u on agreement, (1-m)/(1-u) on disagreement, with
-    u = num / n_rows² computed from exact integer corpus marginals."""
+    u = num / n_rows² computed from exact integer corpus marginals.
+    ``num_col``/``n_rows_sql`` may be column names (the oracle's form) or
+    exact integer literals (the engine folds the collected stats row in —
+    the CASTs make both spellings the identical IEEE computation)."""
     u = (
         f"(CAST({num_col} AS DOUBLE)"
-        " / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))"
+        f" / (CAST({n_rows_sql} AS DOUBLE) * CAST({n_rows_sql} AS DOUBLE)))"
     )
     return (
         f"CASE WHEN {agree_sql} THEN {FS_M} / {u}"
@@ -894,13 +908,47 @@ def q198_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w·N blocking; scoring is a per-row projection. Nothing pair-grain
     ever shuffles."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    from pyspark.storagelevel import StorageLevel
-
-    part = part.persist(StorageLevel.MEMORY_AND_DISK)  # 5 marginal scans
+    # one projected, eagerly materialized frame: the pair blocking and
+    # every marginal-statistics branch below read it — the previous lazy
+    # persist was raced by 5 concurrent scan branches (the r14
+    # racing-persist rule)
+    part = part.select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    ).localCheckpoint()
     pairs = _snb_pairs(part, carry=("p_brand", "p_type", "p_size"))
 
-    dec_cc = "CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)"
-    nc = part.groupBy("p_name").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # ALL four value-frequency marginals in ONE grouping-sets pass (one
+    # scan + one shuffle where four separate groupBys paid four), with
+    # the global row count riding along as the empty grouping set (r14).
+    # gid bit i set = column i NOT grouped, so each slice filters exactly.
+    cnts = (
+        part.groupingSets(
+            [["p_name"], ["p_brand"], ["p_type"], ["p_size"], []],
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint()
+    )
+    G_NAME, G_BRAND, G_TYPE, G_SIZE, G_ALL = 7, 11, 13, 14, 15
+
+    def dec_cc(gid: int, alias: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN gid = {gid} THEN"
+            f" CAST(c AS DECIMAL(38,0)) * c END) AS BIGINT) AS {alias}"
+        )
+
+    bt = cnts.agg(
+        F.expr(dec_cc(G_BRAND, "u_brand_num")),
+        F.expr(dec_cc(G_TYPE, "u_type_num")),
+        F.expr(f"MAX(CASE WHEN gid = {G_ALL} THEN c END) AS n_rows"),
+    )
+    nc = cnts.filter(F.col("gid") == G_NAME).select("p_name", "c")
     matched = _fuzzy_matched_names(part)
     u_name = (
         matched.join(nc.select(F.col("p_name").alias("n1"), F.col("c").alias("c1")), "n1")
@@ -910,21 +958,9 @@ def q198_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("u_name_num")
         )
     )
-    u_brand = (
-        part.groupBy("p_brand")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .agg(F.expr(dec_cc).alias("u_brand_num"))
-    )
-    u_type = (
-        part.groupBy("p_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .agg(F.expr(dec_cc).alias("u_type_num"))
-    )
     # size +-1 agreement: mint the equi key by exploding each size value
     # to its 3-neighborhood — value-domain bounded (distinct sizes)
-    scnt = part.groupBy("p_size").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    scnt = cnts.filter(F.col("gid") == G_SIZE).select("p_size", "c")
     s_probe = scnt.select(
         F.col("c").alias("c_a"),
         F.explode(
@@ -941,18 +977,23 @@ def q198_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("u_size_num")
         )
     )
-    nr = part.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    stats = (
-        u_name.crossJoin(F.broadcast(u_brand))
-        .crossJoin(F.broadcast(u_type))
-        .crossJoin(F.broadcast(u_size))
-        .crossJoin(F.broadcast(nr))
-    )
-    weighted = pairs.crossJoin(F.broadcast(stats))
+
+    def _ilit(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else str(v)
+
+    # bounded: ONE 5-scalar stats row, collected and folded into the
+    # scoring expressions as exact integer literals (the q171/q176
+    # bounded-scalar discipline) — no broadcast stats frame crossed into
+    # the pair projection, and the former 5-broadcast crossJoin chain
+    # collapses to one collect job
+    srow = u_name.crossJoin(u_size).crossJoin(bt).collect()[0]
+    u_lit = {f: _ilit(srow[f"u_{f}_num"]) for f in _FS_AGREE}
+    n_lit = _ilit(srow["n_rows"])
+    weighted = pairs
     for f, agree in _FS_AGREE.items():
         weighted = weighted.withColumn(
             f"agree_{f}", F.expr(agree).cast("int")
-        ).withColumn(f"w_{f}", F.expr(_fs_weight(agree, f"u_{f}_num")))
+        ).withColumn(f"w_{f}", F.expr(_fs_weight(agree, u_lit[f], n_lit)))
     return weighted.select(
         "id_a",
         "id_b",
@@ -1082,11 +1123,19 @@ def q195_minhash_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, no pair set materialized."""
     docs = _docs(spark, sf_dir)
     pairs = lsh_candidate_pairs(doc_signatures(spark, sf_dir), "doc_id")
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    )
+    # symmetrize via explode, not union-of-reversed: the union's branches
+    # each carry the full LSH candidate lineage (the r14
+    # connected_components rule), so the band self-join pipeline ran twice
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a"), F.col("id_b")),
+                F.struct(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.id_a", "e.id_b")
     scored = jaccard_verify(
         docs, sym, "doc_id", "text", threshold=0.0,
         sets=doc_shingle_sets(spark, sf_dir),

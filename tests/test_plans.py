@@ -574,34 +574,56 @@ def test_sorted_neighborhood_rank_is_distributed(spark):
     cumsum, same class as q186's distinct-value windows). The offsets
     join is a broadcast; neighbor pairing is an equi-join on rank — no
     range/theta join, no cartesian."""
-    df = REGISTRY["q196_sorted_neighborhood"].fn(spark, SF_SMALL)
-    plan = formatted_plan(df)
+    # the rank lineage is checkpointed inside _snb_pairs (r14 — its
+    # probe/build consumers raced the lazy persist), so the shape is
+    # pinned on the pre-checkpoint frame _snb_ranked exposes
+    from discogs_load_spark.queries.dedup import _snb_ranked
+    from discogs_load_spark.session import load_tables
+
+    part = load_tables(spark, SF_SMALL, ["part"])["part"]
+    ranked = _snb_ranked(part)
+    rplan = formatted_plan(ranked)
     # the row-grain rank is pid-partitioned (parallel)...
-    assert "row_number() windowspecdefinition(pid" in plan
+    assert "row_number() windowspecdefinition(pid" in rplan
     # ...and no SinglePartition exchange carries row-grain columns —
     # only the bounded per-partition counts frame may funnel
     row_grain = [
         seg
-        for seg in plan.split("\n\n")
+        for seg in rplan.split("\n\n")
         if "SinglePartition" in seg
         and ("p_partkey" in seg or "p_name" in seg)
     ]
     assert not row_grain, row_grain
+    rkinds = join_kinds(ranked)
+    assert "CartesianProduct" not in rkinds
+    assert "BroadcastNestedLoopJoin" not in rkinds
+    assert "BroadcastHashJoin" in rkinds  # the offsets join
+    # the query itself: neighbor pairing stays an equi-join on rank over
+    # the checkpointed frame — no range/theta join, no cartesian
+    df = REGISTRY["q196_sorted_neighborhood"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan  # the checkpointed rank frame
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds
     assert "BroadcastNestedLoopJoin" not in kinds
-    assert "BroadcastHashJoin" in kinds  # the offsets join
 
 
 def test_linkage_score_scalar_crossjoins_are_broadcasts(spark):
-    """q198's five u-statistic scalars must reach the pair frame as
-    hinted broadcasts (the q81-funnel discipline); the pair grain itself
-    never shuffles — scoring is a projection."""
+    """q198's five u-statistic scalars reach the pair frame as COLLECTED
+    exact-integer literals folded into the weight expressions (r14 — the
+    previous 5-broadcast crossJoin chain cost a build job per scalar);
+    the pair grain itself never shuffles — scoring is a projection with
+    NO join carrying the stats at all."""
     df = REGISTRY["q198_linkage_score"].fn(spark, SF_SMALL)
     kinds = join_kinds(df)
     assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds  # no scalar crossjoins
     plan = formatted_plan(df)
-    assert plan.count("BroadcastExchange") >= 5
+    # the old shape broadcast 5 scalar frames (>= 5 BroadcastExchange);
+    # folded literals leave only the pair blocking's offsets/probe
+    # broadcasts. Catalyst constant-folds the literal weight arithmetic
+    # at plan time — same IEEE ops, done once.
+    assert plan.count("BroadcastExchange") <= 2, plan
 
 
 def test_adaptive_lsh_prefix_key_reaches_the_join(spark):
