@@ -49,9 +49,22 @@ STREAM_DRAIN_OPEN_COST = str(256 * 1024)
 
 
 @contextlib.contextmanager
-def _stream_drain_conf(spark: SparkSession):
+def _stream_drain_conf(spark: SparkSession, no_data_batches: bool = True):
     """Scoped shuffle-partition + input-split override for bounded
     streaming drains.
+
+    ``no_data_batches=False`` additionally disables the watermark-advance
+    no-data micro-batch for THIS drain (r14). That batch exists so
+    append-mode AGGREGATIONS can flush windows finalized by the last data
+    batch's watermark — for an operator that only ever emits on arriving
+    input (q116's inner stream-stream join: output rows are produced in
+    the data batch that delivers the matching row; the no-data batch can
+    only evict state, never emit), it is a pure state-store-churn round
+    (~1.0 s of addBatch for 0 input rows in the q116 profile, 8
+    partitions x 4 join state stores committing a version each).
+    Result-identical BY CONSTRUCTION for emit-on-arrival operators; never
+    set it for watermarked append aggregations (sessions, tumbling
+    windows) — those rely on the no-data batch for their final rows.
 
     A streaming query materializes one state store (and its per-batch
     version files) PER shuffle partition PER stateful operator, so the
@@ -65,18 +78,23 @@ def _stream_drain_conf(spark: SparkSession):
     small row groups (STREAM_SOURCE_ROW_GROUP_BYTES above) so per-batch
     map stages parallelize past the file count.
     """
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    old_nodata = spark.conf.get(nodata_key)
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_DRAIN_PARTITIONS)
     spark.conf.set("spark.sql.files.maxPartitionBytes", STREAM_DRAIN_SPLIT_BYTES)
     spark.conf.set("spark.sql.files.openCostInBytes", STREAM_DRAIN_OPEN_COST)
+    if not no_data_batches:
+        spark.conf.set(nodata_key, "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+        spark.conf.set(nodata_key, old_nodata)
 
 
 def _source_writer(df: DataFrame):
@@ -625,7 +643,9 @@ def q116_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = read_event_stream(spark, src).filter(F.col("event_type") == "click")
     joined = purchase_click_join(purchases, clicks, horizon="1 hour")
     name = f"q116_sink_{uuid.uuid4().hex[:8]}"
-    with _stream_drain_conf(spark):
+    # inner join emits on arrival — the watermark no-data batch can only
+    # evict state, never produce a row; skip it (see _stream_drain_conf)
+    with _stream_drain_conf(spark, no_data_batches=False):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
