@@ -71,10 +71,18 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive — no decimal machinery needed).
     """
     events = _events(spark, sf_dir)
+    # each stage frame is eagerly checkpointed (r14): v feeds c, the
+    # n_view count AND the lag join; c feeds p and n_click; p feeds lag
+    # and n_purchase — left lazy, the 4 racing count/lag broadcast
+    # builds re-derived the event scan + stage chain up to FIVE times
+    # (job_wall 3.8 s vs 2.3 s wall in the r14 profile). Each frame is
+    # <= |users| rows of (key, timestamp) — the per-user funnel state
+    # any engine materializes once per stage.
     v = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint()
     )
     c = (
         events.filter(F.col("event_type") == "click")
@@ -82,6 +90,7 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.col("user_id") == F.col("vu")) & (F.col("ts") > F.col("t_view")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint()
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
@@ -89,6 +98,7 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.col("user_id") == F.col("cu")) & (F.col("ts") > F.col("t_click")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
+        .localCheckpoint()
     )
     lag = p.join(v, "user_id").select(
         (epoch_us("t_purchase") - epoch_us("t_view")).alias("us")

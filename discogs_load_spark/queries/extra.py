@@ -1017,12 +1017,14 @@ def q180_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = doc_tokens(spark, sf_dir).select(
         "source", F.explode("toks").alias("token")
     )
-    # bounded: vocabulary-sized; feeds BOTH the grid build and the exact
-    # top-k (the shared-frame rule)
+    # bounded: vocabulary-sized; eagerly checkpointed — it feeds BOTH the
+    # grid build and the exact top-k, and a lazy persist was raced by the
+    # two concurrent branches, each re-running the corpus tokenize +
+    # explode + count underneath (the r14 racing-persist rule)
     tc = (
         toks.groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     from ..operators.sketch import cms_fanout, cms_point_query
 
@@ -1344,11 +1346,12 @@ def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m")
             .over(wv.rowsBetween(W.unboundedPreceding, W.currentRow))
             .alias("cum"),
-            # bounded: distinct count VALUES; persisted because w feeds
-            # the totals, the p99 probe, and (via tot) the final row —
-            # without it each branch re-runs the per-key count shuffle
-            # underneath (the shared-frame rule)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+            # bounded: distinct count VALUES; eagerly checkpointed
+            # because w feeds the totals, the p99 probe, and (via tot)
+            # the final row — a lazy persist was RACED by those
+            # concurrent branches, each re-running the per-key count
+            # shuffle underneath (the r14 racing-persist rule)
+        ).localCheckpoint()
         tot = w.agg(
             F.sum("m").cast("bigint").alias("n_keys"),
             F.sum(F.expr("v * m")).cast("bigint").alias("total_rows"),
@@ -1553,12 +1556,15 @@ def q209_adaptive_cms_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = doc_tokens(spark, sf_dir).select(
         "source", F.explode("toks").alias("token")
     )
-    # bounded: vocabulary-sized; feeds the grid, the top-k, AND the
-    # 1-row token-count statistic (the shared-frame rule)
+    # bounded: vocabulary-sized; eagerly checkpointed — it feeds the
+    # grid, the top-k, AND the 1-row token-count statistic, and a lazy
+    # persist was raced by those concurrent branches, each re-running
+    # the corpus tokenize + explode + count underneath (the r14
+    # racing-persist rule)
     tc = (
         toks.groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     nt = tc.agg(F.sum("c").cast("bigint").alias("n_tokens"))
     w = adaptive_cms_width_sql("n_tokens")

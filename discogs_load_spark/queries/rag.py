@@ -294,11 +294,14 @@ def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lex_rank"),
     )
     dense0 = REGISTRY["q55_ann_bruteforce_topk"].fn(spark, sf_dir)
+    # eager checkpoint (r14): the |queries| x k dense arm feeds BOTH the
+    # qids distinct and the fusion join — left lazy, each consumer re-ran
+    # q55's brute-force corpus scan (racing twin scans in the profile)
     dense = dense0.select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("int").alias("dense_rank"),
-    )
+    ).localCheckpoint()
     qids = dense.select("query_id").distinct()
     lexq = qids.crossJoin(F.broadcast(lex))
     fused = lexq.join(dense, ["query_id", "doc_id"], "full")

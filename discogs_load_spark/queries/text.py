@@ -669,20 +669,36 @@ def q145_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens; df/stats are scalar broadcasts; no window over the corpus.
     """
     base = doc_tokens(spark, sf_dir).select("doc_id", "toks")
-    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    # dl rides the posting explode as a per-doc constant (r14): the
+    # previous separate dl frame cost a (doc_id) shuffle join AND a
+    # second index scan; filtering the array BEFORE the explode keeps
+    # the exploded row count at |matching tokens|, same as the old
+    # explode-then-filter
     tok = base.select(
-        "doc_id", F.explode("toks").alias("token")
-    ).filter(F.col("token").isin(*SEARCH_TERMS))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(
+            F.filter("toks", lambda t: t.isin(*SEARCH_TERMS))
+        ).alias("token"),
+    )
+    # eager checkpoint (r14): tf (|matching docs| x |terms|, tiny) feeds
+    # BOTH the df broadcast build and the scored join — left lazy, the
+    # racing branches re-ran the posting scan + combiner shuffle twice.
+    # dl is constant per doc_id, so adding it to the grouping key leaves
+    # the groups identical.
+    tf = (
+        tok.groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
+    stats = base.agg(
         F.count(F.lit(1)).alias("ndocs"),
-        F.sum("dl").cast("bigint").alias("total_words"),
+        F.sum(F.size("toks")).cast("bigint").alias("total_words"),
     )
     score_txt = _bm25_term_score("tf", "df", "dl", "ndocs", "total_words")
     scored = (
         tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
