@@ -39,7 +39,6 @@ from ..operators.dedup import (
     containment_prefix_pairs,
     containment_verify,
     connected_components,
-    connected_components_star,
     jaccard_verify,
     lsh_bipartite_candidates,
     lsh_candidate_pairs,
@@ -1356,45 +1355,56 @@ def q165_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join: different candidate generation, different closure algorithm,
     same entities.
 
-    Scale shape: the name graph lives at the DOMAIN grain (|vocab| nodes
-    — sublinear in the catalog); catalog rows join the finished component
-    map once, by name. The closure uses ``connected_components_star``
-    (O(log n) rounds) rather than min-label propagation: edit-distance
-    graphs are the suite's one UNBOUNDED-diameter case — names chain
-    ("aaa"~"aab"~"abb"~…) arbitrarily far, and a diameter-bound
-    propagation would now raise on such a catalog. Names map to integer
-    ids with ``monotonically_increasing_id`` — the closure needs labels
-    that are distinct and orderable, not dense (components group by
-    min-label; the ids never reach the output, which keys on the
-    lexicographically-smallest member NAME), and a ranked id would
-    funnel the whole domain through one window partition. The id frame
-    is localCheckpoint'ed (physically materialized): it feeds three
-    joins, and mono-ids are only stable within a single
-    materialization — a persist could silently recompute."""
+    Scale shape (r14): the name graph lives at the DOMAIN grain (|vocab|
+    nodes — sublinear in the catalog, the same premise that lets q112
+    run the quadratic Levenshtein over distinct names at all), so the
+    transitive closure follows the q130 vocab-bounded discipline: the
+    banded pair list is COLLECTED (≤ |vocab|·band-width rows — the
+    broadcast size class; 24 edges over 64 distinct names at sf0.1) and
+    closed driver-side with union-find keyed by the lexicographically
+    smallest member name. This replaced the distributed
+    ``connected_components_star`` iteration, whose ~45 fixed-cost jobs
+    (two joins + two distincts + an exact set-equality check per round)
+    closed the same 24-edge graph — both operators and the union-find
+    produce identical labels (A/B-verified), and the recursive-CTE
+    oracle replays the closure independently. Star remains the operator
+    for graphs whose EDGE LIST is corpus-sized (unbounded-diameter,
+    node-grain graphs); a name graph is not one. Catalog rows then join
+    the finished |vocab|-row name→entity map once, by name, broadcast."""
     part = load_tables(spark, sf_dir, ["part"])["part"]
-    names = part.select(F.col("p_name").alias("n")).distinct()
-    # localCheckpoint, not persist: the mono-ids feed three joins, and a
-    # recomputed partition (cache eviction / executor loss) would reassign
-    # nids mid-query and silently mispair names into wrong entity
-    # clusters. Checkpointing materializes them physically.
-    ids = names.withColumn("nid", F.monotonically_increasing_id()).localCheckpoint(
-        eager=True
+    # bounded: the edit-distance pair list lives at the name-VOCABULARY
+    # grain (q112's banded domain self-join output — the broadcast size
+    # class), never the catalog grain
+    edges = _fuzzy_name_pairs(part).select("n1", "n2").collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in edges:
+        ra, rb = find(r["n1"]), find(r["n2"])
+        if ra != rb:
+            # union by NAME ORDER so every root is its component's
+            # lexicographic minimum — the entity_name contract directly
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    name_to_entity = spark.createDataFrame(
+        [(n, find(n)) for n in parent], "n string, entity_name string"
     )
-    pairs = (
-        _fuzzy_name_pairs(part)
-        .join(ids.select(F.col("n").alias("n1"), F.col("nid").alias("nid_a")), "n1")
-        .join(ids.select(F.col("n").alias("n2"), F.col("nid").alias("nid_b")), "n2")
-        .select("nid_a", "nid_b")
-    )
-    comp = connected_components_star(pairs, "nid_a", "nid_b")
-    # singleton names never enter the pair graph: they are their own entity
-    full = ids.join(comp, ids.nid == comp.node, "left").select(
-        "n", F.coalesce("component", "nid").alias("cid")
-    )
-    canon = full.groupBy("cid").agg(F.min("n").alias("entity_name"))
-    name_to_entity = full.join(canon, "cid").select("n", "entity_name")
+    # singleton names never enter the pair graph: they are their own
+    # entity (the left-join + coalesce below)
     return (
-        part.join(name_to_entity, part.p_name == name_to_entity.n)
+        part.join(
+            F.broadcast(name_to_entity),
+            part.p_name == name_to_entity.n,
+            "left",
+        )
+        .withColumn("entity_name", F.coalesce("entity_name", "p_name"))
         .groupBy(F.col("p_brand").alias("brand"), "entity_name")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
