@@ -1118,46 +1118,57 @@ def _merge_step(frame: DataFrame, best, sym_col: str) -> DataFrame:
     )
 
 
+def _bpe_merge_symbols(s: list, lhs: str, rhs: str) -> list:
+    """Greedy left-to-right non-overlapping merge — the driver-side twin
+    of _SPARK_MERGE_FOLD ('aaaa' + (a,a) -> [aa, aa]; the fold semantics
+    tests/test_llm_ops.py pins cross-engine)."""
+    out: list = []
+    i = 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
 def _learn_bpe_merges(word_counts: DataFrame) -> list:
-    """Run the unrolled merge-learning loop over a (w, cnt) word-count
-    frame; return the per-round 1-row argmax results as collected Rows
-    (lhs, rhs, freq) — None for a round with no pairs left. Each round's
-    argmax is a 1-row bounded collect (the convergence-scalar class), and
-    the merge is applied to the symbol frame as a LITERAL fold, so the
-    whole loop runs BPE_ROUNDS single-action jobs over the checkpointed
-    top-K histogram instead of per-round broadcast joins + eager 1-row
-    checkpoints (measured ~35 jobs -> ~10 for q171, OPTIMIZATION_r14.md).
-    Re-running the accumulated narrow folds from the one checkpoint costs
-    O(top-K · rounds) interpreted-expression work per round — trivial at
-    K=300 — so no further lineage truncation is needed."""
-    words = word_counts.orderBy(F.desc("cnt"), "w").limit(BPE_TOP_WORDS)
-    syms = words.select(
-        "w",
-        "cnt",
-        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
-    )
-    # bounded: BPE_TOP_WORDS rows; materialized once, every round reuses it
-    syms = syms.localCheckpoint(eager=True)
+    """Run the merge-learning loop over a (w, cnt) word-count frame;
+    return the per-round argmax results as (lhs, rhs, freq) dicts — None
+    for a round with no pairs left.
+
+    The top-K truncation runs distributed (the only corpus-coupled
+    step); the truncated histogram is then COLLECTED (bounded:
+    BPE_TOP_WORDS=300 rows — the q130 vocab-bounded class) and ALL
+    BPE_ROUNDS of pair counting, argmax and merging run driver-side in
+    exact integer/string arithmetic (r14 — the previous form paid one
+    Spark job per round over a checkpointed 300-row frame, ~10 fixed-cost
+    jobs for microseconds of actual work; Python ints ARE BIGINT here
+    and the merge is the identical greedy fold, so the learned rules are
+    bitwise the rules the in-plan loop produced). Argmax tie-break:
+    (freq DESC, lhs, rhs) — identical to the old
+    orderBy(desc(freq), lhs, rhs).limit(1)."""
+    # bounded: BPE_TOP_WORDS rows (the vocab-truncated histogram)
+    words = word_counts.orderBy(F.desc("cnt"), "w").limit(
+        BPE_TOP_WORDS
+    ).collect()
+    syms = [(list(r["w"]), r["cnt"]) for r in words]
     bests: list = []
-    for i in range(BPE_ROUNDS):
-        pre = syms.select(
-            "cnt",
-            F.expr("slice(s, 1, size(s) - 1)").alias("ls"),
-            F.expr("slice(s, 2, size(s) - 1)").alias("rs"),
+    for _ in range(BPE_ROUNDS):
+        freqs: dict = {}
+        for s, cnt in syms:
+            for a, b in zip(s, s[1:]):
+                freqs[(a, b)] = freqs.get((a, b), 0) + cnt
+        if not freqs:
+            bests.append(None)
+            continue
+        (lhs, rhs), freq = min(
+            freqs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        pairs = pre.select(
-            "cnt", F.explode(F.arrays_zip("ls", "rs")).alias("p")
-        ).select(F.col("p.ls").alias("lhs"), F.col("p.rs").alias("rhs"), "cnt")
-        rows = (
-            pairs.groupBy("lhs", "rhs")
-            .agg(F.sum("cnt").alias("freq"))
-            .orderBy(F.desc("freq"), "lhs", "rhs")
-            .limit(1)
-            .collect()  # bounded: 1-row argmax scalar per round
-        )
-        best = rows[0] if rows else None
-        bests.append(best)
-        syms = _merge_step(syms, best, "s")
+        bests.append({"lhs": lhs, "rhs": rhs, "freq": freq})
+        syms = [(_bpe_merge_symbols(s, lhs, rhs), cnt) for s, cnt in syms]
     return bests
 
 
