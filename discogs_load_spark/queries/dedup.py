@@ -703,14 +703,29 @@ def _snb_pairs(
     sequence(1, w) with w from the mean-multiplicity ladder
     (functions/textfns.adaptive_snb_window_sql) instead of the fixed
     SNB_WINDOW."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.textfns import adaptive_snb_window_sql
 
-    # eager localCheckpoint, not a lazy persist: the probe/build join
-    # sides materialize as concurrent stages and each racer recomputed
-    # the range-partition + window chain (the r14 racing-persist rule).
-    # The distributed-rank lineage itself lives in _snb_ranked so the
-    # plan-shape pin (tests/test_plans.py) can assert it pre-checkpoint.
-    ranked = _snb_ranked(part, carry).localCheckpoint()
+    # FIXED-window path: eager localCheckpoint, not a lazy persist — the
+    # probe/build join sides materialize as concurrent stages and each
+    # racer recomputed the range-partition + window chain (the r14
+    # racing-persist rule). The distributed-rank lineage itself lives in
+    # _snb_ranked so the plan-shape pin (tests/test_plans.py) can assert
+    # it pre-checkpoint.
+    # ADAPTIVE path (q206): the measured ordering is the REVERSE — the
+    # adaptive probe's sequence(1, w) fan-out dwarfs the rank chain, so
+    # the racing recompute is cheap while the checkpoint's exact tiny
+    # byte size makes AQE coalesce the fan-out join to one task unless
+    # countered with an extra shuffle (lazy persist 1.49 s job_wall vs
+    # checkpoint+repartition 1.89 s, same hour) — keep the lazy persist
+    # there and let lineage-based size estimates preserve parallelism.
+    ranked = _snb_ranked(part, carry)
+    ranked = (
+        ranked.localCheckpoint()
+        if stats is None
+        else ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    )
     probe_src = (
         ranked if stats is None else ranked.crossJoin(F.broadcast(stats))
     )
@@ -734,7 +749,16 @@ def _snb_pairs(
         *[F.col(c).alias(f"{c}_b") for c in carry],
         F.col("rk").alias("rk_b"),
     )
-    return probe.join(build, "rk_b")
+    if stats is not None:
+        return probe.join(build, "rk_b")
+    # explicit-width repartition AQE cannot coalesce (the item-10 verify
+    # rule): the checkpointed rank frame reports its exact tiny byte
+    # size, and AQE would coalesce the neighbor join + window explode to
+    # ONE partition (a 4 s single-task stage in the q206 regression) —
+    # the fan-out and the per-pair work downstream are CPU-bound on
+    # byte-small rows
+    par = part.sparkSession.sparkContext.defaultParallelism
+    return probe.repartition(par, "rk_b").join(build, "rk_b")
 
 
 @register(

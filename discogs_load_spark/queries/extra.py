@@ -1346,12 +1346,15 @@ def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m")
             .over(wv.rowsBetween(W.unboundedPreceding, W.currentRow))
             .alias("cum"),
-            # bounded: distinct count VALUES; eagerly checkpointed
-            # because w feeds the totals, the p99 probe, and (via tot)
-            # the final row — a lazy persist was RACED by those
-            # concurrent branches, each re-running the per-key count
-            # shuffle underneath (the r14 racing-persist rule)
-        ).localCheckpoint()
+            # bounded: distinct count VALUES; persisted because w feeds
+            # the totals, the p99 probe, and (via tot) the final row —
+            # without it each branch re-runs the per-key count shuffle
+            # underneath (the shared-frame rule). Measured r14: the
+            # branches here are NOT racing-dominant (tot's broadcast
+            # build runs first and fills the cache); an eager checkpoint
+            # per skew key added 4 serial jobs for a flat-to-slightly-
+            # worse wall (3.1->3.4 bench) — lazy persist kept.
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         tot = w.agg(
             F.sum("m").cast("bigint").alias("n_keys"),
             F.sum(F.expr("v * m")).cast("bigint").alias("total_rows"),
