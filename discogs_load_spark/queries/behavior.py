@@ -215,6 +215,12 @@ def q83_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_SCALE = 1_000_000_000
 PR_ITERS = 10
+# Hard ceiling on the collected vocab² transition graph (~100 B/edge ->
+# ~100 MB of driver rows, the broadcast size class). The event-type
+# vocabulary is an enum (dozens of values); hitting this cap means the
+# premise is wrong for the input, and the guard turns a silent driver
+# OOM into an error naming it (VERDICT r14 "What's wrong" #3).
+PR_GRAPH_CAP = 1_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -316,11 +322,26 @@ def q130_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["src"], r["dst"], r["w"], r["ow"])
         for r in edges.join(outw, "src").collect()
     ]
+    if len(graph) > PR_GRAPH_CAP:
+        # fail loudly at the premise, not as an opaque driver OOM: this
+        # path exists BECAUSE event_type is a low-cardinality enum whose
+        # vocab² transition graph is driver-sized (r15 guard)
+        raise ValueError(
+            f"q130 transition graph has {len(graph)} edges > cap "
+            f"{PR_GRAPH_CAP}: the event-type vocabulary is not "
+            "enum-small, so the collected-graph PageRank premise does "
+            "not hold — use a distributed rank iteration for this input"
+        )
     # bounded: ≤ |event-type vocab| rows
     nodes = sorted(
         r[0] for r in events.select("event_type").distinct().collect()
     )
     n = len(nodes)
+    if n == 0:
+        # empty events: the previous declarative plan degraded to an
+        # empty frame; keep that instead of a ZeroDivisionError on n
+        # (ADVICE r14)
+        return spark.createDataFrame([], "node string, rank_scaled bigint")
     b = 15 * PR_SCALE // (100 * n)
     ranks = {nd: PR_SCALE // n for nd in nodes}
     for _ in range(PR_ITERS):

@@ -222,9 +222,16 @@ def _histogram_percentiles(
     value whose cumulative-count range covers i;
     result = (ceil(pos)-pos)*v_floor + (pos-floor(pos))*v_ceil, with the
     v_floor == v_ceil case short-circuited (the additive identity does
-    NOT hold in IEEE — (ceil-pos)+(pos-floor) can differ from 1.0)."""
-    hist = df.groupBy(group_col, val_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__c")
+    NOT hold in IEEE — (ceil-pos)+(pos-floor) can differ from 1.0).
+
+    NULLs in ``val_col`` are dropped up front, matching percentile()'s
+    skip-NULLs contract (ADVICE r14: without the filter they entered __n
+    and sorted first in the cumulative window — harmless for q213's
+    non-null l_extendedprice, a divergence on any nullable reuse)."""
+    hist = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(group_col, val_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
     wv = W.partitionBy(group_col).orderBy(val_col)
     wall = W.partitionBy(group_col)

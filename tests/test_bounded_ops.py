@@ -530,3 +530,50 @@ def test_q200_merge_purge_python_reference(spark):
     }
     assert got == want
     assert any(v[0] > 1 for v in want.values()), "expected >= 1 merged entity"
+
+
+def test_q130_collect_guard_trips_with_premise_message(spark, monkeypatch):
+    """The driver-side PageRank collects the vocab² transition graph;
+    the r15 guard must refuse (naming the enum-vocabulary premise)
+    instead of silently growing the driver when the bound is exceeded."""
+    import pytest
+
+    from discogs_load_spark.queries import behavior
+
+    monkeypatch.setattr(behavior, "PR_GRAPH_CAP", -1)
+    with pytest.raises(ValueError, match="vocabulary is not enum-small"):
+        REGISTRY["q130_event_pagerank"].fn(spark, SF_SMALL)
+
+
+def test_q165_collect_guard_trips_with_premise_message(spark, monkeypatch):
+    """q165's driver-side union-find collects the banded name-pair list;
+    the r15 guard must refuse (naming the domain-grain vocabulary
+    premise) instead of silently growing the driver."""
+    import pytest
+
+    from discogs_load_spark.queries import dedup as qdedup
+
+    monkeypatch.setattr(qdedup, "ENTITY_EDGE_CAP", -1)
+    with pytest.raises(ValueError, match="not domain-small"):
+        REGISTRY["q165_entity_clusters"].fn(spark, SF_SMALL)
+
+
+def test_q130_empty_events_returns_empty_frame(spark, tmp_path):
+    """ADVICE r14: the driver-side PageRank divided by n = len(nodes);
+    an empty events table must degrade to an empty frame (the old
+    declarative plan's behavior), not raise ZeroDivisionError."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = tmp_path / "sf_empty"
+    sf_dir.mkdir()
+    # single parquet FILE like the real fixtures (the loader's footer
+    # peek takes listdir()[0] of a directory, which would be _SUCCESS)
+    src = os.path.join(SF_SMALL, "events.parquet")
+    pq.write_table(
+        pq.read_table(src).slice(0, 0), str(sf_dir / "events.parquet")
+    )
+    out = REGISTRY["q130_event_pagerank"].fn(spark, str(sf_dir))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_scaled"]

@@ -471,3 +471,22 @@ def test_centroid_planes_value_matches_sql_ladder():
             f"SELECT {centroid_planes_sql(str(k))}"
         ).fetchone()[0]
         assert centroid_planes_value(k) == want, k
+
+
+def test_spark_read_pins_file_listing_before_append(spark, tmp_path):
+    """Guard for the q219/q224 landing anti-join's undocumented-behavior
+    dependency (ADVICE r14): removing the persist+count pin before the
+    landing append relies on spark.read building its InMemoryFileIndex
+    EAGERLY at DataFrame creation, so a frame created before an append
+    never sees the appended files. If a DSv2 migration ever makes the
+    listing lazy, this trips before the anti-join can drop novel rows."""
+    out = str(tmp_path / "pin")
+    spark.range(5).write.parquet(out)
+    pinned = spark.read.parquet(out)
+    spark.range(100, 103).write.mode("append").parquet(out)
+    assert pinned.count() == 5, (
+        "spark.read no longer pins its file listing at DataFrame "
+        "creation — restore an explicit persist+count pin before the "
+        "landing append in queries/streaming.py (q219/q224 anti-join)"
+    )
+    assert spark.read.parquet(out).count() == 8

@@ -6,7 +6,7 @@ Usage:
     python tools/profile_query.py q219_streaming_cdc_index_maintenance [more...]
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/profile_query.py --plans q130_event_pagerank
 
-Writes .explain("formatted") to plans/r14/<name>_<tag>.txt with --plans
+Writes .explain("formatted") to plans/r15/<name>_<tag>.txt (SPARK_GRAFT_PLANS_DIR) with --plans
 (tag from --tag, default "before"). Prints one summary line per query plus a
 per-job breakdown. The warmup mirrors bench.py so numbers are comparable.
 """
@@ -110,7 +110,9 @@ def main() -> None:
         fn = REGISTRY[name].fn
         if plans:
             df = fn(spark, sf_dir)
-            pdir = REPO / "plans" / "r14"
+            pdir = REPO / "plans" / os.environ.get(
+                "SPARK_GRAFT_PLANS_DIR", "r15"
+            )
             pdir.mkdir(parents=True, exist_ok=True)
             import contextlib
             import io
