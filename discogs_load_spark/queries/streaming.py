@@ -79,13 +79,30 @@ def _stream_drain_conf(spark: SparkSession, no_data_batches: bool = True):
     map stages parallelize past the file count.
     """
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    aqe_key = "spark.sql.adaptive.enabled"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     old_open = spark.conf.get("spark.sql.files.openCostInBytes")
     old_nodata = spark.conf.get(nodata_key)
+    old_aqe = spark.conf.get(aqe_key)
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_DRAIN_PARTITIONS)
     spark.conf.set("spark.sql.files.maxPartitionBytes", STREAM_DRAIN_SPLIT_BYTES)
     spark.conf.set("spark.sql.files.openCostInBytes", STREAM_DRAIN_OPEN_COST)
+    # AQE OFF inside the drain scope (r15): a foreachBatch body is a fresh
+    # BATCH query per micro-batch, so AQE re-plans it per batch and
+    # materializes every shuffle as its own stage-job — the q226 drain
+    # profile read 36 jobs / 2.6 s of job time inside a 6.7 s wall, the
+    # other 4.1 s being driver gaps between those tiny jobs. A micro-batch's
+    # data volume is bounded by TRIGGER SIZING (maxFilesPerTrigger), not by
+    # the corpus, so runtime re-optimization has nothing to adapt to at any
+    # deployment scale: partition counts are pinned by the scoped
+    # shuffle-partition knob above, and the per-batch join keys (md5-prefix
+    # hashes, LSH buckets) are uniform by construction, so skew-splitting
+    # has no target either. The stateful drains (q88/q110/q114/q115/q116)
+    # already run with AQE off internally (streaming queries don't support
+    # it); this makes the foreachBatch bodies match. Batch-mode consumers
+    # outside the drain scope keep AQE on.
+    spark.conf.set(aqe_key, "false")
     if not no_data_batches:
         spark.conf.set(nodata_key, "false")
     try:
@@ -95,6 +112,7 @@ def _stream_drain_conf(spark: SparkSession, no_data_batches: bool = True):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
         spark.conf.set(nodata_key, old_nodata)
+        spark.conf.set(aqe_key, old_aqe)
 
 
 def _source_writer(df: DataFrame):
@@ -1355,10 +1373,15 @@ def q220_streaming_emb_index_maintenance(
         _source_writer(emb.filter(is_new).repartition(nf)).mode("overwrite").parquet(src)
 
     out = tempfile.mkdtemp(prefix="q220_emb_idx_")
-    bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark")
     from ..functions.vectors import cosine_sql
 
-    ccos = cosine_sql("embedding", "centroid", DIM, "spark")
+    # parsed ONCE, outside the batch loop (r15): the sign-bit expression
+    # is ~11 KB of SQL (8 planes x 32 literal components) and F.expr
+    # re-parsed it per micro-batch — measured ~1-2 s of the q226-family
+    # batch-body construction, pure driver time. A Column is an immutable
+    # unresolved expression, reusable across every batch's DataFrame.
+    bits_col = F.expr(lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark"))
+    ccos_col = F.expr(cosine_sql("embedding", "centroid", DIM, "spark"))
 
     def land_assigned(batch_df: DataFrame, _batch_id: int) -> None:
         # assign_clusters' shape (broadcast centroids + struct-max
@@ -1368,11 +1391,11 @@ def q220_streaming_emb_index_maintenance(
         # dominated the sf10 drain)
         scored = (
             batch_df.select(
-                "vec_id", F.expr(bits).alias("bits8"), "embedding"
+                "vec_id", bits_col.alias("bits8"), "embedding"
             )
             .crossJoin(F.broadcast(cent))
             .select(
-                "vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster"
+                "vec_id", "bits8", ccos_col.alias("cos"), "cluster"
             )
         )
         (
@@ -1630,40 +1653,47 @@ def q226_streaming_emb_maintain_and_compact(
         spark, "q226_emb_gen_", CDC_LANDED_PART_COL
     )
 
-    bits = lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark")
-    ccos = cosine_sql("embedding", "centroid", DIM, "spark")
+    # parsed ONCE, outside the batch loop (r15, the q220 note): the
+    # sign-bit expressions are 11-22 KB of SQL apiece (plane-literal
+    # arrays) and re-parsing them per micro-batch was ~1-2 s of pure
+    # driver time per batch-body construction
+    bits_col = F.expr(lsh_bucket_sql("embedding", EMB_STREAM_BITS, DIM, "spark"))
+    ebk_col = F.expr(f"substring({ebits}, 1, {p_val})")
+    ccos_col = F.expr(cosine_sql("embedding", "centroid", DIM, "spark"))
+    probe_i_col = F.explode(F.expr(f"sequence(-1, {p_val - 1})"))
+    probe_bk_col = F.expr(
+        "CASE WHEN i = -1 THEN bk"
+        " ELSE concat(substring(bk, 1, i),"
+        " CASE WHEN substring(bk, i + 1, 1) = '0'"
+        " THEN '1' ELSE '0' END,"
+        f" substring(bk, i + 2, {p_val} - i - 1)) END"
+    )
 
     def land_assigned(batch_df: DataFrame, _batch_id: int) -> None:
         newb = batch_df.select(
             "vec_id",
             "embedding",
-            F.expr(bits).alias("bits8"),
-            F.expr(f"substring({ebits}, 1, {p_val})").alias("bk"),
+            bits_col.alias("bits8"),
+            ebk_col.alias("bk"),
         )
         probes = newb.select(
             "vec_id",
             "bits8",
             "embedding",
             "bk",
-            F.explode(F.expr(f"sequence(-1, {p_val - 1})")).alias("i"),
+            probe_i_col.alias("i"),
         ).select(
             "vec_id",
             "bits8",
             "embedding",
-            F.expr(
-                "CASE WHEN i = -1 THEN bk"
-                " ELSE concat(substring(bk, 1, i),"
-                " CASE WHEN substring(bk, i + 1, 1) = '0'"
-                " THEN '1' ELSE '0' END,"
-                f" substring(bk, i + 2, {p_val} - i - 1)) END"
-            ).alias("bk"),
+            probe_bk_col.alias("bk"),
         )
         # cheap path: in-bucket argmax over ~4 candidates per probe
         # (bits8 carried through the grouping key — functionally
         # dependent on vec_id, the q220 trick)
         best = (
             probes.join(F.broadcast(centb), "bk")
-            .select("vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster")
+            .select("vec_id", "bits8", ccos_col.alias("cos"), "cluster")
             .groupBy("vec_id", "bits8")
             .agg(F.max(F.struct("cos", "cluster")).alias("b"))
             .select(
@@ -1673,11 +1703,26 @@ def q226_streaming_emb_maintain_and_compact(
                 F.lit(0).alias("via_exact"),
             )
         )
-        # exact path for ONLY the bucket-miss residue
+        # exact path for ONLY the bucket-miss residue. Membership in `best`
+        # is exactly "some probe key hit a non-empty centroid bucket", so
+        # the residue anti-join probes a map-side broadcast SEMI of the
+        # probe frame against the centroid bucket list instead of
+        # re-deriving `best` itself (r15): the anti-join's build side was
+        # best's whole probe-join + aggregate subtree, and column pruning
+        # (vec_id only) made that copy a DIFFERENT exchange from the union
+        # branch's, so ReusedExchange never fired and the probe-join +
+        # partial aggregate executed twice per batch (measured: union noop
+        # 0.75 s vs best alone 0.37 s). The semi's build side is the
+        # |centroid-bucket|-row bk list — the broadcast size class the
+        # batch already ships twice — and the probe side is a shuffle-free
+        # projection of the batch.
+        hit_ids = probes.join(
+            F.broadcast(centb.select("bk")), "bk", "left_semi"
+        ).select("vec_id")
         residb = (
-            newb.join(best.select("vec_id"), "vec_id", "left_anti")
+            newb.join(hit_ids, "vec_id", "left_anti")
             .crossJoin(F.broadcast(cent))
-            .select("vec_id", "bits8", F.expr(ccos).alias("cos"), "cluster")
+            .select("vec_id", "bits8", ccos_col.alias("cos"), "cluster")
             .groupBy("vec_id", "bits8")
             .agg(F.max(F.struct("cos", "cluster")).alias("b"))
             .select(
