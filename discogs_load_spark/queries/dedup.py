@@ -717,7 +717,12 @@ def _snb_pairs(
     # racer recomputed the range-partition + window chain (the r14
     # racing-persist rule). The distributed-rank lineage itself lives in
     # _snb_ranked so the plan-shape pin (tests/test_plans.py) can assert
-    # it pre-checkpoint.
+    # it pre-checkpoint. sf1 interleaved A/B (r15, VERDICT r14 item 3;
+    # all three q198-path checkpoints toggled to lazy persists at once):
+    # A=checkpoint q198 3.65/4.31, q200 9.19/8.22, q210 4.78/5.16 vs
+    # B=persist q198 4.84/7.19, q200 9.72/13.79, q210 4.57/6.60 —
+    # checkpoints win or tie every pair; the driver's r14 sf1 readings
+    # for this family were ambient drift. Kept.
     # ADAPTIVE path (q206): the measured ordering is the REVERSE — the
     # adaptive probe's sequence(1, w) fan-out dwarfs the rank chain, so
     # the racing recompute is cheap while the checkpoint's exact tiny
@@ -1013,8 +1018,20 @@ def q198_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring expressions as exact integer literals (the q171/q176
     # bounded-scalar discipline) — no broadcast stats frame crossed into
     # the pair projection, and the former 5-broadcast crossJoin chain
-    # collapses to one collect job
-    srow = u_name.crossJoin(u_size).crossJoin(bt).collect()[0]
+    # collapses to one collect job. AQE off for JUST this collect (r15):
+    # every input is either an ExistingRDD checkpoint of a value-domain
+    # marginal or the vocab-banded name join — domain-grain under the
+    # q112 sublinear-vocabulary premise, so runtime partition coalescing
+    # and skew splitting have no corpus-scaled target, while AQE's
+    # per-exchange stage materialization charged this 1-row collect
+    # TWELVE driver-bound stage-jobs of the q200 profile's 58.
+    aqe_key = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        srow = u_name.crossJoin(u_size).crossJoin(bt).collect()[0]
+    finally:
+        spark.conf.set(aqe_key, old_aqe)
     u_lit = {f: _ilit(srow[f"u_{f}_num"]) for f in _FS_AGREE}
     n_lit = _ilit(srow["n_rows"])
     weighted = pairs

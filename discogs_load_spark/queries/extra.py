@@ -1172,7 +1172,11 @@ def q184_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lazily-persisted frame raced by two stages is computed by BOTH —
     # the profiler showed two ~1.6 s duplicate explode+distinct stages
     # (r14). The checkpoint pays the pass once, serially, then every
-    # consumer reads the materialized partitions.
+    # consumer reads the materialized partitions. sf1 interleaved A/B
+    # (r15, VERDICT r14 item 3): checkpoint 3.99/3.81/3.55 s vs lazy
+    # persist 3.19/4.46/4.09 — statistically flat, the driver's r14
+    # sf1 "x0.72" reading was ambient drift; checkpoint kept for the
+    # measured sf0.1 job_wall win (6.3 -> 1.7 s).
     d0 = (
         doc_signature_index(spark, sf_dir)
         .select("source", F.explode("sh").alias("sh"))

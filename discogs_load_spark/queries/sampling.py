@@ -951,6 +951,13 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+    # eager checkpoint on the |sources|-row rollup (r15, the r14
+    # racing-persist rule): `s` feeds BOTH the broadcast normalizer `t`
+    # and the final projection, and `t`'s broadcast build raced the main
+    # path re-deriving s's ENTIRE lineage — the SemDeDup pair join, the
+    # component propagation and the corpus tokenize ran twice per
+    # invocation (q169 profile: 40 jobs, job_wall 3.2 s in a 4.6 s wall)
+    s = s.localCheckpoint()
     t = s.agg(F.sum("kept_tokens").cast("bigint").alias("total_kept"))
     return s.crossJoin(F.broadcast(t)).select(
         "source",

@@ -227,3 +227,37 @@ def test_q213_histogram_percentiles_match_builtin(spark):
     for k in builtin:
         for a, b in zip(builtin[k], hist[k]):
             assert struct.pack("<d", a) == struct.pack("<d", b), (k, a, b)
+
+
+def test_stopword_feature_arrow_matches_hof(spark):
+    """r15: the q176/q177 stopword-ratio featurize moved from the
+    interpreted `filter(toks, t -> t IN (...))` Catalyst lambda to an
+    Arrow mapInPandas over the JVM-normalized string (the CDC-chunker
+    precedent). The feature doubles must be BITWISE identical to the HOF
+    referee — q177 groups by the raw double and q176 folds it through
+    five gradient rounds, so a 1-ulp divergence changes hashes."""
+    import struct
+
+    from discogs_load_spark.queries.text import _stopword_feature_frame
+    from discogs_load_spark.session import load_tables
+
+    from .conftest import SF_SMALL
+
+    docs = load_tables(spark, SF_SMALL, ["documents"])["documents"]
+    y = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+
+    def key(rows):
+        return sorted(
+            (
+                None if r.x is None else struct.pack(">d", r.x),
+                None if r.y is None else struct.pack(">d", r.y),
+            )
+            for r in rows
+        )
+
+    hof = key(_stopword_feature_frame(docs, y, "double", impl="hof").collect())
+    arrow = key(
+        _stopword_feature_frame(docs, y, "double", impl="arrow").collect()
+    )
+    assert len(hof) > 0
+    assert hof == arrow
