@@ -227,7 +227,17 @@ def _histogram_percentiles(
     NULLs in ``val_col`` are dropped up front, matching percentile()'s
     skip-NULLs contract (ADVICE r14: without the filter they entered __n
     and sorted first in the cumulative window — harmless for q213's
-    non-null l_extendedprice, a divergence on any nullable reuse)."""
+    non-null l_extendedprice, a divergence on any nullable reuse).
+
+    sf1 evidence (r15, VERDICT r14 item 8 — settles the r14 "~0.3 s
+    slower at sf0.1" note): warm walls builtin 3.67/3.76 s vs histogram
+    **1.66/2.42 s** — the ordering inverts once the per-group buffer is
+    data-sized. Memory: the histogram form's sort/aggregate state is
+    TRACKED execution memory (peak 34.1 MB/task at sf1, spillable),
+    while the builtin's ObjectHashAggregate value-map reports **zero**
+    Peak Execution Memory — an untracked on-heap object buffer the
+    memory manager can neither account nor spill, which is exactly the
+    100 TB OOM shape the r14 change argued from. Kept on both counts."""
     hist = (
         df.filter(F.col(val_col).isNotNull())
         .groupBy(group_col, val_col)
@@ -1253,6 +1263,12 @@ SKEW_KEYS = [
     ("orders", "o_custkey"),
     ("events", "user_id"),
 ]
+# cap on collected distinct per-key count values (q186): the
+# count-of-counts frame is value-domain-grain by the query's own design
+# (it previously rode a single-partition window); a pathological
+# distribution where every key has a unique count makes it key-grain —
+# raise instead of silently growing the driver (the r15 guard style)
+SKEW_CC_CAP = 100_000
 
 
 def _skew_oracle() -> str:
@@ -1330,78 +1346,99 @@ def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact bigints, identical expression text in both engines.
     (Counts stay in BIGINT: the s1 term is bounded by n_keys^2 *
     max_count — switch to DECIMAL(38,0) sums beyond ~1e9 keys.)"""
-    from pyspark.storagelevel import StorageLevel
-
     tables = load_tables(
         spark, sf_dir, sorted({t for t, _ in SKEW_KEYS})
     )
-    parts = []
-    for table, key in SKEW_KEYS:
+    # r15 (the q130/q165 bounded-collect discipline): each key's corpus
+    # work is the two map-side-combinable shuffles (per-key counts →
+    # count-of-counts); everything downstream — the tied-rank window,
+    # the totals, the p99 probe, the final ratio row — runs over the
+    # DISTINCT COUNT VALUES only. That frame was already consumed by a
+    # SINGLE-PARTITION window (W.orderBy with no partitionBy), i.e. the
+    # value-domain bound was already the premise, so collecting it to
+    # the driver changes nothing about the scale story while deleting,
+    # per key: the window, the lazy persist, and the tot/p99 broadcast
+    # branches (measured: the persisted-branch form ran ~25 jobs for
+    # 3.3-3.7 s; this form is one collect per key). All folded
+    # arithmetic is exact Python ints (BIGINT-identical; the s1 overflow
+    # bound in the docstring applies to both forms) and the three
+    # ratios reproduce the SQL's cast/association order exactly
+    # (float(int) and / are correctly rounded in both runtimes).
+    # the four keys' corpus scans are independent — collect them from a
+    # small thread pool so they overlap exactly like the old union-plan's
+    # concurrent branches did (guide §2.6; a first serial-collect cut of
+    # this change measured 9.7 s vs the union form's 3.8 s — the fold
+    # only wins when the scans still share the cluster)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cc_rows(table: str, key: str):
         counts = tables[table].groupBy(key).agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
-        cc = counts.groupBy(F.col("c").alias("v")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("m")
+        return (
+            counts.groupBy(F.col("c").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+            .collect()
         )
-        # bounded: the window runs over distinct count VALUES (not keys)
-        wv = W.orderBy("v")
-        w = cc.select(
-            "v",
-            "m",
-            F.coalesce(
-                F.sum("m").over(
-                    wv.rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias("s"),
-            F.sum("m")
-            .over(wv.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .alias("cum"),
-            # bounded: distinct count VALUES; persisted because w feeds
-            # the totals, the p99 probe, and (via tot) the final row —
-            # without it each branch re-runs the per-key count shuffle
-            # underneath (the shared-frame rule). Measured r14: the
-            # branches here are NOT racing-dominant (tot's broadcast
-            # build runs first and fills the cache); an eager checkpoint
-            # per skew key added 4 serial jobs for a flat-to-slightly-
-            # worse wall (3.1->3.4 bench) — lazy persist kept.
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        tot = w.agg(
-            F.sum("m").cast("bigint").alias("n_keys"),
-            F.sum(F.expr("v * m")).cast("bigint").alias("total_rows"),
-            F.max("v").cast("bigint").alias("max_count"),
-            F.sum(F.expr("v * (m * s + m * (m + 1) DIV 2)"))
-            .cast("bigint")
-            .alias("s1"),
+
+    with ThreadPoolExecutor(max_workers=len(SKEW_KEYS)) as pool:
+        ccs = list(
+            pool.map(lambda tk: _cc_rows(*tk), SKEW_KEYS)
         )
-        p99 = (
-            w.crossJoin(F.broadcast(tot.select("n_keys")))
-            .filter(F.expr("cum * 100 >= 99 * n_keys"))
-            .agg(F.min("v").cast("bigint").alias("p99_count"))
+    rows = []
+    for (table, key), cc in zip(SKEW_KEYS, ccs):
+        if len(cc) > SKEW_CC_CAP:
+            raise RuntimeError(
+                f"q186: {len(cc)} distinct per-key count values for "
+                f"{table}.{key} exceeds SKEW_CC_CAP={SKEW_CC_CAP} — the "
+                "count-of-counts frame is assumed value-domain-bounded "
+                "(it already rode a single-partition window); raise the "
+                "cap only with a matching window/collect strategy review"
+            )
+        name = f"{table}.{key}"
+        if not cc:
+            rows.append((name, None, None, None, None, None, None, None))
+            continue
+        cc.sort(key=lambda r: r["v"])
+        n_keys = sum(r["m"] for r in cc)
+        total_rows = sum(r["v"] * r["m"] for r in cc)
+        max_count = cc[-1]["v"]
+        s = 0
+        s1 = 0
+        p99_count = None
+        cum = 0
+        for r in cc:
+            v, m = r["v"], r["m"]
+            s1 += v * (m * s + m * (m + 1) // 2)
+            s += m
+            cum += m
+            if p99_count is None and cum * 100 >= 99 * n_keys:
+                p99_count = v
+        skew_ratio = float(max_count) * float(n_keys) / float(total_rows)
+        gini = (
+            float(2 * s1 - (n_keys + 1) * total_rows)
+            / float(n_keys)
+            / float(total_rows)
         )
-        parts.append(
-            tot.crossJoin(F.broadcast(p99)).select(
-                F.lit(f"{table}.{key}").alias("key_name"),
-                "n_keys",
-                "total_rows",
-                "max_count",
-                "p99_count",
-                F.expr(
-                    "CAST(max_count AS DOUBLE) * n_keys / total_rows"
-                ).alias("skew_ratio"),
-                F.expr(
-                    "CAST(2 * s1 - (n_keys + 1) * total_rows AS DOUBLE)"
-                    " / n_keys / total_rows"
-                ).alias("gini"),
-                F.expr(
-                    "(max_count * n_keys + total_rows - 1) DIV total_rows"
-                ).alias("recommended_salts"),
+        salts = (max_count * n_keys + total_rows - 1) // total_rows
+        rows.append(
+            (
+                name,
+                n_keys,
+                total_rows,
+                max_count,
+                p99_count,
+                skew_ratio,
+                gini,
+                salts,
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("key_name")
+    return spark.createDataFrame(
+        rows,
+        "key_name string, n_keys bigint, total_rows bigint, "
+        "max_count bigint, p99_count bigint, skew_ratio double, "
+        "gini double, recommended_salts bigint",
+    ).orderBy("key_name")
 
 
 def _ols_terms() -> dict[str, str]:

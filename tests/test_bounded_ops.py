@@ -577,3 +577,16 @@ def test_q130_empty_events_returns_empty_frame(spark, tmp_path):
     out = REGISTRY["q130_event_pagerank"].fn(spark, str(sf_dir))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank_scaled"]
+
+
+def test_q186_collect_guard_trips_with_premise_message(spark, monkeypatch):
+    """q186's driver-side skew profile collects each key's
+    count-of-counts frame; the r15 guard must refuse (naming the
+    value-domain premise) instead of silently growing the driver."""
+    import pytest
+
+    from discogs_load_spark.queries import extra
+
+    monkeypatch.setattr(extra, "SKEW_CC_CAP", -1)
+    with pytest.raises(RuntimeError, match="value-domain-bounded"):
+        REGISTRY["q186_join_key_skew_profile"].fn(spark, SF_SMALL)
