@@ -1029,6 +1029,7 @@ def q198_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_aqe = spark.conf.get(aqe_key)
     spark.conf.set(aqe_key, "false")
     try:
+        # bounded: the 1-row 5-scalar stats frame (see block above)
         srow = u_name.crossJoin(u_size).crossJoin(bt).collect()[0]
     finally:
         spark.conf.set(aqe_key, old_aqe)

@@ -1378,6 +1378,9 @@ def q186_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             counts.groupBy(F.col("c").alias("v"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+            # bounded: distinct per-key count VALUES (the frame the old
+            # form already ran a single-partition window over);
+            # SKEW_CC_CAP raises on a pathological distribution
             .collect()
         )
 
